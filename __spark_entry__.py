@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``similarity_search_with_hadoop_mapreduce_spark/``;
+this module only assembles the registry.
 """
 
 from __future__ import annotations
@@ -13,26 +15,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from similarity_search_with_hadoop_mapreduce_spark.registry import (
+    ORACLES,
+    QUERIES,
+    flagship,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: trigram containment similarity of every document
+    against the query document (doc_id=0), reference-parity semantics,
+    ranked by score. See operators/similarity.py for the 2-shuffle plan.
+    """
+    return flagship(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions).
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Each callable takes (spark, sf_dir) and returns a DataFrame; computed
+    columns are aliased identically in the Spark code and the oracle SQL.
     """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL equivalent for each key in ``queries()``.
+
+    Keys absent here (non-SQL-expressible ops) get the driver's weaker
+    rows-only check.
     """
-    return {}
+    return dict(ORACLES)

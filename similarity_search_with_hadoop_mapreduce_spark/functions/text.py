@@ -1,0 +1,79 @@
+"""Text operators as native column expressions (no Python UDFs).
+
+Everything here stays inside whole-stage codegen: ``split`` /
+``transform`` / ``sequence`` / ``array_distinct`` are JVM expressions, so
+shingling a 100 TB corpus is a map-only stage with no Python boundary.
+
+Reference parity notes (SURVEY.md §2.3):
+
+- Q6: tokenization is case-sensitive ``\\W+`` with **Java**
+  ``String.split`` (limit=0) semantics — leading empty token preserved,
+  trailing empty tokens removed.  Spark's ``F.split`` uses the same Java
+  regex engine but with limit=-1 semantics (trailing empties kept), so
+  :func:`java_split_tokens` trims them explicitly.
+- T3: shingles are word trigrams ``w[i] w[i+1] w[i+2]``; <3 tokens ⇒
+  empty set (``BookQuery.java:37-40,66-70``).
+- T4: shingle sets are distinct per document (``HashSet``,
+  ``BookQuery.java:26,66``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\W+"
+
+
+def java_split_tokens(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
+    """``text.split(pattern)`` with Java ``String.split(regex)`` semantics.
+
+    Java (limit=0) removes *trailing* empty strings but keeps a leading
+    one (``BookQuery.java:35,64,126``).  With a ``\\W+``-style pattern,
+    empty tokens can only appear at the ends, so after Spark's limit=-1
+    split we drop: 2 trailing empties when the whole string was
+    delimiters (Java: ``"!!!".split("\\\\W+") == []``), 1 when the string
+    merely ends with a delimiter.  A no-match input (e.g. ``""``) keeps
+    Java's single-element ``[""]`` result.
+    """
+    t = F.split(text, pattern, -1)
+    n = F.size(t)
+    drop = (
+        F.when(n <= 1, F.lit(0))  # no-match case: Java returns [original]
+        .when(
+            (F.element_at(t, -1) == "") & (F.element_at(t, n - 1) == ""),
+            F.lit(2),
+        )
+        .when(F.element_at(t, -1) == "", F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return F.slice(t, 1, (n - drop).cast("int"))
+
+
+def trigrams(tokens: Column) -> Column:
+    """All word trigrams ``tokens[i] + " " + tokens[i+1] + " " + tokens[i+2]``
+    for ``i in [0, len-3]`` (``BookQuery.java:37-40``); <3 tokens ⇒ ``[]``.
+
+    Expressed with ``sequence`` + ``transform`` higher-order functions so
+    the whole thing is a single codegen'd projection.
+    """
+    n = F.size(tokens)
+    make = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tokens, i),
+            F.element_at(tokens, i + 1),
+            F.element_at(tokens, i + 2),
+        ),
+    )
+    return F.when(n >= 3, make).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
+    """Distinct trigram shingle set of a document (T2+T3+T4 fused).
+
+    One projection, fully JVM-side; this is the map-side of the
+    reference's Mapper1 (``BookQuery.java:64-70``).
+    """
+    return F.array_distinct(trigrams(java_split_tokens(text, pattern)))

@@ -1,0 +1,37 @@
+"""Dense-vector math over ``array<float|double>`` columns.
+
+All JVM-side higher-order functions (``zip_with`` + ``aggregate``) — no
+Python boundary, so brute-force similarity over billions of vectors is a
+codegen'd map stage. Values are computed in double precision regardless
+of the storage type (the fixtures store ``array<float>``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two equal-length array columns (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision; 0.0 when either norm is 0."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)

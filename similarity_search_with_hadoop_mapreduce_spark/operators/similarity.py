@@ -1,0 +1,179 @@
+"""Query-vs-corpus trigram similarity — the reference's entire engine,
+rebuilt as one lazy DataFrame DAG.
+
+Reference: the 2-job MapReduce pipeline in
+``/root/reference/BookQuery/src/main/java/BookQuery.java`` (Mapper1/Reducer1
+build pruned term→doc posting lists, Mapper2/Reducer2 count shared shingles
+per doc and emit a score). Here the two jobs collapse into a single plan
+with exactly two shuffle exchanges:
+
+1. ``groupBy(term)``    — the Job-1 shuffle (``BookQuery.java:92``)
+2. ``groupBy(doc_id)``  — the Job-2 shuffle (``BookQuery.java:153``)
+
+There is no intermediate HDFS materialization (the reference round-trips
+``<output>_temp``, ``BookQuery.java:239-254``), and Spark's hash aggregate
+does map-side partial aggregation automatically, fixing the reference's
+missing combiner (every literal ``"1"`` crossed the Job-2 shuffle,
+``BookQuery.java:145``).
+
+Scale design (100 TB corpus, 1000 executors):
+
+- The query shingle set is tiny → shipped as a **broadcast** one-row
+  DataFrame; the semi-join filter (``retainAll``, ``BookQuery.java:77``)
+  becomes ``array_intersect`` evaluated map-side *before* the explode, so
+  only ``|D∩Q|`` rows per document ever materialize — the explode volume
+  is bounded by ``|corpus| × |Q|`` no matter how large documents get.
+- Both shuffles key on high-cardinality columns (shingle string, doc id).
+  A hyper-common shingle would skew exchange 1; AQE skew handling plus the
+  reference's own ``count == n`` prune (which drops exactly those terms)
+  keep it bounded.
+- Everything before exchange 1 is one whole-stage-codegen'd map stage over
+  a columnar Parquet scan that reads only (doc_id, text).
+
+Semantics (SURVEY.md §2.3): ``mode="parity"`` reproduces quirks Q1-Q7
+exactly — the score is ``s / ((len1 + |Q|) - s)`` where ``len1 = |D∩Q|``
+and ``s`` counts intersection shingles that survive the
+``count ∉ {1, n}`` prune; with nothing pruned this equals **query
+containment** ``|D∩Q| / |Q|``, not Jaccard. ``mode="jaccard"`` is the
+textbook ratio ``|D∩Q| / |D∪Q|`` (no pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from similarity_search_with_hadoop_mapreduce_spark.functions.text import shingles
+
+
+def corpus_shingles(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, shingle_set)`` — distinct trigram set per document (T2-T4)."""
+    return documents.select("doc_id", shingles(F.col(text_col)).alias("shingle_set"))
+
+
+def _query_side(documents: DataFrame, query_doc_id) -> DataFrame:
+    """One-row broadcast DataFrame ``(q_set, q_len)`` for the query document.
+
+    The reference ships the raw query text to every task via the job
+    ``Configuration`` and re-parses it in every ``setup()``
+    (``BookQuery.java:205,31-41,122-133``); broadcasting the *parsed*
+    shingle set once is the Spark-native equivalent (O3 in SURVEY §4.1).
+    """
+    q = (
+        corpus_shingles(documents)
+        .filter(F.col("doc_id") == F.lit(query_doc_id))
+        .select(
+            F.col("shingle_set").alias("q_set"),
+            F.size("shingle_set").alias("q_len"),
+        )
+    )
+    return F.broadcast(q)
+
+
+def similarity_to_query(
+    documents: DataFrame,
+    query_doc_id=0,
+    mode: str = "parity",
+    total_documents: int | None = None,
+) -> DataFrame:
+    """Score every document against the query document.
+
+    Returns ``(doc_id, query_id, score)``; documents with zero surviving
+    shingle overlap are **absent**, not 0.0 (quirk Q3). Output is unordered
+    (quirk Q7) — callers wanting ranked results add
+    ``.orderBy(F.desc("score"))`` / ``top_k``.
+
+    ``total_documents`` is the reference's ``totalDocuments`` scalar
+    (corpus file count *including* the query doc, ``BookQuery.java:210-214``,
+    quirk Q5); computed with one ``count()`` action when not supplied —
+    the reference's driver did the same file-count RPC.
+    """
+    if mode not in ("parity", "jaccard"):
+        raise ValueError(f"mode must be 'parity' or 'jaccard', got {mode!r}")
+
+    docs = corpus_shingles(documents)
+    qside = _query_side(documents, query_doc_id)
+
+    if mode == "jaccard":
+        # Textbook |D∩Q| / |D∪Q|; single map stage, no shuffle at all.
+        inter = F.size(F.array_intersect("shingle_set", "q_set"))
+        union = F.size(F.array_union("shingle_set", "q_set"))
+        return (
+            docs.join(qside)  # broadcast nested-loop of a 1-row side
+            .filter(F.col("doc_id") != F.lit(query_doc_id))
+            .select(
+                "doc_id",
+                F.lit(str(query_doc_id)).alias("query_id"),
+                (inter.cast("double") / union.cast("double")).alias("score"),
+            )
+            .filter(F.col("score") > 0.0)
+        )
+
+    if total_documents is None:
+        total_documents = documents.count()
+    n = F.lit(total_documents)
+
+    # T5/T6: map-side semi-join with the broadcast query set, *then* take
+    # the size — len1 = |D∩Q| (quirk Q1), computed before any shuffle so
+    # only intersecting shingles are ever exploded (O1/O6).
+    kept = (
+        docs.join(qside)
+        .select(
+            "doc_id",
+            "q_len",
+            F.array_intersect("shingle_set", "q_set").alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "q_len",
+            F.size("kept").alias("len1"),
+            F.explode("kept").alias("term"),  # T7; includes the query doc (Q5)
+        )
+    )
+
+    # T8-T10: shuffle 1 — group by shingle, prune terms appearing in every
+    # document (count == n) or only in the query (count == 1). The group
+    # members are carried along so no re-join with the corpus is needed.
+    postings = (
+        kept.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.collect_list(F.struct("doc_id", "len1", "q_len")).alias("postings"),
+        )
+        .filter((F.col("df") != n) & (F.col("df") != F.lit(1)))
+    )
+
+    # U2-U6: shuffle 2 — per-document count of surviving shared shingles,
+    # then the reference's literal score expression (BookQuery.java:166).
+    # The `sum == len1+len2 → 1.0` guard is dead code (quirk Q4) but kept
+    # for line-level parity.
+    pairs = (
+        postings.select(F.explode("postings").alias("p"))
+        .select("p.doc_id", "p.len1", "p.q_len")
+        .filter(F.col("doc_id") != F.lit(query_doc_id))  # U2
+        .groupBy("doc_id", "len1", "q_len")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    score = F.when(
+        F.col("s") == F.col("len1") + F.col("q_len"), F.lit(1.0)
+    ).otherwise(
+        F.col("s").cast("double")
+        / (F.col("len1") + F.col("q_len") - F.col("s")).cast("double")
+    )
+    return pairs.select(
+        "doc_id",
+        F.lit(str(query_doc_id)).alias("query_id"),
+        score.alias("score"),
+    )
+
+
+def top_k_similar(
+    documents: DataFrame, query_doc_id=0, k: int = 10, mode: str = "parity"
+) -> DataFrame:
+    """Ranked top-k variant — the obvious extension the reference lacks
+    (its output is ordered by packed string key, quirk Q7). Spark plans
+    this as ``TakeOrderedAndProject`` (no global sort materialization).
+    """
+    return similarity_to_query(documents, query_doc_id, mode=mode).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).limit(k)
