@@ -33,8 +33,10 @@ def _canon(v) -> str:
             return "NaN"
         # exact-bits compare for doubles, like a strict driver would
         return repr(v)
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
         return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()  # distinct from datetime on purpose: type drift should fail
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     if isinstance(v, bytes):

@@ -25,4 +25,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)

@@ -1,1 +1,836 @@
-"""(populated in a later milestone)"""
+"""Relational surface: the SURVEY.md §2.4 category checklist demonstrated on
+the TPC-H-ish fixtures, every entry oracle-checked against DuckDB.
+
+The reference exposes only a degenerate slice of this surface (one
+broadcast left-semi join in disguise at ``BookQuery.java:77``, two
+count-style aggregations, one HAVING-like group filter) — everything else
+here is the engine surface a user of a general analytics system needs, all
+native Catalyst-planned DataFrame/SQL with zero Python UDFs.
+
+Cross-engine determinism notes:
+
+- Double sums are order-dependent (Spark combines per-partition partials;
+  DuckDB sums sequentially), so every SUM over doubles goes through an
+  exact DECIMAL(25,6) cast and back to double — bit-identical in any
+  execution order. Per-row double arithmetic (IEEE) is identical engine to
+  engine and needs no such care.
+- DuckDB ``year()``/``count()`` return BIGINT/HUGEINT where Spark returns
+  int/bigint; oracle SQL casts to Spark's types.
+- Every ORDER BY ... LIMIT carries a unique tie-break column so both
+  engines pick the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from similarity_search_with_hadoop_mapreduce_spark.registry.base import register, table
+
+
+def _dsum(expr: Column) -> Column:
+    """Order-independent exact sum of a double expression (see module doc)."""
+    return F.sum(expr.cast("decimal(25,6)")).cast("double")
+
+
+def _osum(expr: str) -> str:
+    """Oracle-side twin of :func:`_dsum`."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_osum('l_quantity')} AS sum_qty,
+       {_osum('l_extendedprice')} AS sum_base_price,
+       {_osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_osum('l_quantity')} / count(*) AS avg_qty,
+       {_osum('l_extendedprice')} / count(*) AS avg_price,
+       {_osum('l_discount')} / count(*) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with partial (map-side)
+    aggregation; the filter and 7-column projection push into the parquet
+    scan. Reference analog: U4's count agg (BookQuery.java:154-158)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / cnt).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / cnt).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT {_osum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.09
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: multi-predicate scan + global agg; all four
+    predicates reach the parquet reader as PushedFilters."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.09))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent from the reference, §2.4): Spark plans
+    a two-phase expand + partial agg."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (category absent from reference, §2.4)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("qty"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group filter on aggregate — the Spark form of the reference's
+    Reducer1 posting-list prune (T10, BookQuery.java:102-105)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) FILTER (l_linestatus = 'O') AS DOUBLE) AS "O",
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) FILTER (l_linestatus = 'F') AS DOUBLE) AS "F"
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation); DuckDB oracle uses FILTER clauses so the
+    output column names match Spark's pivot values exactly."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(_dsum(F.col("l_quantity")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins — full surface (reference has only the disguised broadcast semi-join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle="""
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+""",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; customer is broadcast under the 64 MB threshold so
+    no shuffle of the big side."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (kept in the ON clause —
+    semantics differ from a WHERE, which both engines must agree on)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "P"), "left"
+    ).select("c_custkey", "c_name", "o_orderkey")
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — the reference's T5 `retainAll` is exactly
+    this, on shingle sets (BookQuery.java:77)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — absent from the reference (§2.4)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_broadcast_chain",
+    oracle="""
+SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema chain: two explicit broadcast hints — the dims ship to
+    every executor; the fact table never shuffles before the aggregate.
+    Spark-native form of the reference's Configuration-shipped side data
+    (T1/O3, BookQuery.java:205,214)."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join + range (theta) residual: ships >90 days after order.
+    The equi key still drives the exchange; the range predicate is a
+    post-join filter — no nested-loop blowup."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        )
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+    Catalyst reorders so the filtered customer side broadcasts."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name, {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a compound join condition
+    (supplier and customer in the same nation)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+""",
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery via the SQL surface."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (absent from the reference, §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_row_number_topn",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn
+  FROM orders
+) WHERE rn <= 2
+""",
+)
+def window_row_number_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via row_number — the standard distributed top-k
+    per key pattern (one shuffle on the partition key)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS drnk
+FROM orders
+""",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative ROWS frame; decimal accumulator for cross-engine
+    bit-identical totals."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                           RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT)
+         AS n_similar_priced
+FROM orders
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (±1000 around each order's price)."""
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_priced"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_global",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps, no full sort. The reference never ranks (quirk Q7)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+""",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level set ops — the reference has them only on shingle sets
+    (array_intersect etc., BookQuery.java:77)."""
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return a.subtract(b)  # set-semantics EXCEPT (deduplicates)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface: string / date / math / array / json / conditional
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS up,
+       lower(p_brand) AS lo,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       substring(p_name, 1, 4) AS prefix,
+       replace(p_name, ' ', '_') AS snake,
+       concat_ws('|', p_brand, p_type) AS joined,
+       regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num,
+       CAST(strpos(p_name, 'widget') AS INTEGER) AS widget_pos,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+       trim('  ' || p_type || ' ') AS trimmed
+FROM part
+""",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (reference: regex split T2, concat T12/U7,
+    delimiter parses U1/U5 — BookQuery.java:35,82,111,138,161)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("prefix"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.instr(F.col("p_name"), "widget").alias("widget_pos"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch_start,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+""",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface (absent from the reference, §2.4)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05) AS abs_d,
+       CAST(ceil(l_extendedprice) AS DOUBLE) AS ceil_p,
+       CAST(floor(l_extendedprice) AS DOUBLE) AS floor_p,
+       round(l_extendedprice * l_tax, 4) AS tax_amt,
+       round(sqrt(l_quantity), 6) AS sqrt_q,
+       round(ln(l_extendedprice), 6) AS ln_p,
+       round(power(1 + l_discount, 2), 10) AS disc_sq,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
+FROM lineitem
+""",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface; transcendentals (sqrt/ln/pow) rounded to absorb
+    possible 1-ulp libm differences between the JVM and DuckDB."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.ceil("l_extendedprice").cast("double").alias("ceil_p"),
+        F.floor("l_extendedprice").cast("double").alias("floor_p"),
+        # 4 decimals: the product of two 2-decimal values has at most 4, so
+        # no .5 rounding tie can arise (Spark HALF_UP vs DuckDB differ on ties)
+        F.round(F.col("l_extendedprice") * F.col("l_tax"), 4).alias("tax_amt"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_q"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+        F.round(F.pow(F.lit(1) + F.col("l_discount"), 2), 10).alias("disc_sq"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+    )
+
+
+@register(
+    "conditional_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 150000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'small' END AS bucket,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+       CAST(o_orderstatus = 'O' AS BOOLEAN) AS is_open
+FROM orders
+""",
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN + coalesce/nullif — the reference's only conditional is
+    the dead-code score guard (U6, BookQuery.java:166)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 150000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        (F.col("o_orderstatus") == "O").alias("is_open"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       CAST(len(words) AS INTEGER) AS n_words,
+       CAST(len(list_distinct(words)) AS INTEGER) AS n_distinct_words,
+       words[1] AS first_word,
+       words[-1] AS last_word,
+       array_to_string(list_sort(list_distinct(words))[1:5], ',') AS first5_sorted,
+       CAST(list_contains(words, 'the') AS BOOLEAN) AS has_the
+FROM w
+""",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order surface (reference analog: shingle sets and
+    posting lists, T4/T9/T11)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(words)), 1, 5), ","
+        ).alias("first5_sorted"),
+        F.array_contains(words, "the").alias("has_the"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       event_type
+FROM events
+""",
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events props column (§2.4: absent from
+    the reference)."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        "event_type",
+    )

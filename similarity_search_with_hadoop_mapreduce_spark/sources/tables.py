@@ -33,9 +33,22 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
+    """Load one fixture table from ``{sf_dir}/{name}.parquet``.
+
+    ``events`` is stored with parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; we read it as raw nanos via the
+    (dynamic) ``nanosAsLong`` conf and rebuild a microsecond timestamp.
+    The fixture's nanos are exactly microsecond-aligned, and DuckDB's
+    TIMESTAMP is microseconds too, so the conversion is lossless and
+    oracle-compatible.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
