@@ -1,0 +1,120 @@
+"""Text-analysis operators for corpus curation: token counting, language
+identification, quality scoring, fingerprinting.
+
+All native column expressions (split / higher-order functions / regexp /
+md5) — one codegen'd map stage per operator, no shuffle, no Python UDFs,
+so they run at scan speed over a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
+    java_split_tokens,
+)
+
+# Small function-word list for the stopword-ratio language heuristic (the
+# classic cheap lang-id signal; a production system would hold per-language
+# lists — the plumbing is identical).
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+# BPE-ish lexer: word pieces or single non-space punctuation — the standard
+# pre-tokenization regex shape used before byte-pair merging.
+BPE_TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_bpe_tokens, n_chars): whitespace/regex token
+    statistics, the unit economics of a training corpus."""
+    t = F.col(text_col)
+    return documents.select(
+        "doc_id",
+        F.size(java_split_tokens(t)).alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def _stop_ratio(tokens: Column) -> Column:
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n = F.size(tokens)
+    hits = F.size(F.array_intersect(F.array_distinct(tokens), stops))
+    # ratio of *distinct* stopwords present scaled by token count is noisy;
+    # use occurrence ratio: count tokens that are stopwords
+    occ = F.size(F.filter(tokens, lambda x: F.array_contains(stops, x)))
+    return F.when(n > 0, occ.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language heuristic: predict ``en`` when >= 5% of
+    tokens are English function words, else ``und`` (undetermined).
+
+    The fixture's ``lang`` column is metadata, not derivable from the
+    synthetic text — this operator demonstrates the *computed* signal.
+    """
+    toks = java_split_tokens(F.col(text_col))
+    ratio = F.round(_stop_ratio(toks), 6)
+    return documents.select(
+        "doc_id",
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias(
+            "predicted_lang"
+        ),
+    )
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite document-quality score in [0, 1] from cheap signals:
+    length, punctuation density, stopword ratio, mean token length.
+
+    score = 0.4·min(n_tokens/100, 1)
+          + 0.3·(1 − min(5·punct_ratio, 1))
+          + 0.3·min(10·stop_ratio, 1)
+    """
+    t = F.col(text_col)
+    toks = java_split_tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9_\s]"), 0))
+    punct_ratio = F.when(
+        n_chars > 0, punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_ratio = _stop_ratio(toks)
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.3
+    )
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint: md5 over the lowercased,
+    whitespace-collapsed token stream — robust to case and spacing noise,
+    the cheap first pass before shingle-level dedup."""
+    norm = F.concat_ws(
+        " ", java_split_tokens(F.lower(F.col(text_col)))
+    )
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )

@@ -1,1 +1,81 @@
-"""(populated in a later milestone)"""
+"""Similarity-search queries with DuckDB oracles.
+
+The LSH oracle embeds the same ±1 hyperplane literals the Spark operator
+builds (both generated from md5 parity in Python), so bucket assignments
+are reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from similarity_search_with_hadoop_mapreduce_spark.operators import ann as A
+from similarity_search_with_hadoop_mapreduce_spark.registry.base import register, table
+
+_DIM = 64
+_PLANES = 4
+_K = 10
+
+_NORM = (
+    "sqrt(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_NORM} AS nrm FROM embeddings),
+q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)
+SELECT n.vec_id,
+       round(list_sum(list_transform(range(1, {_DIM} + 1),
+             i -> CAST(n.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+             / (n.nrm * q.q_nrm), 6) AS cosine
+FROM n, q
+WHERE n.vec_id != 0
+ORDER BY cosine DESC, n.vec_id
+LIMIT {_K}
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vector 0: broadcast
+    1-row query side, codegen'd map stage, TakeOrderedAndProject."""
+    return A.cosine_topk(table(spark, sf_dir, "embeddings"), 0, k=_K)
+
+
+def _lsh_oracle() -> str:
+    planes = A.hyperplane_signs(_PLANES, _DIM)
+    bucket_terms = []
+    for p, w in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in w) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {_DIM} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]))"
+        )
+        bucket_terms.append(f"(CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_NORM} AS nrm,
+         CAST({bucket} AS INTEGER) AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket FROM b WHERE vec_id = 0)
+SELECT b.vec_id, b.bucket,
+       round(list_sum(list_transform(range(1, {_DIM} + 1),
+             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+             / (b.nrm * q.q_nrm), 6) AS cosine
+FROM b, q
+WHERE b.vec_id != 0 AND b.bucket = q.q_bucket
+ORDER BY cosine DESC, b.vec_id
+LIMIT {_K}
+"""
+
+
+@register("ann_lsh_bucketed_topk", oracle=_lsh_oracle())
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10: exact cosine restricted to the query's
+    random-hyperplane LSH bucket (the partition-pruning scale path)."""
+    return A.lsh_bucketed_topk(
+        table(spark, sf_dir, "embeddings"), 0, k=_K, n_planes=_PLANES, dim=_DIM
+    )

@@ -1,1 +1,236 @@
-"""(populated in a later milestone)"""
+"""Dedup queries with DuckDB oracles.
+
+The minhash/simhash oracles are generated with the same Python loops that
+build the Spark expressions, so both engines evaluate the identical
+md5-based hash family — min over fixed-width hex strings and pure integer
+bit math are engine-independent by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from similarity_search_with_hadoop_mapreduce_spark.operators import dedup as D
+from similarity_search_with_hadoop_mapreduce_spark.registry.base import register, table
+from similarity_search_with_hadoop_mapreduce_spark.registry.sim import SHINGLES_CTE
+
+HEX = D.HEX
+_K = 16
+_BANDS = 4
+_ROWS = _K // _BANDS
+_JACCARD_T = 0.35
+_SIM_BITS = 16
+_MAX_HAMMING = 2
+_COS_T = 0.4
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: single shuffle on the md5 digest."""
+    return D.exact_duplicates(table(spark, sf_dir, "documents"))
+
+
+_NGRAM_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE
+    + f"""
+, terms AS (
+  SELECT doc_id, len(s) AS sz, unnest(s) AS term FROM shingle_sets
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sz_a, b.sz AS sz_b,
+         count(*) AS c
+  FROM terms a JOIN terms b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / CAST(sz_a + sz_b - c AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(c AS DOUBLE) / CAST(sz_a + sz_b - c AS DOUBLE) >= {_JACCARD_T}
+"""
+)
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs trigram Jaccard via inverted index (explode →
+    term self-join → co-count); the df cap documented in the operator is
+    what bounds this at corpus scale."""
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
+
+
+def _minhash_select() -> str:
+    cols = ",\n       ".join(
+        f"min(md5('{i}:' || term)) AS mh_{i}" for i in range(_K)
+    )
+    return (
+        "WITH "
+        + SHINGLES_CTE
+        + f"""
+, terms AS (SELECT doc_id, unnest(s) AS term FROM shingle_sets)
+SELECT doc_id,
+       {cols}
+FROM terms GROUP BY doc_id
+"""
+    )
+
+
+@register("dedup_minhash_signatures", oracle=_minhash_select())
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signatures: one explode + one groupBy with
+    16 min() aggregates (single shuffle)."""
+    return D.minhash_signatures(table(spark, sf_dir, "documents"), k=_K)
+
+
+def _minhash_lsh_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}:' || term)) AS mh_{i}" for i in range(_K)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"mh_{b * _ROWS + r}" for r in range(_ROWS)),
+        )
+        for b in range(_BANDS)
+    )
+    return (
+        "WITH "
+        + SHINGLES_CTE
+        + f"""
+, terms AS (SELECT doc_id, unnest(s) AS term FROM shingle_sets),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM terms GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
+FROM cand c
+JOIN shingle_sets sa ON sa.doc_id = c.doc_a
+JOIN shingle_sets sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) >= {_JACCARD_T}
+"""
+    )
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding (4 bands × 4 rows) for linear candidate generation,
+    then exact-Jaccard verification of bucket-mates only."""
+    return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), k=_K, bands=_BANDS, threshold=_JACCARD_T
+    )
+
+
+def _simhash_fp_sql() -> str:
+    """Shared CTE text computing (doc_id, simhash) in DuckDB."""
+    votes = ",\n         ".join(
+        f"sum((((strpos('{HEX}', substr(h, {j // 4 + 1}, 1)) - 1) >> {3 - j % 4}) & 1) * 2 - 1) AS w_{j}"
+        for j in range(_SIM_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN w_{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(_SIM_BITS)
+    )
+    return (
+        SHINGLES_CTE
+        + f"""
+, terms AS (SELECT doc_id, unnest(s) AS term FROM shingle_sets),
+th AS (SELECT doc_id, md5(term) AS h FROM terms),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM th GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes)
+"""
+    )
+
+
+@register("dedup_simhash", oracle="WITH " + _simhash_fp_sql() + "SELECT doc_id, simhash FROM fp")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (±1 majority vote over
+    term-hash bits; pure integer math)."""
+    return D.simhash(table(spark, sf_dir, "documents"), bits=_SIM_BITS)
+
+
+def _simhash_pairs_oracle() -> str:
+    n_bands = _MAX_HAMMING + 1
+    width = _SIM_BITS // n_bands
+    mask = (1 << width) - 1
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS bv FROM fp"
+        for b in range(n_bands)
+    )
+    return (
+        "WITH "
+        + _simhash_fp_sql()
+        + f""",
+banded AS (
+  {band_selects}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+"""
+    )
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming <= 2 via pigeonhole banding (3 bands ⇒
+    any such pair matches exactly on >= 1 band; only band-mates verified)."""
+    return D.simhash_dup_pairs(
+        table(spark, sf_dir, "documents"), bits=_SIM_BITS, max_hamming=_MAX_HAMMING
+    )
+
+
+_EMB_DOT = (
+    "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_EMB_NORM = (
+    "sqrt(list_sum(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_EMB_NORM} AS nrm FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_EMB_DOT} / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round({_EMB_DOT} / (a.nrm * b.nrm), 6) >= {_COS_T}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4 — the fixture embeddings are
+    near-isotropic, max pairwise cosine ~0.51, so a production 0.9-style
+    threshold would be vacuous), exact all-pairs baseline;
+    LSH-bucketed candidates (operators/ann.py) are the 100 TB path."""
+    return D.embedding_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=_COS_T
+    )

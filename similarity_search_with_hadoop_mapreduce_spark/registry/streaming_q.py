@@ -1,1 +1,96 @@
-"""(populated in a later milestone)"""
+"""Windowed event-time queries, oracle-checked in batch mode.
+
+``F.window``/``F.session_window`` behave identically in batch and
+streaming, so these oracles certify the exact logic
+``streaming/windows.py`` runs under Structured Streaming (the true
+streaming execution — watermark, availableNow, append mode — is
+exercised in tests/test_streaming.py; its state-dependent output set is
+not SQL-expressible, which is why the streaming *run* has no oracle
+entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from similarity_search_with_hadoop_mapreduce_spark.registry.base import register, table
+from similarity_search_with_hadoop_mapreduce_spark.streaming import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+_VSUM = "CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+       CAST(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {_VSUM} AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event type."""
+    return tumbling_agg(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+WITH assigned AS (
+  SELECT unnest([CAST(time_bucket(INTERVAL 30 MINUTE, ts) AS TIMESTAMP),
+                 CAST(time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE AS TIMESTAMP)])
+           AS window_start,
+         value
+  FROM events
+)
+SELECT window_start,
+       CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {_VSUM} AS total_value
+FROM assigned
+GROUP BY 1, 2
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event in 2 windows);
+    the oracle assigns both windows per event explicitly."""
+    return sliding_agg(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_session_window",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) + INTERVAL 10 MINUTE AS TIMESTAMP) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {_VSUM} AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (10-minute inactivity gap); the oracle is
+    the classic gaps-and-islands rewrite, certifying Spark's
+    session_window semantics (end = last event + gap)."""
+    return session_agg(table(spark, sf_dir, "events"))

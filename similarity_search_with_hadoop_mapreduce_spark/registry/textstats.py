@@ -1,1 +1,117 @@
-"""(populated in a later milestone)"""
+"""Text-analysis queries with DuckDB oracles.
+
+The oracles re-derive Java-split tokens via the shared TOKENS_CTE and use
+RE2 regexes that agree with the Java patterns on this ASCII corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from similarity_search_with_hadoop_mapreduce_spark.operators import textstats as T
+from similarity_search_with_hadoop_mapreduce_spark.registry.base import register, table
+from similarity_search_with_hadoop_mapreduce_spark.registry.sim import TOKENS_CTE
+
+_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in T.EN_STOPWORDS) + "]"
+
+# TOKENS_CTE over lowercase(text) for the fingerprint query
+_TOKENS_LOWER_CTE = TOKENS_CTE.replace(
+    "regexp_split_to_array(text, '\\W+')",
+    "regexp_split_to_array(lower(text), '\\W+')",
+)
+
+
+@register(
+    "text_token_count",
+    oracle="WITH "
+    + TOKENS_CTE
+    + r"""
+SELECT doc_id,
+       CAST(len(tok) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER)
+         AS n_bpe_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM tokens JOIN documents USING (doc_id)
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting (scan-speed map stage)."""
+    return T.token_counts(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_id",
+    oracle="WITH "
+    + TOKENS_CTE
+    + f"""
+, r AS (
+  SELECT doc_id,
+    CASE WHEN len(tok) > 0
+         THEN round(CAST(len(list_filter(tok, t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
+                    / CAST(len(tok) AS DOUBLE), 6)
+         ELSE 0.0 END AS stop_ratio
+  FROM tokens
+)
+SELECT doc_id, stop_ratio,
+       CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang
+FROM r
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic."""
+    return T.language_id(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    oracle="WITH "
+    + TOKENS_CTE
+    + rf"""
+, feats AS (
+  SELECT d.doc_id,
+    CAST(len(tok) AS INTEGER) AS n_tokens,
+    CASE WHEN length(d.text) > 0
+         THEN CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9_\s]')) AS DOUBLE)
+              / CAST(length(d.text) AS DOUBLE)
+         ELSE 0.0 END AS punct_ratio_raw,
+    CASE WHEN len(tok) > 0
+         THEN CAST(len(list_filter(tok, t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
+              / CAST(len(tok) AS DOUBLE)
+         ELSE 0.0 END AS stop_ratio_raw,
+    CASE WHEN len(tok) > 0
+         THEN CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE)
+              / CAST(len(tok) AS DOUBLE)
+         ELSE 0.0 END AS mean_token_len_raw
+  FROM tokens JOIN documents d USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       round(punct_ratio_raw, 6) AS punct_ratio,
+       round(stop_ratio_raw, 6) AS stop_ratio,
+       round(mean_token_len_raw, 6) AS mean_token_len,
+       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio_raw * 5.0, 1.0)) * 0.3
+             + least(stop_ratio_raw * 10.0, 1.0) * 0.3, 6) AS quality
+FROM feats
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length/punctuation/stopword signals."""
+    return T.quality_score(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="WITH "
+    + _TOKENS_LOWER_CTE
+    + """
+, norm AS (
+  SELECT doc_id, array_to_string(tok, ' ') AS n_text FROM tokens
+)
+SELECT doc_id, md5(n_text) AS fingerprint,
+       CAST(length(n_text) AS INTEGER) AS norm_len
+FROM norm
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case/whitespace-normalized md5 content fingerprint."""
+    return T.fingerprint(table(spark, sf_dir, "documents"))

@@ -1,0 +1,128 @@
+"""Event-time windowed aggregation — batch and Structured Streaming.
+
+The reference is strictly batch (two blocking MR jobs,
+``BookQuery.java:242,257``); this is the extension surface
+(SURVEY.md §7.4). The window functions below are *shared* between batch
+and streaming: ``F.window`` / ``F.session_window`` have identical
+semantics in both modes, so the oracle-checked batch queries certify the
+same logic the streaming pipeline runs.
+
+Streaming design points demonstrated in :func:`streaming_tumbling_demo`:
+
+- file source with an explicit schema (streaming readers never infer);
+  the events fixture's TIMESTAMP(NANOS) arrives as raw longs and is
+  rebuilt to a microsecond timestamp in the plan
+- ``withWatermark`` bounds state: windows older than the watermark are
+  finalized and evicted — on an unbounded 100 TB/day stream this is what
+  keeps the state store finite
+- ``trigger(availableNow=True)`` drains the backlog incrementally and
+  stops — the batch-backfill pattern
+- append output mode: only finalized (watermark-expired) windows emit,
+  so downstream sinks see each window exactly once
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as raw longs
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _dsum(col):
+    return F.sum(F.col(col).cast("decimal(25,6)")).cast("double")
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows per event type: count + value sum."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding windows (width > slide ⇒ each event lands in
+    width/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows: a session closes after ``gap`` of
+    inactivity; window end = last event + gap (Spark session semantics)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_tumbling_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+    width: str = "1 hour",
+) -> DataFrame:
+    """Run the tumbling aggregation as a real Structured Streaming query
+    over the events parquet (availableNow backfill → memory sink) and
+    return the materialized result.
+
+    Append mode + watermark means the last (never-expired) windows are
+    withheld — exactly the at-most-once-per-window contract a production
+    sink wants; completeness comes from the next arriving batch advancing
+    the watermark.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file stream sources require a *directory*; glob-filter to the one table
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = tumbling_agg(raw.withWatermark("ts", watermark), width=width)
+    name = "streaming_tumbling_demo_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
