@@ -1,0 +1,56 @@
+"""ANN operators: brute-force exactness, LSH bucket pruning semantics."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from similarity_search_with_hadoop_mapreduce_spark.operators import ann as A
+
+
+def _emb_df(spark, n=50, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ), vecs
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    got = A.cosine_topk(df, query_vec_id=0, k=5).collect()
+    q = vecs[0]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        ((round(float(c), 6), i) for i, c in enumerate(cos) if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (i, c) for c, i in order
+    ]
+
+
+def test_lsh_bucketed_topk_subset_of_bucket(spark):
+    df, vecs = _emb_df(spark, dim=8)
+    rows = A.lsh_bucketed_topk(df, query_vec_id=0, k=10, n_planes=2, dim=8).collect()
+    planes = A.hyperplane_signs(2, 8)
+    def bucket(v):
+        return sum(
+            (1 << p) for p, w in enumerate(planes) if float(np.dot(w, v)) > 0
+        )
+    qb = bucket(vecs[0])
+    assert rows  # the bucket contains at least one neighbor at n=50
+    for r in rows:
+        assert r.bucket == qb
+        assert bucket(vecs[r.vec_id]) == qb
+        # reported cosine is the true cosine
+        v, q = vecs[r.vec_id], vecs[0]
+        true = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert math.isclose(r.cosine, round(true, 6), abs_tol=2e-6)
+
+
+def test_hyperplanes_deterministic():
+    assert A.hyperplane_signs(2, 4) == A.hyperplane_signs(2, 4)
+    assert all(x in (1.0, -1.0) for row in A.hyperplane_signs(3, 16) for x in row)

@@ -1,0 +1,113 @@
+"""Dedup operators on hand-built corpora with known answers."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from similarity_search_with_hadoop_mapreduce_spark.operators import dedup as D
+from tests.reference_sim import shingle_set
+
+CORPUS = {
+    1: "the quick brown fox jumps over the lazy dog",
+    2: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+    3: "the quick brown fox jumps over the lazy cat today",  # near dup
+    4: "completely unrelated text about engines and data",
+    5: "another unrelated document with different words entirely",
+}
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(k, v) for k, v in CORPUS.items()], "doc_id long, text string"
+    )
+
+
+def test_exact_duplicates(spark):
+    rows = {r.text_hash: r for r in D.exact_duplicates(_docs(spark)).collect()}
+    groups = {(r.keeper_doc_id, r.n_copies) for r in rows.values()}
+    assert (1, 2) in groups  # docs 1+2 collapse, keeper = min id
+    assert sum(r.n_copies for r in rows.values()) == len(CORPUS)
+
+
+def _true_jaccard(a: int, b: int) -> float:
+    sa, sb = shingle_set(CORPUS[a]), shingle_set(CORPUS[b])
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_pairs_exact_values(spark):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    for (a, b), j in got.items():
+        assert math.isclose(j, _true_jaccard(a, b), rel_tol=1e-12)
+
+
+def test_ngram_jaccard_max_df_prunes_hot_terms(spark):
+    # "shared hot trigram" and "tail words here" appear in all 5 docs
+    # (df=5 > max_df=3) so they are dropped from the co-count: the
+    # identical pair (0,9) shares only its 3 unique{0} trigrams of its 5
+    # total -> jaccard = 3/(5+5-3) = 3/7, below any high threshold.
+    docs = spark.createDataFrame(
+        [(i, f"shared hot trigram unique{i} tail words here") for i in range(4)]
+        + [(9, "shared hot trigram unique0 tail words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.4, max_df=3).collect()
+    }
+    assert set(got) == {(0, 9)}
+    assert math.isclose(got[(0, 9)], 3 / 7, rel_tol=1e-12)
+    # without the cap the identical pair scores 1.0
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert math.isclose(full[(0, 9)], 1.0)
+
+
+def test_minhash_lsh_finds_near_dups_with_exact_verify(spark):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(_docs(spark), threshold=0.3).collect()
+    }
+    # identical docs always collide in every band and verify at 1.0
+    assert math.isclose(got[(1, 2)], 1.0)
+    # verification step reports *exact* jaccard for whatever was found
+    for (a, b), j in got.items():
+        assert math.isclose(j, _true_jaccard(a, b), rel_tol=1e-12)
+    assert (1, 4) not in got and (4, 5) not in got
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    fp = {r.doc_id: r.simhash for r in D.simhash(_docs(spark)).collect()}
+    assert fp[1] == fp[2]
+    assert 0 <= fp[1] < 2**16
+
+
+def test_simhash_pairs_hamming(spark):
+    got = {(r.doc_a, r.doc_b): r.hamming for r in
+           D.simhash_dup_pairs(_docs(spark), max_hamming=2).collect()}
+    assert got[(1, 2)] == 0
+    for (a, b), h in got.items():
+        assert h <= 2
+
+
+def test_embedding_dup_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.01, 0.0]),   # ~same direction as 1
+            (3, [0.0, 1.0, 0.0]),    # orthogonal
+            (4, [-1.0, 0.0, 0.0]),   # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.vec_a, r.vec_b): r.cosine for r in
+           D.embedding_dup_pairs(emb, threshold=0.95).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] > 0.999
