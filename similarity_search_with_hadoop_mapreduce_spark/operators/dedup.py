@@ -13,10 +13,12 @@ shuffle/join topology:
                prunes hot terms exactly like the reference's ``count==n``
                stop-shingle rule (BookQuery.java:105) — at 100 TB this cap
                is what keeps the term self-join from quadratic blowup
-- MinHash+LSH: k deterministic min-hashes per doc (one agg over the
-               exploded terms), banded into buckets; only bucket-mates are
-               verified — candidate generation is linear in corpus size
-- SimHash:     bitwise majority over term hashes; banded halves give
+- MinHash+LSH: k deterministic min-hashes per doc computed per-row with
+               array HOFs (map-only — no explode shuffle), banded into
+               buckets; only bucket-mates are verified — candidate
+               generation is linear in corpus size
+- SimHash:     bitwise majority over term hashes, folded per-row by a
+               single aggregate HOF (map-only); banded thirds give
                near-linear candidate pairs at hamming distance <= 2
 - embedding:   cosine over dense vectors; all-pairs here, LSH-bucketed in
                operators/ann.py for the scale path
@@ -35,6 +37,7 @@ from similarity_search_with_hadoop_mapreduce_spark.functions.text import shingle
 from similarity_search_with_hadoop_mapreduce_spark.functions.vector import (
     cosine_similarity,
 )
+from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
 
 HEX = "0123456789abcdef"
 
@@ -71,7 +74,7 @@ def ngram_jaccard_pairs(
     capping df bounds the join output; this is the reference's
     non-discriminative-shingle prune (BookQuery.java:105) generalized.
     """
-    sh = documents.select(
+    sh = fan_out(documents).select(
         "doc_id", shingles(F.col(text_col)).alias("s")
     ).withColumn("sz", F.size("s"))
     terms = sh.select("doc_id", "sz", F.explode("s").alias("term"))
@@ -104,25 +107,66 @@ def ngram_jaccard_pairs(
     )
 
 
+_MERSENNE31 = 2147483647  # 2^31 - 1, the classic universal-hash modulus
+
+
+def _affine_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    ``h_i(x) = (a_i * x + b_i) mod (2^31 - 1)`` — md5-derived so any
+    engine regenerates them; a_i odd, 28-bit, so a*x fits a signed long."""
+    import hashlib
+
+    def word(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:7], 16)
+
+    return [(word(f"a{i}") | 1, word(f"b{i}")) for i in range(k)]
+
+
+def _base_hash(s_col: str = "s"):
+    """One md5 per term, folded to a 31-bit int: the shared base for all k
+    permutations (16x less hashing than k independent md5 families)."""
+    return F.transform(
+        F.col(s_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(_MERSENNE31)),
+    )
+
+
+def _minhash_cols(k: int, h_col: str = "h") -> list:
+    """k MinHash columns from the materialized base-hash array — per-row
+    array HOFs, no explode, no shuffle: entry i is the array_min of the
+    affine permutation ``(a_i * h + b_i) mod (2^31-1)``."""
+
+    def perm(a: int, b: int):
+        # NB: must be a 1-arg lambda — a two-parameter signature makes
+        # PySpark bind the second arg to the array INDEX.
+        return lambda v: (v * a + b) % _MERSENNE31
+
+    return [
+        F.array_min(F.transform(F.col(h_col), perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_affine_params(k))
+    ]
+
+
 def minhash_signatures(
     documents: DataFrame, k: int = 16, text_col: str = "text"
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    Hash family i is ``md5(f"{i}:" + term)``; the minimum over a document's
-    term set is taken on the 32-hex-digit string (fixed width ⇒ string min
-    == numeric min). One explode + one groupBy with k min() aggregates —
-    a single shuffle regardless of k.
+    Map-only: each signature entry is an ``array_min(transform(...))``
+    over the per-row shingle set, so the whole thing is one projection
+    over the scan — zero shuffles regardless of k. (An explode +
+    ``groupBy(doc_id).agg(k mins)`` computes the same hashes but pays a
+    full shuffle of every (doc, term) row; per-row HOFs don't.)
 
     Documents with an empty shingle set are absent (no terms to hash).
     """
-    sh = documents.select("doc_id", shingles(F.col(text_col)).alias("s"))
-    terms = sh.select("doc_id", F.explode("s").alias("term"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("term")))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
-    return terms.groupBy("doc_id").agg(*aggs)
+    sh = fan_out(documents).select("doc_id", shingles(F.col(text_col)).alias("s"))
+    based = sh.filter(F.size("s") > 0).select(
+        "doc_id", _base_hash("s").alias("h")
+    )
+    return based.select("doc_id", *_minhash_cols(k))
 
 
 def minhash_lsh_pairs(
@@ -141,48 +185,60 @@ def minhash_lsh_pairs(
     (doc_a, doc_b, jaccard) with jaccard >= threshold.
     """
     rows = k // bands
-    sig = minhash_signatures(documents, k=k, text_col=text_col)
+    sh = fan_out(documents).select("doc_id", shingles(F.col(text_col)).alias("s"))
+    based = sh.filter(F.size("s") > 0).select(
+        "doc_id", "s", _base_hash("s").alias("h")
+    )
+    sig = based.select("doc_id", "s", *_minhash_cols(k))
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                        "|",
+                        *[
+                            F.col(f"mh_{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
                     )
                 ).alias("bh"),
             )
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("x")).select(
-        "doc_id", "x.band", "x.bh"
+    # One pass computes shingles + signature + band hashes; the shingle set
+    # rides along into the bucket shuffle so verification needs no re-join
+    # with (and no recomputation of) the corpus. Shuffle volume is
+    # `bands ×` the shingle arrays — the standard LSH trade; a hot bucket
+    # (mass-duplicated content) explodes quadratically in pair count,
+    # which AQE skew-join splitting and an upstream exact-dedup pass keep
+    # bounded at corpus scale.
+    banded = sig.select(
+        "doc_id", "s", F.explode(band_structs).alias("x")
+    ).select("doc_id", "s", "x.band", "x.bh")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("doc_id", "s")).alias("members"))
+        .filter(F.size("members") > 1)
     )
-    la = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-    lb = banded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
-    cand = (
-        la.join(lb, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    pairs = (
+        buckets.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
     )
-    sh = documents.select("doc_id", shingles(F.col(text_col)).alias("s"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    jac = F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size(
-        F.array_union("s_a", "s_b")
+    jac = F.size(F.array_intersect("a.s", "b.s")).cast("double") / F.size(
+        F.array_union("a.s", "b.s")
     ).cast("double")
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
+        .distinct()  # a pair can collide in several bands
     )
-
-
-def _hex_val(c):
-    """0-15 value of one hex char column (1-based instr into the alphabet)."""
-    return F.instr(F.lit(HEX), c) - 1
 
 
 def simhash(documents: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
@@ -193,29 +249,45 @@ def simhash(documents: DataFrame, bits: int = 16, text_col: str = "text") -> Dat
     its terms. Integer arithmetic end to end ⇒ engine-independent.
     Documents with no shingles are absent.
     """
-    assert bits % 4 == 0
-    sh = documents.select("doc_id", shingles(F.col(text_col)).alias("s"))
-    terms = sh.select("doc_id", F.explode("s").alias("term")).withColumn(
-        "h", F.md5("term")
+    assert bits % 4 == 0 and bits <= 56  # term hash must fit a signed long
+    ndigits = bits // 4
+    sh = fan_out(documents).select("doc_id", shingles(F.col(text_col)).alias("s"))
+
+    # Map-only plan: one md5 per term (transform), then a single aggregate
+    # HOF folds the per-term ±1 votes for all `bits` positions into one
+    # struct accumulator — no explode, no shuffle. Bit j of a term's hash
+    # is bit (3 - j%4) of hex digit j//4 (matching the per-digit oracle).
+    hvals = F.transform(
+        "s",
+        lambda t: F.conv(F.substring(F.md5(t), 1, ndigits), 16, 10).cast("long"),
     )
-    digit_vals = [
-        _hex_val(F.substring("h", i + 1, 1)).cast("long") for i in range(bits // 4)
-    ]
-    votes = [
-        F.sum(
-            (
-                F.shiftright(digit_vals[j // 4], 3 - j % 4).bitwiseAND(F.lit(1)) * 2
-                - 1
-            )
-        ).alias(f"w_{j}")
-        for j in range(bits)
-    ]
-    weighted = terms.groupBy("doc_id").agg(*votes)
+    zero = F.struct(
+        *[F.lit(0).cast("long").alias(f"w_{j}") for j in range(bits)]
+    )
+
+    def _vote(acc, v):
+        fields = []
+        for j in range(bits):
+            shift = (ndigits - 1 - j // 4) * 4 + (3 - j % 4)
+            bit = F.shiftright(v, shift).bitwiseAND(F.lit(1))
+            fields.append((acc[f"w_{j}"] + bit * 2 - 1).alias(f"w_{j}"))
+        return F.struct(*fields)
+
+    # `votes` must be materialized as its own projection: the fingerprint
+    # references it `bits` times, and interpreted (non-codegen, HOF-bearing)
+    # projections do no common-subexpression elimination — inlining would
+    # run the whole aggregate fold `bits` times per row. CollapseProject
+    # keeps the split because the aggregate is non-cheap and multi-referenced.
+    voted = sh.filter(F.size("s") > 0).select(
+        "doc_id", F.aggregate(hvals, zero, _vote).alias("votes")
+    )
     fp = None
     for j in range(bits):
-        term_j = F.when(F.col(f"w_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        term_j = F.when(F.col("votes")[f"w_{j}"] > 0, F.lit(2**j)).otherwise(
+            F.lit(0)
+        )
         fp = term_j if fp is None else fp + term_j
-    return weighted.select("doc_id", fp.cast("long").alias("simhash"))
+    return voted.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 def simhash_dup_pairs(
@@ -245,27 +317,33 @@ def simhash_dup_pairs(
             for b in range(n_bands)
         ]
     )
+    # Bucket by (band, band_value) with the fingerprint riding along, then
+    # pair within buckets — the fingerprint pass runs once, vs twice with
+    # a banded self-join (each join side would re-evaluate the map-only
+    # fingerprint DAG; there is no materialization between them).
     banded = fp.select("doc_id", "simhash", F.explode(bandcols).alias("x")).select(
         "doc_id", "simhash", "x.band", "x.bv"
     )
-    la = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bv"
+    buckets = (
+        banded.groupBy("band", "bv")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("members"))
+        .filter(F.size("members") > 1)
     )
-    lb = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bv"
+    pairs = (
+        buckets.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
     )
     return (
-        la.join(lb, ["band", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
-                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as STypes
 
+from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
+
 DECODED_SCHEMA = STypes.StructType(
     [
         STypes.StructField("doc_id", STypes.LongType()),
@@ -79,7 +81,8 @@ def decode_stub(multimodal: DataFrame) -> DataFrame:
     columns out, schema declared up front so Catalyst can plan downstream
     operators without running Python.
     """
-    cols = multimodal.select("doc_id", "payload")
+    # under-split scans would otherwise feed ONE Python worker
+    cols = fan_out(multimodal).select("doc_id", "payload")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

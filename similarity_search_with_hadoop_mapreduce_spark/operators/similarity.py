@@ -44,11 +44,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.functions.text import shingles
+from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
 
 
 def corpus_shingles(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """``(doc_id, shingle_set)`` — distinct trigram set per document (T2-T4)."""
-    return documents.select("doc_id", shingles(F.col(text_col)).alias("shingle_set"))
+    """``(doc_id, shingle_set)`` — distinct trigram set per document (T2-T4).
+
+    ``fan_out`` spreads an under-split scan across the cluster before the
+    CPU-heavy shingle projection (no-op when the scan already parallelizes);
+    point lookups like the query side still push their filter below it.
+    """
+    return fan_out(documents).select(
+        "doc_id", shingles(F.col(text_col)).alias("shingle_set")
+    )
 
 
 def _query_side(documents: DataFrame, query_doc_id) -> DataFrame:

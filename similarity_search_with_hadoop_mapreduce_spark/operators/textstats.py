@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
     java_split_tokens,
 )
+from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
 
 # Small function-word list for the stopword-ratio language heuristic (the
 # classic cheap lang-id signal; a production system would hold per-language
@@ -29,7 +30,7 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_bpe_tokens, n_chars): whitespace/regex token
     statistics, the unit economics of a training corpus."""
     t = F.col(text_col)
-    return documents.select(
+    return fan_out(documents).select(
         "doc_id",
         F.size(java_split_tokens(t)).alias("n_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_PATTERN), 0)).alias(
@@ -58,7 +59,7 @@ def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = java_split_tokens(F.col(text_col))
     ratio = F.round(_stop_ratio(toks), 6)
-    return documents.select(
+    return fan_out(documents).select(
         "doc_id",
         ratio.alias("stop_ratio"),
         F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias(
@@ -96,7 +97,7 @@ def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
         + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.3
     )
-    return documents.select(
+    return fan_out(documents).select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
@@ -113,7 +114,7 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.concat_ws(
         " ", java_split_tokens(F.lower(F.col(text_col)))
     )
-    return documents.select(
+    return fan_out(documents).select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),

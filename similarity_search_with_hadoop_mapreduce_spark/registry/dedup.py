@@ -69,18 +69,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BASE_H = "(('0x' || substr(md5(term), 1, 15))::BIGINT & 2147483647)"
+
+
+def _mh_exprs() -> list[str]:
+    """Mirror of operators.dedup._minhash_cols: min over the affine
+    universal-hash permutations of the shared 31-bit base hash."""
+    return [
+        f"min((h * {a} + {b}) % {D._MERSENNE31}) AS mh_{i}"
+        for i, (a, b) in enumerate(D._affine_params(_K))
+    ]
+
+
 def _minhash_select() -> str:
-    cols = ",\n       ".join(
-        f"min(md5('{i}:' || term)) AS mh_{i}" for i in range(_K)
-    )
+    cols = ",\n       ".join(_mh_exprs())
     return (
         "WITH "
         + SHINGLES_CTE
         + f"""
-, terms AS (SELECT doc_id, unnest(s) AS term FROM shingle_sets)
+, terms AS (SELECT doc_id, unnest(s) AS term FROM shingle_sets),
+th AS (SELECT doc_id, {_BASE_H} AS h FROM terms)
 SELECT doc_id,
        {cols}
-FROM terms GROUP BY doc_id
+FROM th GROUP BY doc_id
 """
     )
 
@@ -93,13 +104,13 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_oracle() -> str:
-    sig_cols = ",\n         ".join(
-        f"min(md5('{i}:' || term)) AS mh_{i}" for i in range(_K)
-    )
+    sig_cols = ",\n         ".join(_mh_exprs())
     band_selects = "\n  UNION ALL\n  ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(
             b=b,
-            expr=" || '|' || ".join(f"mh_{b * _ROWS + r}" for r in range(_ROWS)),
+            expr=" || '|' || ".join(
+                f"mh_{b * _ROWS + r}::VARCHAR" for r in range(_ROWS)
+            ),
         )
         for b in range(_BANDS)
     )
@@ -108,10 +119,11 @@ def _minhash_lsh_oracle() -> str:
         + SHINGLES_CTE
         + f"""
 , terms AS (SELECT doc_id, unnest(s) AS term FROM shingle_sets),
+th AS (SELECT doc_id, {_BASE_H} AS h FROM terms),
 sig AS (
   SELECT doc_id,
          {sig_cols}
-  FROM terms GROUP BY doc_id
+  FROM th GROUP BY doc_id
 ),
 bands AS (
   {band_selects}

@@ -62,6 +62,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a *narrow* scan up to the cluster's parallelism before
+    expression-heavy map work (shingling, hashing, decoding).
+
+    A small parquet file is one row group ⇒ one input split ⇒ one task, so
+    a CPU-bound projection runs single-threaded no matter how many cores
+    exist. At real scale the scan already yields >= parallelism splits and
+    this is a **no-op** (no shuffle); the repartition only fires on
+    under-split inputs, where the shuffled bytes are tiny by construction.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_corpus_dir(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory of plain-text files as a ``(doc_id, text)`` corpus.
 
