@@ -69,6 +69,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_jaccard_prefix_filter", oracle=_NGRAM_ORACLE)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered all-pairs similarity join (Vernica et al. SIGMOD'10
+    strategy): provably identical output to dedup_ngram_jaccard — same
+    oracle — with candidate volume driven by rare-term prefixes instead
+    of the full inverted index. This is the 100 TB plan."""
+    return D.ngram_jaccard_pairs_prefix(
+        table(spark, sf_dir, "documents"), threshold=_JACCARD_T
+    )
+
+
 _BASE_H = "(('0x' || substr(md5(term), 1, 15))::BIGINT & 2147483647)"
 
 

@@ -389,6 +389,26 @@ def q_flagship_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_similar(_docs(spark, sf_dir), 0, k=10)
 
 
+@register(
+    "flagship_reference_format",
+    oracle=_FLAGSHIP_PARITY_ORACLE.replace(
+        "SELECT doc_id, '0' AS query_id,",
+        "SELECT doc_id::VARCHAR || ' - 0' AS pair,",
+    ),
+)
+def q_flagship_reference_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/U7 parity: the reference's Job-2 output rows — packed
+    ``"doc - query"`` pair string (BookQuery.java:167) beside the typed
+    score; sinks.write_reference_output renders the tab-joined text."""
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import (
+        reference_output_format,
+    )
+
+    return reference_output_format(
+        similarity_to_query(_docs(spark, sf_dir), 0, mode="parity"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke entry: parity similarity, ranked."""
     return similarity_to_query(_docs(spark, sf_dir), 0, mode="parity").orderBy(

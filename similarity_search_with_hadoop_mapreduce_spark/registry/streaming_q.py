@@ -94,3 +94,37 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic gaps-and-islands rewrite, certifying Spark's
     session_window semantics (end = last event + gap)."""
     return session_agg(table(spark, sf_dir, "events"))
+
+
+@register(
+    "streaming_dedup",
+    oracle="""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+       value, props
+FROM events
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming execution: dropDuplicatesWithinWatermark over a
+    readStream file source (availableNow). Fixture event ids are unique,
+    so the streamed, state-deduped output must equal the full table —
+    giving even this streaming *run* a full-value oracle."""
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_dedup_demo,
+    )
+
+    return streaming_dedup_demo(spark, sf_dir)
+
+
+@register("streaming_user_running_totals")  # update-mode state: rows-only check
+def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (count, sum) folded across micro-batches. The emitted update stream is
+    state-dependent — not SQL-expressible — so this entry takes the
+    driver's weaker rows-only check; tests/test_streaming.py pins the
+    final totals against the batch aggregate."""
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_user_totals_demo,
+    )
+
+    return streaming_user_totals_demo(spark, sf_dir)

@@ -23,6 +23,8 @@ Streaming design points demonstrated in :func:`streaming_tumbling_demo`:
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -116,7 +118,7 @@ def streaming_tumbling_demo(
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     agg = tumbling_agg(raw.withWatermark("ts", watermark), width=width)
-    name = "streaming_tumbling_demo_sink"
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)

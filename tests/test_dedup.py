@@ -70,6 +70,21 @@ def test_ngram_jaccard_max_df_prunes_hot_terms(spark):
     assert math.isclose(full[(0, 9)], 1.0)
 
 
+def test_prefix_filter_equals_inverted_index(spark):
+    # prefix filtering is an exact optimization: identical result set
+    docs = _docs(spark)
+    for t in (0.2, 0.35, 0.6, 0.9):
+        brute = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert brute == pref
+
+
 def test_minhash_lsh_finds_near_dups_with_exact_verify(spark):
     got = {
         (r.doc_a, r.doc_b): r.jaccard

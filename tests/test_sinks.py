@@ -1,0 +1,61 @@
+"""Sinks: reference text-output parity and the general writers."""
+
+from __future__ import annotations
+
+import glob
+
+from similarity_search_with_hadoop_mapreduce_spark.operators.similarity import (
+    similarity_to_query,
+)
+from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import (
+    reference_output_format,
+    write_parquet,
+    write_reference_output,
+)
+from tests.reference_sim import mr_similarity
+from tests.test_parity import TOY, _corpus_df
+
+
+def _read_lines(path: str) -> list[str]:
+    lines = []
+    for f in glob.glob(f"{path}/part-*"):
+        with open(f) as fh:
+            lines.extend(line.rstrip("\n") for line in fh)
+    return lines
+
+
+def test_reference_output_lines(spark, tmp_path):
+    scores = similarity_to_query(_corpus_df(spark, TOY), "q")
+    out = str(tmp_path / "out")
+    write_reference_output(scores, out)
+    got = sorted(_read_lines(out))
+    # exact reference line format: "<doc> - <query>\t<java double repr>"
+    want = sorted(
+        f"{doc} - q\t{score!r}" for doc, score in mr_similarity(TOY, "q").items()
+    )
+    assert got == want
+
+
+def test_reference_output_format_columns(spark):
+    rows = reference_output_format(
+        similarity_to_query(_corpus_df(spark, TOY), "q")
+    ).collect()
+    assert {r.pair for r in rows} == {
+        f"{d} - q" for d in mr_similarity(TOY, "q")
+    }
+
+
+def test_write_parquet_partitioned_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], "id long, k string, v double"
+    )
+    out = str(tmp_path / "pq")
+    write_parquet(df, out, partition_by=["k"])
+    back = spark.read.parquet(out)
+    assert sorted((r.id, r.k, r.v) for r in back.collect()) == [
+        (1, "a", 1.0),
+        (2, "b", 2.0),
+        (3, "a", 3.0),
+    ]
+    # partition pruning is real: directory-per-key layout
+    assert glob.glob(f"{out}/k=a/*.parquet")

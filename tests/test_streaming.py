@@ -10,6 +10,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.sources.tables import load_table
+from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+    streaming_dedup_demo,
+    streaming_user_totals_demo,
+)
 from similarity_search_with_hadoop_mapreduce_spark.streaming.windows import (
     streaming_tumbling_demo,
     tumbling_agg,
@@ -31,3 +35,30 @@ def test_streaming_matches_batch_for_closed_windows(spark):
     have = {key(r): (r.n_events, r.total_value) for r in got.collect()}
     assert want == have
     assert len(have) > 0
+
+
+def test_stateful_user_totals_matches_batch(spark):
+    import math
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in streaming_user_totals_demo(spark, SF_DIR).collect()
+    }
+    events = load_table(spark, SF_DIR, "events")
+    want = {
+        r.user_id: (r.n, r.tv)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert math.isclose(got[u][1], want[u][1], rel_tol=1e-9)
+
+
+def test_streaming_dedup_keeps_each_event_once(spark):
+    got = streaming_dedup_demo(spark, SF_DIR)
+    events = load_table(spark, SF_DIR, "events")
+    assert got.count() == events.select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == got.count()
