@@ -1,0 +1,17 @@
+from similarity_search_with_hadoop_mapreduce_spark.plans.inspect import (
+    broadcast_exchange_count,
+    codegen_stage_count,
+    explain_string,
+    pushed_filters,
+    read_schemas,
+    shuffle_exchange_count,
+)
+
+__all__ = [
+    "explain_string",
+    "shuffle_exchange_count",
+    "broadcast_exchange_count",
+    "codegen_stage_count",
+    "pushed_filters",
+    "read_schemas",
+]

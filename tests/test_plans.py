@@ -1,0 +1,96 @@
+"""Plan-quality regression tests: shuffle counts, broadcasts, pushdown,
+column pruning — the facts that decide whether a query survives a 100x
+scale-up, pinned so refactors can't silently regress them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from similarity_search_with_hadoop_mapreduce_spark.operators import dedup as D
+from similarity_search_with_hadoop_mapreduce_spark.operators.similarity import (
+    similarity_to_query,
+)
+from similarity_search_with_hadoop_mapreduce_spark.plans import (
+    broadcast_exchange_count,
+    codegen_stage_count,
+    pushed_filters,
+    read_schemas,
+    shuffle_exchange_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    # createDataFrame on local[4] already yields defaultParallelism
+    # partitions, so fan_out's repartition does NOT fire and the plan
+    # shapes below are the at-scale ones (an explicit .repartition here
+    # would add its own RoundRobin exchange and pollute the counts)
+    return spark.createDataFrame(
+        [(i, f"word{i} alpha beta gamma delta {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+
+
+def test_flagship_has_exactly_two_shuffles_and_a_broadcast(spark):
+    df = similarity_to_query(_docs(spark), 0, total_documents=40)
+    # the two MR jobs' shuffles (groupBy term, groupBy doc) and nothing else
+    assert shuffle_exchange_count(df) == 2
+    # the query side ships as a broadcast, reference O3 (BookQuery.java:205)
+    assert broadcast_exchange_count(df) >= 1
+
+
+def test_jaccard_mode_is_map_only(spark):
+    df = similarity_to_query(_docs(spark), 0, mode="jaccard")
+    assert shuffle_exchange_count(df) == 0
+    assert broadcast_exchange_count(df) == 1
+
+
+def test_minhash_signatures_map_only(spark):
+    assert shuffle_exchange_count(D.minhash_signatures(_docs(spark))) == 0
+
+
+def test_simhash_map_only(spark):
+    assert shuffle_exchange_count(D.simhash(_docs(spark))) == 0
+
+
+def test_minhash_lsh_two_shuffles(spark):
+    # bucket groupBy + the band-duplicate pair distinct; verification
+    # happens inside the buckets, so no corpus re-join shuffle exists
+    assert shuffle_exchange_count(D.minhash_lsh_pairs(_docs(spark))) == 2
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
+    pf = pushed_filters(q)
+    assert any("GreaterThan(l_quantity" in f for f in pf)
+    schemas = read_schemas(q)
+    # column pruning: only the 2 referenced columns are read
+    assert schemas == ["struct<l_orderkey:bigint,l_quantity:double>"]
+
+
+def test_small_dim_join_broadcasts(spark):
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    j = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    assert broadcast_exchange_count(j) == 1
+    assert shuffle_exchange_count(j) == 0
+
+
+def test_whole_stage_codegen_covers_relational_plan(spark):
+    # AQE's pre-execution plan hides codegen annotation; disable it here
+    # so the static plan shows the fused spans
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        q = (
+            li.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+            )
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+        assert codegen_stage_count(q) >= 2  # pre- and post-shuffle spans
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
