@@ -91,6 +91,93 @@ def cosine_topk(
     )
 
 
+def assign_ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its max-cosine
+    centroid. Centroids are the first ``n_centroids`` vectors by id — a
+    deterministic, training-free stand-in for a k-means codebook (swap in
+    ``pyspark.ml.clustering.KMeans`` centers in production; the topology
+    downstream is identical).
+
+    The centroid side is a broadcast cross join (``n_centroids`` rows);
+    the argmax is a per-vector window. At 100 TB, ``centroid_id`` becomes
+    the partition key of the stored table, so a query scans only the
+    probed partitions.
+    """
+    from pyspark.sql import Window
+
+    cents = F.broadcast(
+        embeddings.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    scored = embeddings.join(cents).select(
+        F.col(id_col).alias("vec_id"),
+        "embedding",
+        "centroid_id",
+        F.round(cosine_similarity(F.col("embedding"), F.col("c_emb")), 6).alias(
+            "c_cos"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose centroid is among
+    the query's ``nprobe`` closest centroids.
+
+    Recall/speed dial: ``nprobe == n_centroids`` degenerates to exact
+    brute force; ``nprobe = 1`` reads a single inverted list. Returns
+    (vec_id, centroid_id, cosine).
+    """
+    assigned = assign_ivf_centroids(embeddings, n_centroids, id_col=id_col)
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col) == F.lit(query_vec_id)).select(
+            F.col("embedding").alias("q_emb")
+        )
+    )
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    probed = F.broadcast(
+        cents.join(q)
+        .select(
+            "centroid_id",
+            F.round(cosine_similarity(F.col("c_emb"), F.col("q_emb")), 6).alias(
+                "qc_cos"
+            ),
+        )
+        .orderBy(F.desc("qc_cos"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cos = F.round(cosine_similarity(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        assigned.join(probed, "centroid_id")
+        .join(q)
+        .filter(F.col("vec_id") != F.lit(query_vec_id))
+        .select("vec_id", "centroid_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_vec_id=0,

@@ -79,3 +79,66 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.lsh_bucketed_topk(
         table(spark, sf_dir, "embeddings"), 0, k=_K, n_planes=_PLANES, dim=_DIM
     )
+
+
+_N_CENTROIDS = 8
+_NPROBE = 2
+
+_DOT_AQ = (
+    f"list_sum(list_transform(range(1, {_DIM} + 1), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))"
+)
+_DOT_NC = (
+    f"list_sum(list_transform(range(1, {_DIM} + 1), "
+    "i -> CAST(nv.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)))"
+)
+_DOT_CQ = (
+    f"list_sum(list_transform(range(1, {_DIM} + 1), "
+    "i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_NORM} AS nrm FROM embeddings),
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm
+  FROM n WHERE vec_id < {_N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, nrm, centroid_id FROM (
+    SELECT nv.vec_id, nv.embedding, nv.nrm, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY nv.vec_id
+             ORDER BY round({_DOT_NC} / (nv.nrm * c.c_nrm), 6) DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM n nv CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0),
+probed AS (
+  SELECT c.centroid_id FROM cents c, q
+  ORDER BY round({_DOT_CQ} / (c.c_nrm * q.q_nrm), 6) DESC, c.centroid_id
+  LIMIT {_NPROBE}
+)
+SELECT a.vec_id, a.centroid_id,
+       round({_DOT_AQ} / (a.nrm * q.q_nrm), 6) AS cosine
+FROM assigned a JOIN probed USING (centroid_id), q
+WHERE a.vec_id != 0
+ORDER BY cosine DESC, a.vec_id
+LIMIT {_K}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: coarse-quantize to 8 centroids, probe the
+    query's 2 nearest inverted lists only — the partition-pruned ANN
+    topology (centroid_id = storage partition key at scale)."""
+    return A.ivf_topk(
+        table(spark, sf_dir, "embeddings"),
+        0,
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE,
+    )

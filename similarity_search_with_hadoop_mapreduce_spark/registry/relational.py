@@ -840,3 +840,119 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
         "event_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-1 widening: map type, remaining join kinds, statistical aggregates,
+# correlated subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_funcs",
+    oracle="""
+SELECT p_partkey, 'brand' AS key, p_brand AS value FROM part
+UNION ALL
+SELECT p_partkey, 'name' AS key, p_name AS value FROM part
+UNION ALL
+SELECT p_partkey, 'type' AS key, p_type AS value FROM part
+""",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map per row, explode it back to typed
+    entries (maps themselves are not hash-comparable across engines, so
+    the query output is the exploded entry set)."""
+    p = table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("name"), F.col("p_name"),
+        F.lit("type"), F.col("p_type"),
+    )
+    return p.select("p_partkey", F.explode(m).alias("key", "value"))
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH oc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, oc.o_custkey, oc.n_orders
+FROM customer c FULL OUTER JOIN oc ON c.c_custkey = oc.o_custkey
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join: null-extended rows on both sides."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    oc = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(oc, c.c_custkey == oc.o_custkey, "full_outer")
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (both sides tiny — planned as a
+    broadcast nested loop, no shuffle)."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(min(l_quantity), 6) AS min_qty,
+       round(max(l_quantity), 6) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation) — rounded to 6
+    decimals to absorb partial-aggregation fold-order differences."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.min("l_quantity"), 6).alias("min_qty"),
+        F.round(F.max("l_quantity"), 6).alias("max_qty"),
+    )
+
+
+@register(
+    "subquery_exists",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL surface (Catalyst rewrites it to
+    the same left-semi join the DataFrame API would plan)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+        """
+    )

@@ -11,12 +11,18 @@ sys.path.insert(0, "/root/repo")
 def spark():
     from pyspark.sql import SparkSession
 
+    import tempfile
+
     s = (
         SparkSession.builder.master("local[4]")
         .appName("tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            tempfile.mkdtemp(prefix="spark-warehouse-"),
+        )
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

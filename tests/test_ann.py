@@ -51,6 +51,28 @@ def test_lsh_bucketed_topk_subset_of_bucket(spark):
         assert math.isclose(r.cosine, round(true, 6), abs_tol=2e-6)
 
 
+def test_ivf_topk_matches_numpy_replication(spark):
+    df, vecs = _emb_df(spark, n=60, dim=8)
+    got = A.ivf_topk(df, 0, k=10, n_centroids=4, nprobe=2).collect()
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    cents = vecs[:4]
+    assign = {
+        i: min(range(4), key=lambda c: (-cos(vecs[i], cents[c]), c))
+        for i in range(60)
+    }
+    probed = sorted(range(4), key=lambda c: (-cos(cents[c], vecs[0]), c))[:2]
+    cand = [i for i in range(60) if assign[i] in probed and i != 0]
+    want = sorted(
+        ((cos(vecs[i], vecs[0]), i) for i in cand), key=lambda t: (-t[0], t[1])
+    )[:10]
+    assert [(r.vec_id, r.cosine) for r in got] == [(i, c) for c, i in want]
+    for r in got:
+        assert r.centroid_id in probed
+
+
 def test_hyperplanes_deterministic():
     assert A.hyperplane_signs(2, 4) == A.hyperplane_signs(2, 4)
     assert all(x in (1.0, -1.0) for row in A.hyperplane_signs(3, 16) for x in row)
