@@ -119,3 +119,55 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def ngram_frequencies(
+    documents: DataFrame, top_k: int = 25, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide trigram frequency table, top-k by document frequency —
+    the aggregate view behind stop-shingle pruning (the reference's
+    ``count == n`` rule, BookQuery.java:105, decides from exactly this
+    distribution). explode → count: one shuffle, then TakeOrdered."""
+    from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
+        shingles,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        fan_out,
+    )
+
+    sh = fan_out(documents).select(shingles(F.col(text_col)).alias("s"))
+    return (
+        sh.select(F.explode("s").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_k)
+    )
+
+
+def vocab_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus vocabulary summary: documents with content, distinct
+    trigram vocabulary, total (per-doc-distinct) term occurrences, mean
+    shingle-set size."""
+    from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
+        shingles,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        fan_out,
+    )
+
+    sh = (
+        fan_out(documents)
+        .select(shingles(F.col(text_col)).alias("s"))
+        .filter(F.size("s") > 0)
+    )
+    terms = sh.select(F.explode("s").alias("term"))
+    return terms.agg(
+        F.count(F.lit(1)).alias("total_terms"),
+        F.countDistinct("term").alias("vocab_size"),
+    ).crossJoin(
+        sh.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.size("s")), 6).alias("mean_set_size"),
+        )
+    ).select("n_docs", "vocab_size", "total_terms", "mean_set_size")

@@ -10,7 +10,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from similarity_search_with_hadoop_mapreduce_spark.operators import textstats as T
 from similarity_search_with_hadoop_mapreduce_spark.registry.base import register, table
-from similarity_search_with_hadoop_mapreduce_spark.registry.sim import TOKENS_CTE
+from similarity_search_with_hadoop_mapreduce_spark.registry.sim import (
+    SHINGLES_CTE,
+    TOKENS_CTE,
+)
 
 _STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in T.EN_STOPWORDS) + "]"
 
@@ -115,3 +118,39 @@ FROM norm
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case/whitespace-normalized md5 content fingerprint."""
     return T.fingerprint(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_top_ngrams",
+    oracle="WITH "
+    + SHINGLES_CTE
+    + """
+, terms AS (SELECT unnest(s) AS term FROM shingle_sets)
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM terms GROUP BY term
+ORDER BY df DESC, term
+LIMIT 25
+""",
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 trigrams by document frequency."""
+    return T.ngram_frequencies(table(spark, sf_dir, "documents"), top_k=25)
+
+
+@register(
+    "text_vocab_stats",
+    oracle="WITH "
+    + SHINGLES_CTE
+    + """
+, ne AS (SELECT s FROM shingle_sets WHERE len(s) > 0),
+terms AS (SELECT unnest(s) AS term FROM ne)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ne) AS n_docs,
+       CAST(count(DISTINCT term) AS BIGINT) AS vocab_size,
+       CAST(count(*) AS BIGINT) AS total_terms,
+       (SELECT round(avg(len(s)), 6) FROM ne) AS mean_set_size
+FROM terms
+""",
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus vocabulary summary."""
+    return T.vocab_stats(table(spark, sf_dir, "documents"))
