@@ -33,13 +33,16 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q18_large_volume_customer",
     "join_theta_range",
     "window_row_number_topn",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_quality",
+    "text_top_ngrams",
     "events_sliding_window",
 ]
 
