@@ -139,11 +139,12 @@ def ngram_jaccard_pairs_prefix(
     steeper. MinHash-LSH (distribution-free candidate bounds) is the
     default recommendation; this operator is the exact-result option.
     """
-    sh = (
-        fan_out(documents)
-        .select("doc_id", shingles(F.col(text_col)).alias("s"))
-        .filter(F.size("s") > 0)
-    )
+    # No size(s)>0 filter: explode emits nothing for empty sets, so empty
+    # docs generate no prefix terms (hence no candidates) for free. An
+    # explicit filter on the computed array would be alias-substituted by
+    # predicate pushdown and sunk below the fan_out exchange, serializing
+    # a duplicate shingle pass onto the scan's single input split.
+    sh = fan_out(documents).select("doc_id", shingles(F.col(text_col)).alias("s"))
     terms = sh.select("doc_id", F.size("s").alias("sz"), F.explode("s").alias("term"))
     df_tbl = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # canonical order = (df, term): total, global, rarest-first. Window
@@ -237,16 +238,17 @@ def minhash_signatures(
 
     Map-only: each signature entry is an ``array_min(transform(...))``
     over the per-row shingle set, so the whole thing is one projection
-    over the scan — zero shuffles regardless of k. (An explode +
-    ``groupBy(doc_id).agg(k mins)`` computes the same hashes but pays a
-    full shuffle of every (doc, term) row; per-row HOFs don't.)
+    over the scan — zero shuffles regardless of k.
 
-    Documents with an empty shingle set are absent (no terms to hash).
+    Documents with an empty shingle set carry an all-NULL signature
+    (``array_min`` over an empty array). A ``size(s) > 0`` filter would
+    keep them absent instead, but predicate pushdown alias-substitutes
+    such a filter below the fan_out exchange, serializing a duplicate
+    shingle computation onto the scan's single split (measured 6x on the
+    whole pipeline); NULL rows are the scalable contract.
     """
     sh = fan_out(documents).select("doc_id", shingles(F.col(text_col)).alias("s"))
-    based = sh.filter(F.size("s") > 0).select(
-        "doc_id", _base_hash("s").alias("h")
-    )
+    based = sh.select("doc_id", _base_hash("s").alias("h"))
     return based.select("doc_id", *_minhash_cols(k))
 
 
@@ -267,9 +269,7 @@ def minhash_lsh_pairs(
     """
     rows = k // bands
     sh = fan_out(documents).select("doc_id", shingles(F.col(text_col)).alias("s"))
-    based = sh.filter(F.size("s") > 0).select(
-        "doc_id", "s", _base_hash("s").alias("h")
-    )
+    based = sh.select("doc_id", "s", _base_hash("s").alias("h"))
     sig = based.select("doc_id", "s", *_minhash_cols(k))
     band_structs = F.array(
         *[
@@ -295,9 +295,19 @@ def minhash_lsh_pairs(
     # (mass-duplicated content) explodes quadratically in pair count,
     # which AQE skew-join splitting and an upstream exact-dedup pass keep
     # bounded at corpus scale.
-    banded = sig.select(
-        "doc_id", "s", F.explode(band_structs).alias("x")
-    ).select("doc_id", "s", "x.band", "x.bh")
+    # Empty-shingle docs have all-NULL minhashes, so every band collapses
+    # to md5(concat_ws of nulls) = md5(""); dropping that sentinel bucket
+    # excludes them. The filter runs on `bh`, a *generator output*
+    # attribute, which predicate pushdown cannot sink below the Generate —
+    # unlike a size(s) > 0 filter on the computed array, which would be
+    # alias-substituted below the fan_out exchange and serialize a
+    # duplicate shingle pass (measured ~1.8s of the pipeline's 2.8s).
+    empty_bh = F.md5(F.lit(""))
+    banded = (
+        sig.select("doc_id", "s", F.explode(band_structs).alias("x"))
+        .select("doc_id", "s", "x.band", "x.bh")
+        .filter(F.col("bh") != empty_bh)
+    )
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.collect_list(F.struct("doc_id", "s")).alias("members"))
@@ -328,7 +338,10 @@ def simhash(documents: DataFrame, bits: int = 16, text_col: str = "text") -> Dat
     Bit j of a term's hash is bit (3 - j%4) of hex digit j//4 of
     md5(term); the document bit is the sign of the ±1 majority vote over
     its terms. Integer arithmetic end to end ⇒ engine-independent.
-    Documents with no shingles are absent.
+    Documents with no shingles get fingerprint 0 (the empty majority
+    votes every bit negative) — a size(s) > 0 filter would drop them, but
+    pushdown alias-substitutes such a filter below the fan_out exchange
+    and serializes a duplicate shingle pass (measured ~1.8s of 2.2s).
     """
     assert bits % 4 == 0 and bits <= 56  # term hash must fit a signed long
     ndigits = bits // 4
@@ -359,9 +372,7 @@ def simhash(documents: DataFrame, bits: int = 16, text_col: str = "text") -> Dat
     # projections do no common-subexpression elimination — inlining would
     # run the whole aggregate fold `bits` times per row. CollapseProject
     # keeps the split because the aggregate is non-cheap and multi-referenced.
-    voted = sh.filter(F.size("s") > 0).select(
-        "doc_id", F.aggregate(hvals, zero, _vote).alias("votes")
-    )
+    voted = sh.select("doc_id", F.aggregate(hvals, zero, _vote).alias("votes"))
     fp = None
     for j in range(bits):
         term_j = F.when(F.col("votes")[f"w_{j}"] > 0, F.lit(2**j)).otherwise(
@@ -383,6 +394,11 @@ def simhash_dup_pairs(
     bits must agree exactly on at least one of 3 bands — so candidates
     are generated with three equi-joins on band values (linear, no
     all-pairs), then verified with bit_count(xor) <= max_hamming.
+
+    Empty-shingle docs carry fingerprint 0 (see :func:`simhash`) and so
+    pair with each other at hamming 0 — consistent with the oracle and
+    arguably correct (no content signal = indistinguishable); an upstream
+    length filter is the curation-pipeline place to exclude them.
     """
     fp = simhash(documents, bits=bits, text_col=text_col)
     n_bands = max_hamming + 1

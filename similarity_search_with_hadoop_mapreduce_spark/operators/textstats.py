@@ -156,18 +156,26 @@ def vocab_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         fan_out,
     )
 
-    sh = (
+    # Single pass: explode (which naturally skips empty sets — no size
+    # filter, so the shingle expression is evaluated exactly once) and
+    # derive every statistic from the exploded (doc_id, term) stream.
+    # mean_set_size = total_terms / n_docs because each doc's set is
+    # already distinct — one exact double division, same as the oracle's
+    # avg over exact integer sums.
+    terms = (
         fan_out(documents)
-        .select(shingles(F.col(text_col)).alias("s"))
-        .filter(F.size("s") > 0)
+        .select("doc_id", shingles(F.col(text_col)).alias("s"))
+        .select("doc_id", F.explode("s").alias("term"))
     )
-    terms = sh.select(F.explode("s").alias("term"))
     return terms.agg(
-        F.count(F.lit(1)).alias("total_terms"),
+        F.countDistinct("doc_id").alias("n_docs"),
         F.countDistinct("term").alias("vocab_size"),
-    ).crossJoin(
-        sh.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(F.size("s")), 6).alias("mean_set_size"),
-        )
-    ).select("n_docs", "vocab_size", "total_terms", "mean_set_size")
+        F.count(F.lit(1)).alias("total_terms"),
+    ).select(
+        "n_docs",
+        "vocab_size",
+        "total_terms",
+        F.round(
+            F.col("total_terms").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("mean_set_size"),
+    )

@@ -93,24 +93,32 @@ def _mh_exprs() -> list[str]:
 
 
 def _minhash_select() -> str:
-    cols = ",\n       ".join(_mh_exprs())
+    cols = ",\n         ".join(_mh_exprs())
+    outer = ", ".join(f"sig.mh_{i}" for i in range(_K))
+    # LEFT JOIN keeps empty-shingle docs with an all-NULL signature,
+    # mirroring the engine's map-only array_min-over-empty semantics.
     return (
         "WITH "
         + SHINGLES_CTE
         + f"""
 , terms AS (SELECT doc_id, unnest(s) AS term FROM shingle_sets),
-th AS (SELECT doc_id, {_BASE_H} AS h FROM terms)
-SELECT doc_id,
-       {cols}
-FROM th GROUP BY doc_id
+th AS (SELECT doc_id, {_BASE_H} AS h FROM terms),
+sig AS (
+  SELECT doc_id,
+         {cols}
+  FROM th GROUP BY doc_id
+)
+SELECT ss.doc_id, {outer}
+FROM shingle_sets ss LEFT JOIN sig USING (doc_id)
 """
     )
 
 
 @register("dedup_minhash_signatures", oracle=_minhash_select())
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-permutation MinHash signatures: one explode + one groupBy with
-    16 min() aggregates (single shuffle)."""
+    """16-permutation MinHash signatures, map-only in the engine (per-row
+    array HOFs, zero shuffles); the oracle computes the same hashes via
+    unnest + 16 min() aggregates. Empty-shingle docs: all-NULL signature."""
     return D.minhash_signatures(table(spark, sf_dir, "documents"), k=_K)
 
 
@@ -184,9 +192,13 @@ votes AS (
          {votes}
   FROM th GROUP BY doc_id
 ),
-fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes)
+fp AS (SELECT ss.doc_id, CAST({fp} AS BIGINT) AS simhash
+       FROM shingle_sets ss LEFT JOIN votes USING (doc_id))
 """
     )
+# The LEFT JOIN keeps empty-shingle docs: their w_j are NULL, every CASE
+# falls to ELSE 0, fingerprint 0 — mirroring the engine's empty-fold zero
+# struct (see operators.dedup.simhash).
 
 
 @register("dedup_simhash", oracle="WITH " + _simhash_fp_sql() + "SELECT doc_id, simhash FROM fp")
