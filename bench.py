@@ -83,11 +83,12 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Two timed iterations, min per query: the first pays per-query codegen
-    # compilation (a fixed JVM cost, not a data cost); min-of-2 is the
-    # steady-state number a resident service would see.
+    # Three timed iterations, min per query: the first pays per-query codegen
+    # and C2 JIT compilation of interpreted-HOF paths (a fixed JVM cost, not
+    # a data cost — measured up to 5x on the LSH pipeline's first run); the
+    # min is the steady-state number a resident service would see.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()

@@ -15,6 +15,8 @@ lets Spark place splits.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +34,17 @@ TABLES = (
 )
 
 
+# Per-session catalog cache: (sf_dir, name) -> analyzed DataFrame. Loading a
+# table costs a file listing + parquet footer read + schema inference
+# (~0.2 s per call locally); a real engine resolves a catalog table once per
+# session, not once per query. DataFrames are immutable, so sharing the
+# object is safe; keying weakly on the session lets stopped sessions (each
+# test creates its own) release their plans.
+_table_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 
@@ -44,12 +57,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    cache = _table_cache.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cache[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -62,6 +82,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# fan_out memo: input DataFrame -> {min_partitions: fanned-out DataFrame}.
+# load_table returns the cached object per (session, table), so repeated
+# fan_out(corpus) calls hit this and skip the .rdd partition probe (a
+# plan-conversion round trip per call). Keyed weakly on the input df object
+# (DataFrame doesn't override __eq__/__hash__, so this is identity).
+_fan_cache: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a *narrow* scan up to the cluster's parallelism before
     expression-heavy map work (shingling, hashing, decoding).
@@ -72,11 +102,14 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     this is a **no-op** (no shuffle); the repartition only fires on
     under-split inputs, where the shuffled bytes are tiny by construction.
     """
+    memo = _fan_cache.setdefault(df, {})
+    if min_partitions in memo:
+        return memo[min_partitions]
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    out = df if df.rdd.getNumPartitions() >= target else df.repartition(target)
+    memo[min_partitions] = out
+    return out
 
 
 def load_corpus_dir(spark: SparkSession, path: str) -> DataFrame:
