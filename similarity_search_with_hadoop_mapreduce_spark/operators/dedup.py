@@ -444,6 +444,67 @@ def simhash_dup_pairs(
     )
 
 
+def duplicate_clusters(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    max_iter: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Group near-duplicate documents into clusters: connected components
+    over the pair graph, cluster id = min doc_id in the component.
+
+    Pair detectors emit *edges* (a~b, b~c); dedup needs the transitive
+    closure — keep one doc per component, not per edge. This is the
+    min-label-propagation Pregel pattern as a driver-side loop of
+    DataFrame joins: each round every vertex takes the min label among
+    itself and its neighbors; rounds = O(component diameter), and dup
+    components are shallow (stars around a popular template), so a handful
+    of rounds converges. Convergence is detected by the monotone sum of
+    labels (labels only ever decrease), one cheap agg per round — no
+    driver-side row materialization beyond that scalar.
+
+    Scale notes: each round is one shuffle-join of labels against edges;
+    `localCheckpoint` truncates the growing lineage so round k doesn't
+    re-run rounds 1..k-1; for graphs with giant components the
+    large-star/small-star variant (Kiveris et al., 2014) halves round
+    count — unnecessary for dup clusters.
+
+    Default edge set: SimHash banding at hamming <= 2 (:func:`simhash_dup_pairs`).
+    """
+    if pairs is None:
+        pairs = simhash_dup_pairs(documents, text_col=text_col)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = documents.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=False)
+    # decimal sum: overflow-proof monotone convergence witness
+    sig = labels.agg(
+        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels, edges.src == labels.doc_id, "inner"
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        labels = (
+            labels.union(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=False)
+        )
+        new_sig = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return labels
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.8, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -1,0 +1,80 @@
+"""Deterministic sampling / splitting operators for training-data curation.
+
+``df.sample()`` draws from a per-partition RNG stream, so results change
+with partitioning, retries, and engine — unacceptable for dataset
+curation, where a document's split assignment must be a pure function of
+its identity (reproducible across runs, engines, and backfills). All
+operators here hash the id column instead (md5, same digest in any
+engine): map-only, no shuffle, no state, and the DuckDB oracles reproduce
+them bit-for-bit.
+
+At 100 TB these are the cheapest operators in the pipeline: a projection
++ filter that pushes down past nothing but reads only the id/strata
+columns (column pruning keeps the scan narrow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^31 - 1; hash buckets live in [0, M). 15 hex digits < 2^60 fits a long.
+_M = 2147483647
+
+
+def hash_bucket(col: Column, buckets: int = 10000) -> Column:
+    """Stable bucket in [0, buckets) from md5 of the column's string form."""
+    h = (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(_M))
+    )
+    return h % buckets
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Assign every row a deterministic 'train'/'val'/'test' split.
+
+    The split is a pure function of the id — adding or removing other rows
+    never moves a document between splits (critical for dedup-then-split
+    pipelines where leakage across splits poisons evals).
+    """
+    b = hash_bucket(F.col(id_col), buckets)
+    split = (
+        F.when(b < int(train * buckets), F.lit("train"))
+        .when(b < int((train + val) * buckets), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows (e.g. downsample
+    dominant languages): keep iff hash_bucket(id) < rate(stratum)·buckets.
+
+    Because the keep decision hashes only the id, the sample is a superset
+    relation across rates (rate 0.1 ⊂ rate 0.2 ⊂ …) — resampling at a
+    higher rate only *adds* documents, which keeps downstream caches and
+    dedup state valid.
+    """
+    b = hash_bucket(F.col(id_col), buckets)
+    rate = F.lit(None).cast("double")
+    expr = None
+    for stratum, r in sorted(rates.items()):
+        cond = F.col(strata_col) == stratum
+        expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))
+    rate = expr.otherwise(F.lit(default_rate)) if expr is not None else F.lit(default_rate)
+    return df.filter(b < (rate * buckets).cast("long"))

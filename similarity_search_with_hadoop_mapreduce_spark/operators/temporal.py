@@ -1,0 +1,91 @@
+"""Temporal join operators.
+
+The reference has no time dimension at all (``BookQuery.java`` — strings
+and counts only); these cover the temporal surface a large-scale event /
+training-data pipeline needs and that Spark lacks as a built-in: the
+**as-of join** (attach to each left row the most recent right row at or
+before it).
+
+The naive formulation is a range join (``l.ts >= r.ts`` + a
+max-per-group), which Spark plans as a broadcast nested loop or a
+cartesian product — O(|L|·|R|) per key group and a non-starter at scale.
+The implementation here is the *union + running last* plan: tag both
+sides, union them, and take a running ``last(value, ignorenulls=True)``
+over a ``(by, ts)`` window. One shuffle on the ``by`` key, linear work,
+and the sort it needs is exactly the sort the window would need anyway —
+this is the plan kdb/QuestDB/Flink use for as-of semantics re-expressed
+as DataFrame ops.
+
+Skew note (100 TB): partitioning is by the ``by`` columns; a hot key
+(one user with millions of events) serializes its window. The standard
+mitigations compose: pre-bucket by (key, coarse time range) and run the
+as-of per range with a per-range seed row carried forward, or let AQE
+split the sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    values: Sequence[str],
+    suffix: str = "",
+    direction: str = "backward",
+) -> DataFrame:
+    """Left as-of join: for each left row, the ``values`` columns of the
+    most recent right row with ``right.on <= left.on`` (direction
+    ``"backward"``; ``"forward"`` flips to the earliest right row at or
+    after), matched within equal ``by`` keys. Left rows with no match get
+    NULL — left-outer semantics, like DuckDB's ``ASOF LEFT JOIN``.
+
+    Ties on ``on`` count as a match (<=, not <). If two right rows share
+    (by, on), which one wins is unspecified — pre-aggregate the right side
+    to one row per (by, on) for determinism. A right ``values`` cell that
+    is itself NULL is carried over by older non-null rows (an artifact of
+    the ``ignorenulls`` running-last; wrap values in a sentinel struct if
+    NULL-preserving semantics are needed).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    out_vals = [v + suffix for v in values]
+    lcols = left.columns
+    l2 = left.select(
+        *lcols,
+        *[
+            F.lit(None).cast(right.schema[v].dataType).alias(ov)
+            for v, ov in zip(values, out_vals)
+        ],
+        F.lit(1).alias("_side"),
+    )
+    rkeep = set(by) | {on}
+    r2 = right.select(
+        *[
+            F.col(c) if c in rkeep else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        *[F.col(v).alias(ov) for v, ov in zip(values, out_vals)],
+        F.lit(0).alias("_side"),
+    )
+    ts_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    # right rows (_side=0) sort before left rows at the same timestamp, so
+    # an exact-tie right row is visible to the left row — the `<=` contract
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_order, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(ov, ignorenulls=True).over(w).alias(ov) for ov in out_vals]
+    return (
+        l2.unionByName(r2)
+        .select(*lcols, *carried, "_side")
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )

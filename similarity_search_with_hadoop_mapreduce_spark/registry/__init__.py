@@ -22,5 +22,13 @@ from similarity_search_with_hadoop_mapreduce_spark.registry.sim import flagship 
 __all__ = ["QUERIES", "ORACLES", "register", "flagship"]
 
 
-for _mod in ("relational", "dedup", "ann", "textstats", "multimodal", "streaming_q"):
+for _mod in (
+    "relational",
+    "dedup",
+    "ann",
+    "textstats",
+    "multimodal",
+    "streaming_q",
+    "curation",
+):
     __import__(f"similarity_search_with_hadoop_mapreduce_spark.registry.{_mod}")

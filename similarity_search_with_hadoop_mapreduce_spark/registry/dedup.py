@@ -241,6 +241,52 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clusters_oracle() -> str:
+    n_bands = _MAX_HAMMING + 1
+    width = _SIM_BITS // n_bands
+    mask = (1 << width) - 1
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS bv FROM fp"
+        for b in range(n_bands)
+    )
+    return (
+        "WITH RECURSIVE "
+        + _simhash_fp_sql()
+        + f""",
+banded AS (
+  {band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+    AND bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b
+)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+"""
+    )
+
+
+@register("dedup_clusters", oracle=_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the SimHash near-dup pairs: connected
+    components by iterative min-label propagation (Pregel-style driver
+    loop, rounds = component diameter), cluster id = min doc_id. The
+    oracle computes the same components with a recursive CTE — a genuinely
+    different fixpoint algorithm, so agreement is strong evidence."""
+    return D.duplicate_clusters(table(spark, sf_dir, "documents"))
+
+
 _EMB_DOT = (
     "list_sum(list_transform(range(1, len(a.embedding) + 1), "
     "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"

@@ -1,0 +1,101 @@
+"""Unit tests for curation operators: as-of join, deterministic sampling,
+duplicate clustering. Oracle parity is covered by the registry entries;
+these pin the edge-case semantics on hand-built frames."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import duplicate_clusters
+from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+    stratified_sample,
+    train_val_test_split,
+)
+from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import asof_join
+
+
+def _ts(s: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_backward_basic_tie_and_miss(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(5)), (2, "u", _ts(10)), (3, "u", _ts(2)), (4, "v", _ts(9))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(3), 30.0), ("u", _ts(10), 100.0), ("v", _ts(11), 7.0)],
+        "k string, ts timestamp, val double",
+    )
+    out = {
+        r["id"]: r["val"]
+        for r in asof_join(left, right, on="ts", by=["k"], values=["val"]).collect()
+    }
+    assert out[1] == 30.0  # most recent at-or-before 5 is ts=3
+    assert out[2] == 100.0  # exact tie counts (<=)
+    assert out[3] is None  # nothing at-or-before 2 -> left-outer NULL
+    assert out[4] is None  # v's only right row is later
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(5)), (2, "u", _ts(12))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(3), 30.0), ("u", _ts(10), 100.0)],
+        "k string, ts timestamp, val double",
+    )
+    out = {
+        r["id"]: r["val"]
+        for r in asof_join(
+            left, right, on="ts", by=["k"], values=["val"], direction="forward"
+        ).collect()
+    }
+    assert out[1] == 100.0  # earliest at-or-after 5
+    assert out[2] is None
+
+
+def test_split_deterministic_under_repartition(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in train_val_test_split(df).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(df.repartition(7)).collect()
+    }
+    assert a == b
+    counts = {s: sum(1 for v in a.values() if v == s) for s in ("train", "val", "test")}
+    # 80/10/10 within loose tolerance on 500 ids
+    assert 350 < counts["train"] < 450 and counts["val"] > 20 and counts["test"] > 20
+
+
+def test_stratified_sample_superset_across_rates(spark):
+    df = (
+        spark.range(0, 400)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de"))
+    )
+    lo = {
+        r["doc_id"]
+        for r in stratified_sample(df, rates={"en": 0.2}, default_rate=0.1).collect()
+    }
+    hi = {
+        r["doc_id"]
+        for r in stratified_sample(df, rates={"en": 0.6}, default_rate=0.3).collect()
+    }
+    assert lo <= hi  # raising rates only adds documents
+    assert len(lo) < len(hi)
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    docs = spark.createDataFrame([(i, "t") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(docs, pairs=pairs).collect()
+    }
+    # chain 0-1-2 collapses transitively; 3-4 pairs; 5 is a singleton
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
