@@ -64,6 +64,12 @@ def main() -> None:
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local-mode shuffle tuning: at these shuffle sizes compression is
+        # pure CPU overhead, and /dev/shm mirrors the node-local SSD a real
+        # cluster would give shuffle files.
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

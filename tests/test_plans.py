@@ -94,3 +94,22 @@ def test_whole_stage_codegen_covers_relational_plan(spark):
         assert codegen_stage_count(q) >= 2  # pre- and post-shuffle spans
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    # the union + running-last plan: one hashpartitioning exchange on the
+    # `by` key and zero nested-loop/cartesian joins — the property that
+    # makes as-of linear instead of O(|L|*|R|) at scale
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(40)], "id long, k long, ts double"
+    )
+    right = spark.createDataFrame(
+        [(i % 5, float(i), float(i) * 2) for i in range(0, 40, 3)],
+        "k long, ts double, val double",
+    )
+    q = asof_join(left, right, on="ts", by=["k"], values=["val"])
+    assert shuffle_exchange_count(q) == 1
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
