@@ -23,13 +23,25 @@ All vector math is JVM-side higher-order functions (``zip_with`` +
 from __future__ import annotations
 
 import hashlib
+import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.functions.vector import (
-    cosine_similarity,
+    dot,
+    l2_norm,
 )
+from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
+
+
+def _round6(x: float) -> float:
+    """Python twin of ``F.round(col, 6)``: HALF_UP on the exact binary
+    expansion (BigDecimal semantics), not Python's banker's rounding."""
+    return float(
+        Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
 
 
 def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
@@ -78,12 +90,22 @@ def cosine_topk(
     """
     q = F.broadcast(
         embeddings.filter(F.col(id_col) == F.lit(query_vec_id)).select(
-            F.col("embedding").alias("q_emb")
+            F.col("embedding").alias("q_emb"),
+            l2_norm(F.col("embedding")).alias("q_nrm"),
         )
     )
-    cos = F.round(cosine_similarity(F.col("embedding"), F.col("q_emb")), 6)
+    # query norm computed once on the broadcast side, corpus norm once per
+    # row — the cosine inside the scan is then a single dot fold
+    cos = F.round(
+        F.coalesce(
+            dot(F.col("embedding"), F.col("q_emb"))
+            / F.nullif(l2_norm(F.col("embedding")) * F.col("q_nrm"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
     return (
-        embeddings.join(q)
+        fan_out(embeddings).join(q)
         .filter(F.col(id_col) != F.lit(query_vec_id))
         .select(F.col(id_col).alias("vec_id"), cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -91,8 +113,65 @@ def cosine_topk(
     )
 
 
+def _codebook(
+    embeddings: DataFrame, n_centroids: int, id_col: str
+) -> list[tuple[int, list[float], float]]:
+    """Collect the tiny centroid codebook driver-side: (id, vector, norm).
+
+    This is the reference's own broadcast-side-state pattern (the query
+    string collected by the driver and shipped to every task,
+    BookQuery.java:194-205) applied to IVF: a codebook is a small
+    coordinator artifact, not a distributed dataset. The Python norm fold
+    is the same sequential left fold the JVM ``aggregate`` performs, so
+    the literals are bit-identical to what a join-based plan computes.
+    """
+    rows = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), "embedding")
+        .collect()
+    )
+    book = []
+    for r in sorted(rows, key=lambda r: r["cid"]):
+        v = [float(x) for x in r["embedding"]]
+        norm = 0.0
+        for x in v:
+            norm += x * x
+        book.append((r["cid"], v, math.sqrt(norm)))
+    return book
+
+
+def _dot_sql(col: str, v: list[float]) -> str:
+    """SQL text for the sequential-fold dot product of ``col`` with a
+    literal vector — textually identical fold semantics to
+    :func:`functions.vector.dot` (zip_with then left-fold add)."""
+    for x in v:
+        if not math.isfinite(x):
+            raise ValueError("literal vector must be finite")
+    arr = "array(" + ",".join(f"{x!r}D" for x in v) + ")"
+    return (
+        f"aggregate(zip_with({col}, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _lit_vec(v: list[float]) -> Column:
+    """Literal double array in ONE Py4J call: ``F.array(*[F.lit(x)...])``
+    costs a JVM round trip per element (~0.8 s of pure driver time for an
+    8x64 codebook, measured); a single ``expr`` parse is ~100x cheaper.
+    ``repr`` round-trips doubles exactly and the ``D`` suffix keeps the
+    parser from inferring DECIMAL."""
+    for x in v:
+        if not math.isfinite(x):
+            raise ValueError("literal vector must be finite")
+    return F.expr("array(" + ",".join(f"{x!r}D" for x in v) + ")")
+
+
 def assign_ivf_centroids(
-    embeddings: DataFrame, n_centroids: int = 8, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    book: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its max-cosine
     centroid. Centroids are the first ``n_centroids`` vectors by id — a
@@ -100,34 +179,38 @@ def assign_ivf_centroids(
     ``pyspark.ml.clustering.KMeans`` centers in production; the topology
     downstream is identical).
 
-    The centroid side is a broadcast cross join (``n_centroids`` rows);
-    the argmax is a per-vector window. At 100 TB, ``centroid_id`` becomes
-    the partition key of the stored table, so a query scans only the
-    probed partitions.
-    """
-    from pyspark.sql import Window
+    Map-only: the codebook is collected driver-side (it is O(centroids),
+    not O(data)) and inlined as literals, the per-row norm fold is shared
+    across all centroid scores, and the argmax is ``greatest`` over
+    (score, -id, id) structs — no join, no window, no exchange. At
+    100 TB, ``centroid_id`` becomes the partition key of the stored
+    table, so a query scans only the probed partitions.
 
-    cents = F.broadcast(
-        embeddings.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"),
-            F.col("embedding").alias("c_emb"),
-        )
+    Ties break to the smallest centroid id, matching the window
+    formulation ``ORDER BY c_cos DESC, centroid_id``.
+    """
+    if book is None:
+        book = _codebook(embeddings, n_centroids, id_col)
+    e = F.col("embedding")
+    # interpreted dot folds are CPU-bound: spread an under-split scan
+    base = fan_out(embeddings).select(
+        F.col(id_col).alias("vec_id"), "embedding", l2_norm(e).alias("_nrm")
     )
-    scored = embeddings.join(cents).select(
-        F.col(id_col).alias("vec_id"),
-        "embedding",
-        "centroid_id",
-        F.round(cosine_similarity(F.col("embedding"), F.col("c_emb")), 6).alias(
-            "c_cos"
-        ),
+    # the whole argmax is ONE sql-parsed expression: building it from
+    # F.zip_with/F.aggregate per centroid costs a Py4J round trip per
+    # node (~0.7 s of driver time per query for 8 centroids, measured)
+    cands = [
+        "named_struct("
+        f"'c_cos', round(coalesce({_dot_sql('embedding', v)}"
+        f" / nullif(_nrm * {cn!r}D, 0.0D), 0.0D), 6), "
+        f"'neg_id', {-cid}, 'centroid_id', {cid})"
+        for cid, v, cn in book
+    ]
+    best = (
+        F.expr(f"greatest({', '.join(cands)})") if len(cands) > 1 else F.expr(cands[0])
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_cos"), F.asc("centroid_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+    return base.select(
+        "vec_id", "embedding", best["centroid_id"].alias("centroid_id")
     )
 
 
@@ -146,31 +229,61 @@ def ivf_topk(
     brute force; ``nprobe = 1`` reads a single inverted list. Returns
     (vec_id, centroid_id, cosine).
     """
-    assigned = assign_ivf_centroids(embeddings, n_centroids, id_col=id_col)
-    q = F.broadcast(
-        embeddings.filter(F.col(id_col) == F.lit(query_vec_id)).select(
-            F.col("embedding").alias("q_emb")
+    # one driver collect fetches codebook + query row together
+    rows = (
+        embeddings.filter(
+            (F.col(id_col) < n_centroids) | (F.col(id_col) == F.lit(query_vec_id))
         )
+        .select(F.col(id_col).alias("cid"), "embedding")
+        .collect()
     )
-    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col("embedding").alias("c_emb")
+    book = []
+    q = None
+    for r in sorted(rows, key=lambda r: r["cid"]):
+        v = [float(x) for x in r["embedding"]]
+        if r["cid"] == query_vec_id:
+            q = v
+        if r["cid"] < n_centroids:
+            n = 0.0
+            for x in v:
+                n += x * x
+            book.append((r["cid"], v, math.sqrt(n)))
+    if q is None:
+        raise KeyError(f"query vector {query_vec_id!r} not found in {id_col}")
+    qn = 0.0
+    for x in q:
+        qn += x * x
+    qn = math.sqrt(qn)
+
+    # query-side probe selection is coordinator work (nprobe out of
+    # n_centroids rows) — done in Python with the same fold order and
+    # HALF_UP rounding as the JVM expressions, so it is bit-compatible
+    # with a dataframe formulation of the same ranking
+    def _dot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    ranked = sorted(
+        ((_round6(_dot(v, q) / (cn * qn)) if cn * qn != 0.0 else 0.0, cid) for cid, v, cn in book),
+        key=lambda t: (-t[0], t[1]),
     )
-    probed = F.broadcast(
-        cents.join(q)
-        .select(
-            "centroid_id",
-            F.round(cosine_similarity(F.col("c_emb"), F.col("q_emb")), 6).alias(
-                "qc_cos"
-            ),
-        )
-        .orderBy(F.desc("qc_cos"), F.asc("centroid_id"))
-        .limit(nprobe)
-        .select("centroid_id")
+    probe_ids = [cid for _, cid in ranked[:nprobe]]
+
+    assigned = assign_ivf_centroids(embeddings, n_centroids, id_col=id_col, book=book)
+    e = F.col("embedding")
+    cos = F.round(
+        F.coalesce(
+            dot(e, _lit_vec(q)) / F.nullif(l2_norm(e) * F.lit(qn), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
     )
-    cos = F.round(cosine_similarity(F.col("embedding"), F.col("q_emb")), 6)
+    # map-only probe filter + per-partition top-k heaps
+    # (TakeOrderedAndProject): the single-partition-scan ANN topology
     return (
-        assigned.join(probed, "centroid_id")
-        .join(q)
+        assigned.filter(F.col("centroid_id").isin(probe_ids))
         .filter(F.col("vec_id") != F.lit(query_vec_id))
         .select("vec_id", "centroid_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -195,15 +308,24 @@ def lsh_bucketed_topk(
     splits ~16 ways; recall rises with fewer planes, speed with more.
     """
     planes = hyperplane_signs(n_planes, dim)
-    with_bucket = embeddings.withColumn(
+    with_bucket = fan_out(embeddings).withColumn(
         "bucket", lsh_bucket(F.col("embedding"), planes)
     )
     q = F.broadcast(
         with_bucket.filter(F.col(id_col) == F.lit(query_vec_id)).select(
-            F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket").alias("q_bucket"),
+            l2_norm(F.col("embedding")).alias("q_nrm"),
         )
     )
-    cos = F.round(cosine_similarity(F.col("embedding"), F.col("q_emb")), 6)
+    cos = F.round(
+        F.coalesce(
+            dot(F.col("embedding"), F.col("q_emb"))
+            / F.nullif(l2_norm(F.col("embedding")) * F.col("q_nrm"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
     return (
         with_bucket.join(q, F.col("bucket") == F.col("q_bucket"))
         .filter(F.col(id_col) != F.lit(query_vec_id))

@@ -34,9 +34,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.functions.text import shingles
-from similarity_search_with_hadoop_mapreduce_spark.functions.vector import (
-    cosine_similarity,
-)
 from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
 
 HEX = "0123456789abcdef"
@@ -515,13 +512,34 @@ def embedding_dup_pairs(
     generation in operators/ann.py and verify only bucket-mates.
     Scores are rounded to 6 decimals to absorb engine fold differences.
     """
-    a = embeddings.select(
-        F.col(id_col).alias("vec_a"), F.col("embedding").alias("e_a")
+    # Norms are computed once per vector BEFORE the pair join — inside the
+    # join they would be re-folded once per PAIR (O(n²) folds instead of
+    # O(n); measured ~3x on the all-pairs scan). Per-pair work is then a
+    # single dot fold + scalar ops.
+    from similarity_search_with_hadoop_mapreduce_spark.functions.vector import (
+        dot,
+        l2_norm,
     )
-    b = embeddings.select(
-        F.col(id_col).alias("vec_b"), F.col("embedding").alias("e_b")
+
+    base = fan_out(embeddings).select(
+        F.col(id_col).alias("vid"),
+        F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
     )
-    cos = F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), 6)
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a")
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b")
+    )
+    cos = F.round(
+        F.coalesce(
+            dot(F.col("e_a"), F.col("e_b"))
+            / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
