@@ -1273,3 +1273,245 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "o_totalprice")
         .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-1 widening (cont.): remaining TPC-H shapes expressible on the
+# fixtures (Q2/Q9/Q11/Q16/Q20 need the absent partsupp table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two roles of the same dim table (nation joined once
+    through supplier, once through customer) with a symmetric disjunctive
+    pair filter, grouped by ship year. Both nation sides broadcast."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, s.s_nationkey == F.col("n1_key"))
+        .join(n2, c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       {_osum("CASE WHEN n2.n_name = 'NATION_3' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+         / {_osum('l.l_extendedprice * (1 - l.l_discount)')} AS mkt_share
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY year(o.o_orderdate)
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue per year —
+    an 8-way join where the share is a conditional-sum / total-sum ratio.
+    Both sums are exact decimal, so the final double divide is the only
+    float op and is bit-identical across engines."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-12-31").cast("timestamp"),
+        )
+    )
+    c = table(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+        )
+    )
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    n2 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, c.c_nationkey == F.col("n1_key"))
+        .join(r, F.col("n1_reg") == r.r_regionkey)
+        .join(n2, s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((_dsum(nat) / _dsum(rev)).alias("mkt_share"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+WITH part_avg AS (
+  SELECT l_partkey,
+         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                / count(*)) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {_osum('l.l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.qty_threshold
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average subquery (quantity
+    below 20% of the part's mean) expressed as a self-aggregate join —
+    lineitem is scanned twice but the per-part agg side collapses to one
+    row per key before the join. The mean is exact-decimal sum / count so
+    the strict-inequality boundary can't flip between engines."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * (_dsum(F.col("l_quantity")) / F.count(F.lit(1)))).alias(
+            "qty_threshold"
+        )
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(part_avg, F.col("pk") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q21_suppliers_who_kept_orders_waiting",
+    oracle="""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_0'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name LIMIT 100
+""",
+)
+def q21_suppliers_who_kept_orders_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 shape: the sole-late-supplier-on-a-multi-supplier-order
+    pattern — an EXISTS (semi join, other supplier present) stacked on a
+    NOT EXISTS (anti join, no other LATE supplier), both correlated with a
+    key-inequality residual. "Late" is adapted to ship-lag > 90 days
+    (fixtures lack commit/receipt dates, as in q4_order_priority)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(
+            o,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    )
+    l1 = (
+        late.join(s, s.s_suppkey == F.col("l_suppkey"))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("s_name", "l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("ok2") == F.col("l_orderkey"))
+            & (F.col("sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("ok3") == F.col("l_orderkey"))
+            & (F.col("sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
