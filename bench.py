@@ -70,6 +70,12 @@ def main() -> None:
         .config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")
         .config("spark.local.dir", "/dev/shm/spark-local")
+        # Short-stage latency: delay scheduling waits up to 3 s for a
+        # "better" locality level that can't exist in one JVM, and queued
+        # tasks otherwise wait for the 1 s periodic revive timer. Together
+        # these are ~27% of suite wall at sf0.1 (9.6 s -> 7.0 s measured).
+        .config("spark.locality.wait", "0")
+        .config("spark.scheduler.revive.interval", "1ms")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""DuckDB side of the headline benchmark: runs the same oracle SQL the
+driver uses for correctness, on the same parquet, min-of-3, and prints one
+JSON line — the comparison target for bench.py (BASELINE.md perf gate:
+Spark suite wall ≤ 2× this).
+
+Queries with no oracle (rows-only ops) are skipped; bench.py's HEADLINE
+list contains none of those.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from bench import HEADLINE, SF_DIR, CPUS
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    from similarity_search_with_hadoop_mapreduce_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {int(CPUS)}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for _ in range(3):
+        for name in HEADLINE:
+            sql = ORACLES.get(name)
+            if sql is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
