@@ -1515,3 +1515,31 @@ def q21_suppliers_who_kept_orders_waiting(
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, s.s_name
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: the big side is split into 8 deterministic
+    sub-keys and the small side replicated across them, so one power-law
+    hot key spreads over 8 reducers instead of flooding one task. The
+    oracle is the PLAIN join — salting must be result-identical, which is
+    the whole point of checking it here. (AQE's skew split handles
+    moderate skew; salting is the fallback when a single post-split
+    partition is still one key.)"""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_orderkey", "l_linenumber"
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    return salted_join(li, s, "suppkey", n_salts=8).select(
+        "l_orderkey", "l_linenumber", "s_name"
+    )

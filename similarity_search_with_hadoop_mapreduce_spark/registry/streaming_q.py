@@ -128,3 +128,33 @@ def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     return streaming_user_totals_demo(spark, sf_dir)
+
+
+@register(
+    "events_interval_join",
+    oracle="""
+SELECT a.user_id,
+       a.event_id AS click_id,
+       b.event_id AS purchase_id,
+       CAST(a.ts AS TIMESTAMP) AS click_ts,
+       CAST(b.ts AS TIMESTAMP) AS purchase_ts,
+       b.value AS purchase_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+""",
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (click→purchase within 30 min per user),
+    batch-certified; the identical logic runs as a true stream-stream
+    join with two watermarks in tests/test_streaming.py."""
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.windows import (
+        interval_join,
+    )
+
+    e = table(spark, sf_dir, "events")
+    return interval_join(
+        e.filter("event_type = 'click'"),
+        e.filter("event_type = 'purchase'"),
+    )

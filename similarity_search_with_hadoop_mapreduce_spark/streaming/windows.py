@@ -128,3 +128,87 @@ def streaming_tumbling_demo(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def interval_join(
+    left: DataFrame, right: DataFrame, within: str = "30 minutes"
+) -> DataFrame:
+    """Per-user click→purchase conversion pairs: every purchase within
+    ``within`` after a click by the same user.
+
+    Shared batch/streaming logic — in streaming, the equi key (user_id)
+    drives the state partitioning and the time-range condition bounds how
+    long each side's rows stay in the join state (with watermarks set by
+    the caller). In batch, Catalyst plans the same thing as an equi join
+    with a range residual — no nested loop.
+    """
+    a = left.select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    b = right.select(
+        F.col("user_id").alias("purchase_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("click_user") == F.col("purchase_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        )
+        .select(
+            F.col("click_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "click_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
+    )
+
+
+def streaming_interval_join_demo(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """True stream-stream inner join (clicks ⋈ purchases per user within
+    a time bound), availableNow → memory sink.
+
+    Both sides carry a watermark and the join condition bounds event time
+    in both directions, so Spark can size the join state finitely and
+    evict rows the watermark has passed — the requirement for unbounded
+    stream-stream joins. Inner-join output emits as matches arrive, so
+    (unlike append-mode aggregation) the availableNow backfill emits every
+    match, and the batch interval_join is a full-value oracle for it.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    clicks = raw.filter(F.col("event_type") == "click").withWatermark(
+        "ts", watermark
+    )
+    purchases = raw.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", watermark
+    )
+    joined = interval_join(clicks, purchases, within=within)
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

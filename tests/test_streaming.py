@@ -62,3 +62,23 @@ def test_streaming_dedup_keeps_each_event_once(spark):
     events = load_table(spark, SF_DIR, "events")
     assert got.count() == events.select("event_id").distinct().count()
     assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.windows import (
+        interval_join,
+        streaming_interval_join_demo,
+    )
+
+    got = streaming_interval_join_demo(spark, SF_DIR)
+    events = load_table(spark, SF_DIR, "events")
+    want = interval_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+    key = lambda r: (r.click_id, r.purchase_id)
+    want_set = {key(r) for r in want.collect()}
+    have_set = {key(r) for r in got.collect()}
+    # inner stream-stream join under availableNow emits every match
+    assert want_set == have_set
+    assert len(have_set) > 0
