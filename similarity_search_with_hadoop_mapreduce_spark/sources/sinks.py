@@ -60,3 +60,16 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
+) -> None:
+    """Interchange sink: splittable plain CSV (one file per partition)."""
+    df.write.option("header", str(header).lower()).mode(mode).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the lingua franca for downstream non-JVM
+    consumers; one object per line keeps the output splittable."""
+    df.write.mode(mode).json(path)

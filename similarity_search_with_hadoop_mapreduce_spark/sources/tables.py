@@ -140,3 +140,36 @@ def load_corpus_dir(spark: SparkSession, path: str) -> DataFrame:
             ),
         )
     )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan with a REQUIRED explicit schema.
+
+    Schema inference on CSV/JSON costs a full extra pass over the data —
+    at 100 TB that is a second 100 TB scan before the first real job, so
+    this engine never infers: callers pass the StructType (or DDL string)
+    they expect, malformed rows surface per-record (PERMISSIVE default)
+    instead of poisoning inference, and the scan splits/pushes down like
+    any other file source.
+    """
+    return (
+        spark.read.options(header=str(header).lower(), **options)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession, path: str, schema, **options: str
+) -> DataFrame:
+    """JSON-lines scan with a REQUIRED explicit schema (see
+    :func:`read_csv` for why inference is banned). Nested fields project
+    through ``col("a.b")`` as usual; fields absent from the schema are
+    pruned at parse time, not materialized."""
+    return spark.read.options(**options).schema(schema).json(path)

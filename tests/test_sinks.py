@@ -59,3 +59,59 @@ def test_write_parquet_partitioned_roundtrip(spark, tmp_path):
     ]
     # partition pruning is real: directory-per-key layout
     assert glob.glob(f"{out}/k=a/*.parquet")
+
+
+def test_csv_round_trip_preserves_table(spark, tmp_path):
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import write_csv
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        load_table,
+        read_csv,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    out = str(tmp_path / "orders_csv")
+    write_csv(orders, out)
+    back = read_csv(spark, out, orders.schema)
+    assert back.schema == orders.schema
+    want = sorted(map(tuple, orders.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+
+
+def test_json_round_trip_preserves_table(spark, tmp_path):
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import write_json
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        load_table,
+        read_json,
+    )
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    out = str(tmp_path / "customer_json")
+    write_json(cust, out)
+    back = read_json(spark, out, cust.schema)
+    assert back.schema == cust.schema
+    want = sorted(map(tuple, cust.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+
+
+def test_read_csv_never_infers(spark, tmp_path):
+    """A wrong explicit schema is honored (no silent inference override):
+    reading an int column as string yields strings."""
+    from pyspark.sql import types as T
+
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import write_csv
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        load_table,
+        read_csv,
+    )
+
+    region = load_table(spark, "/root/testdata/sf0.001", "region")
+    out = str(tmp_path / "region_csv")
+    write_csv(region, out)
+    as_strings = T.StructType(
+        [T.StructField(f.name, T.StringType()) for f in region.schema.fields]
+    )
+    back = read_csv(spark, out, as_strings)
+    assert all(f.dataType == T.StringType() for f in back.schema.fields)
+    assert back.count() == region.count()
