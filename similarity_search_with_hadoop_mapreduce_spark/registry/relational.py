@@ -1543,3 +1543,58 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(li, s, "suppkey", n_salts=8).select(
         "l_orderkey", "l_linenumber", "s_name"
     )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90) per group — Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` share linear interpolation, so the
+    oracle is full-value. (The approximate sketch path —
+    ``approx_percentile`` / t-digest — is the 100 TB variant and is
+    exercised in tests/test_approx.py; sketches are engine-specific, so
+    they get property bounds rather than a cross-engine hash.)"""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+    )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+""",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) through the
+    SQL surface. Catalyst decorrelates it into the same one-exchange
+    window/rank plan a hand-written row_number query gets — per-customer
+    LIMIT never executes as a per-row re-scan."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        """
+    )

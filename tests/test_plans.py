@@ -13,6 +13,7 @@ from similarity_search_with_hadoop_mapreduce_spark.operators.similarity import (
 from similarity_search_with_hadoop_mapreduce_spark.plans import (
     broadcast_exchange_count,
     codegen_stage_count,
+    explain_string,
     pushed_filters,
     read_schemas,
     shuffle_exchange_count,
@@ -113,3 +114,31 @@ def test_asof_join_single_shuffle_no_range_join(spark):
     assert shuffle_exchange_count(q) == 1
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q7_two_nation_roles_all_broadcast(spark):
+    """TPC-H Q7: every dim side broadcasts (nation twice, in two roles);
+    the only exchange is the final aggregation's."""
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+
+    df = QUERIES["q7_volume_shipping"](spark, SF)
+    assert broadcast_exchange_count(df) >= 4
+    assert shuffle_exchange_count(df) == 1
+
+
+def test_q8_market_share_single_exchange(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+
+    df = QUERIES["q8_market_share"](spark, SF)
+    assert shuffle_exchange_count(df) == 1
+
+
+def test_lateral_decorrelates_to_window(spark):
+    """The LATERAL per-customer LIMIT must decorrelate — a per-row
+    re-scan of orders would show up as a nested-loop/cartesian plan."""
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+
+    df = QUERIES["join_lateral_topk"](spark, SF)
+    plan = explain_string(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan or "rank" in plan.lower()
