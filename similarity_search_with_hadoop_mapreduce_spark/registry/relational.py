@@ -1598,3 +1598,83 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "posexplode_ordinality",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+e AS (SELECT doc_id,
+             unnest([struct_pack(pos := i - 1, word := words[i])
+                     for i in generate_series(1, len(words))]) AS t
+      FROM w)
+SELECT doc_id, CAST(t.pos AS INTEGER) AS pos, t.word FROM e
+""",
+)
+def posexplode_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-style ordinal explode (``posexplode``) — the generator runs
+    inside the scan's codegen stage, no shuffle; the reference's T7
+    KV-emit (BookQuery.java:81-83) is this without the ordinal."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+
+
+@register(
+    "null_safe_equality",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status
+  FROM orders
+)
+SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+FROM o a JOIN o b
+  ON a.status IS NOT DISTINCT FROM b.status
+ AND a.o_orderkey + 1 = b.o_orderkey
+""",
+)
+def null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other — unlike plain ``=``, which drops them. The null-safe
+    operator stays a hash-join key (no nested loop), which matters when
+    the null bucket is large."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    a = o.select(F.col("o_orderkey").alias("key_a"), F.col("status").alias("s_a"))
+    b = o.select(F.col("o_orderkey").alias("key_b"), F.col("status").alias("s_b"))
+    return (
+        a.join(
+            b,
+            (F.col("s_a").eqNullSafe(F.col("s_b")))
+            & (F.col("key_a") + 1 == F.col("key_b")),
+        )
+        .select("key_a", "key_b")
+    )
+
+
+@register(
+    "unpivot_long_form",
+    oracle="""
+SELECT o_orderkey, name, CAST(value AS DOUBLE) AS value FROM (
+  UNPIVOT (SELECT o_orderkey, o_totalprice AS price,
+                  CAST(o_custkey AS DOUBLE) AS cust
+           FROM orders)
+  ON price, cust INTO NAME name VALUE value)
+""",
+)
+def unpivot_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (inverse of agg_pivot): map-only row expansion,
+    no shuffle."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_custkey").cast("double").alias("cust"),
+    )
+    return o.unpivot("o_orderkey", ["price", "cust"], "name", "value")

@@ -212,3 +212,43 @@ def streaming_interval_join_demo(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_static_enrich_demo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static join: the events stream enriched with the customer
+    dim (user_id = c_custkey), availableNow → memory sink.
+
+    The static side needs no watermark and keeps no join state — each
+    micro-batch plans a fresh broadcast join against the (small) dim, so
+    dim updates between batches are picked up automatically. This is the
+    standard streaming-enrichment topology; state cost is zero on both
+    sides, unlike the stream-stream interval join.
+    """
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    enriched = raw.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment"
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

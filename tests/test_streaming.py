@@ -82,3 +82,21 @@ def test_stream_stream_interval_join_matches_batch(spark):
     # inner stream-stream join under availableNow emits every match
     assert want_set == have_set
     assert len(have_set) > 0
+
+
+def test_stream_static_enrich_matches_batch_join(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.windows import (
+        streaming_static_enrich_demo,
+    )
+
+    got = streaming_static_enrich_demo(spark, SF_DIR)
+    events = load_table(spark, SF_DIR, "events")
+    cust = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    want = events.join(cust, "user_id").select(
+        "event_id", "user_id", "event_type", "value", "c_name", "c_mktsegment"
+    )
+    key = lambda r: (r.event_id, r.c_name, r.c_mktsegment)
+    assert {key(r) for r in got.collect()} == {key(r) for r in want.collect()}
+    assert got.count() == want.count()
