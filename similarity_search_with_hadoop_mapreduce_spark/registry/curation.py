@@ -89,3 +89,134 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         strata_col="lang",
     ).select("doc_id", "lang")
+
+
+@register(
+    "curation_pipeline",
+    oracle=None,  # built below after the imports resolve
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually runs: quality features → language filter → quality
+    filter → exact-dedup keeper semi-join. Each stage is an existing
+    operator; the pipeline stays one lazy DAG (quality/lang are map-only,
+    dedup adds the single digest shuffle), so Catalyst fuses the filters
+    into the scan.
+
+    Thresholds: lang = 'en' (stop-ratio heuristic), quality ≥ 0.4,
+    n_tokens ≥ 20 — chosen to keep a meaningful fraction of the synthetic
+    corpus on both sides of every filter.
+    """
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        exact_duplicates,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        language_id,
+        quality_score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    lang = language_id(docs).select("doc_id", "predicted_lang")
+    keepers = exact_duplicates(docs).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    return (
+        q.join(lang, "doc_id")
+        .filter(
+            (F.col("predicted_lang") == "en")
+            & (F.col("quality") >= 0.4)
+            & (F.col("n_tokens") >= 20)
+        )
+        .join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "n_tokens", F.col("quality").alias("quality"))
+    )
+
+
+def _install_curation_oracle() -> None:
+    from similarity_search_with_hadoop_mapreduce_spark.registry.base import ORACLES
+    from similarity_search_with_hadoop_mapreduce_spark.registry.textstats import (
+        _STOPS_SQL,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.registry.sim import (
+        TOKENS_CTE,
+    )
+
+    ORACLES["curation_pipeline"] = (
+        "WITH "
+        + TOKENS_CTE
+        + rf"""
+, feats AS (
+  SELECT d.doc_id,
+    CAST(len(tok) AS INTEGER) AS n_tokens,
+    CASE WHEN length(d.text) > 0
+         THEN CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9_\s]')) AS DOUBLE)
+              / CAST(length(d.text) AS DOUBLE)
+         ELSE 0.0 END AS punct_ratio_raw,
+    CASE WHEN len(tok) > 0
+         THEN CAST(len(list_filter(tok, t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
+              / CAST(len(tok) AS DOUBLE)
+         ELSE 0.0 END AS stop_ratio_raw
+  FROM tokens JOIN documents d USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+               + (1.0 - least(punct_ratio_raw * 5.0, 1.0)) * 0.3
+               + least(stop_ratio_raw * 10.0, 1.0) * 0.3, 6) AS quality,
+         CASE WHEN round(stop_ratio_raw, 6) >= 0.05 THEN 'en' ELSE 'und' END
+           AS predicted_lang
+  FROM feats
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT s.doc_id, s.n_tokens, s.quality
+FROM scored s
+WHERE s.predicted_lang = 'en' AND s.quality >= 0.4 AND s.n_tokens >= 20
+  AND EXISTS (SELECT 1 FROM keepers k WHERE k.doc_id = s.doc_id)
+"""
+    )
+
+
+_install_curation_oracle()
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS hour_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute-grain partials
+    re-rolled to hours. The minute table is what a 100 TB deployment
+    stores (append-only, small); hourly/daily views re-aggregate the
+    partials instead of the raw events — this query IS that second-level
+    rollup, and its oracle is the direct hourly aggregation of the raw
+    table, proving the partials compose losslessly (counts add; decimal
+    sums are associative, converted to double only at the end).
+    """
+    e = table(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_partial"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("v_partial"),
+        )
+        .select(F.col("w.start").alias("minute_start"), "event_type", "n_partial", "v_partial")
+    )
+    return (
+        minute.groupBy(
+            F.date_trunc("hour", "minute_start").alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.sum("n_partial").alias("n_events"),
+            F.sum("v_partial").cast("double").alias("total_value"),
+        )
+    )
