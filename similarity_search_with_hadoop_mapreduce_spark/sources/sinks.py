@@ -73,3 +73,29 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink — the lingua franca for downstream non-JVM
     consumers; one object per line keeps the output splittable."""
     df.write.mode(mode).json(path)
+
+
+def write_range_partitioned(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Layout sink for scan pruning: range-repartition on ``key`` and sort
+    within each partition before writing parquet.
+
+    The output files cover disjoint key ranges and every row group's
+    min/max stats are tight, so any reader (Spark, DuckDB, Trino — the
+    stats are in the format) skips whole files/row groups on a range or
+    point predicate over ``key``. At 100 TB this is the cheapest pruning
+    there is: it costs one sort at write time and nothing at read time.
+    (``write_bucketed`` in operators/skew.py is the hash analog for equi
+    joins; this is the ordered analog for ranges and time.)
+    """
+    (
+        df.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -115,3 +115,43 @@ def test_read_csv_never_infers(spark, tmp_path):
     back = read_csv(spark, out, as_strings)
     assert all(f.dataType == T.StringType() for f in back.schema.fields)
     assert back.count() == region.count()
+
+
+def test_range_partitioned_files_are_key_disjoint(spark, tmp_path):
+    """Every output file covers a disjoint o_orderkey range (tight parquet
+    min/max stats => readers skip files on range predicates)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import (
+        write_range_partitioned,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    out = str(tmp_path / "orders_ranged")
+    write_range_partitioned(orders, out, "o_orderkey", n_files=4)
+
+    spans = []
+    idx = None
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        if idx is None:
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "o_orderkey"
+            )
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            los.append(st.min)
+            his.append(st.max)
+        spans.append((min(los), max(his)))
+    assert len(spans) >= 3  # range partitioner actually split
+    spans.sort()
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {hi1} >= {lo2}"
+    # round trip: nothing lost
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
