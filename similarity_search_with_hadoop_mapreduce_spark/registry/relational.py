@@ -563,6 +563,42 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_distribution",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cum_dist,
+       first_value(o_totalprice) OVER w AS cheapest,
+       last_value(o_totalprice) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS priciest
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: ntile / percent_rank / cume_dist plus
+    first_value/last_value. The ORDER BY includes the unique o_orderkey
+    because ntile buckets by row position — without a total order, tied
+    prices would land in engine-dependent buckets. last_value gets an
+    explicit unbounded ROWS frame (the default frame stops at CURRENT
+    ROW, which would make it the row's own value in both engines)."""
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w_full).alias("priciest"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / top-k / set ops
 # ---------------------------------------------------------------------------

@@ -75,6 +75,21 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (zlib-compressed by default) — same columnar guarantees
+    as :func:`write_parquet` (splittable files, min/max stripe stats for
+    reader-side skipping) for Hive-era consumers."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_range_partitioned(
     df: DataFrame,
     path: str,

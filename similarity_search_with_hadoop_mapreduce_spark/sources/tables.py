@@ -173,3 +173,11 @@ def read_json(
     through ``col("a.b")`` as usual; fields absent from the schema are
     pruned at parse time, not materialized."""
     return spark.read.options(**options).schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """ORC scan — the other columnar format Spark ships a vectorized,
+    predicate-pushdown-capable reader for (common as the at-rest format
+    of Hive-era warehouses a 100 TB corpus often starts in). Schema comes
+    from the file footer like parquet, so no inference pass is needed."""
+    return spark.read.options(**options).orc(path)
