@@ -252,3 +252,44 @@ def streaming_static_enrich_demo(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_foreach_batch_demo(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> None:
+    """``foreachBatch`` sink: stream events into a parquet directory via a
+    per-micro-batch batch write — the production escape hatch for sinks
+    Structured Streaming has no native connector for (JDBC upserts, MERGE
+    into a table format, multi-sink fan-out).
+
+    Exactly-once comes from idempotence, not the sink: each micro-batch
+    lands in a ``batch_id=<epoch>`` partition with ``overwrite`` of that
+    partition only (dynamic partitionOverwriteMode), so a replayed epoch
+    after a crash overwrites its own output instead of duplicating it.
+    The checkpoint dir tracks which epochs are committed.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    q = (
+        raw.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", f"{out_path}_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -100,3 +100,19 @@ def test_stream_static_enrich_matches_batch_join(spark):
     key = lambda r: (r.event_id, r.c_name, r.c_mktsegment)
     assert {key(r) for r in got.collect()} == {key(r) for r in want.collect()}
     assert got.count() == want.count()
+
+
+def test_foreach_batch_sink_writes_all_events_idempotently(spark, tmp_path):
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.windows import (
+        streaming_foreach_batch_demo,
+    )
+
+    out = str(tmp_path / "events_out")
+    streaming_foreach_batch_demo(spark, SF_DIR, out)
+    events = load_table(spark, SF_DIR, "events")
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    assert back.select("event_id").distinct().count() == events.count()
+    # re-running against the same checkpoint is a no-op (epochs committed)
+    streaming_foreach_batch_demo(spark, SF_DIR, out)
+    assert spark.read.parquet(out).count() == events.count()
