@@ -68,15 +68,9 @@ def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite document-quality score in [0, 1] from cheap signals:
-    length, punctuation density, stopword ratio, mean token length.
-
-    score = 0.4·min(n_tokens/100, 1)
-          + 0.3·(1 − min(5·punct_ratio, 1))
-          + 0.3·min(10·stop_ratio, 1)
-    """
-    t = F.col(text_col)
+def _quality_exprs(t: Column) -> dict[str, Column]:
+    """The shared per-document quality signals (see :func:`quality_score`
+    for the formula); returned unrounded."""
     toks = java_split_tokens(t)
     n_tok = F.size(toks)
     n_chars = F.length(t)
@@ -97,6 +91,29 @@ def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
         + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.3
     )
+    return {
+        "n_tokens": n_tok,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_token_len": mean_tok_len,
+        "quality": score,
+    }
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite document-quality score in [0, 1] from cheap signals:
+    length, punctuation density, stopword ratio, mean token length.
+
+    score = 0.4·min(n_tokens/100, 1)
+          + 0.3·(1 − min(5·punct_ratio, 1))
+          + 0.3·min(10·stop_ratio, 1)
+    """
+    q = _quality_exprs(F.col(text_col))
+    n_tok = q["n_tokens"]
+    punct_ratio = q["punct_ratio"]
+    stop_ratio = q["stop_ratio"]
+    mean_tok_len = q["mean_token_len"]
+    score = q["quality"]
     return fan_out(documents).select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -118,6 +135,51 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
+    )
+
+
+def corpus_composition(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dataset-card rollup: per (source, lang) document counts, token
+    totals, mean quality, and exact-duplicate share — the composition
+    summary a training-data pipeline publishes before a run.
+
+    One fused DAG: a map stage computes per-doc tokens / quality / content
+    digest, a window over the digest marks every copy beyond the first as
+    a duplicate, and one groupBy rolls it all up. Two shuffles, both on
+    uniform keys (md5 digest; the low-cardinality group keys arrive
+    pre-combined by partial aggregation). mean_quality sums the per-doc
+    (6-dp-rounded) scores as decimal(25,6) so the total is exact and
+    order-independent before the one final division.
+    """
+    t = F.col(text_col)
+    q = _quality_exprs(t)
+    per_doc = fan_out(documents).select(
+        "doc_id",
+        "source",
+        "lang",
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["quality"], 6).alias("quality"),
+        F.md5(t).alias("digest"),
+    )
+    from pyspark.sql import Window as W
+
+    is_dup = (
+        F.row_number().over(W.partitionBy("digest").orderBy("doc_id")) > 1
+    ).cast("int")
+    flagged = per_doc.withColumn("is_dup", is_dup)
+    n_docs = F.count(F.lit(1))
+    return flagged.groupBy("source", "lang").agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(25,6)")).cast("double")
+            / n_docs.cast("double"),
+            6,
+        ).alias("mean_quality"),
+        F.sum("is_dup").cast("bigint").alias("dup_docs"),
+        F.round(
+            F.sum("is_dup").cast("double") / n_docs.cast("double"), 6
+        ).alias("dup_rate"),
     )
 
 

@@ -121,6 +121,49 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_corpus_composition",
+    oracle="WITH "
+    + TOKENS_CTE
+    + rf"""
+, feats AS (
+  SELECT d.doc_id,
+    CAST(len(tok) AS INTEGER) AS n_tokens,
+    round(least(CAST(len(tok) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + (1.0 - least(
+          (CASE WHEN length(d.text) > 0
+                THEN CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9_\s]')) AS DOUBLE)
+                     / CAST(length(d.text) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)) * 0.3
+      + least(
+          (CASE WHEN len(tok) > 0
+                THEN CAST(len(list_filter(tok, t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
+                     / CAST(len(tok) AS DOUBLE) ELSE 0.0 END) * 10.0, 1.0) * 0.3,
+      6) AS quality
+  FROM tokens JOIN documents d USING (doc_id)
+),
+dups AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM documents
+)
+SELECT d.source, d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f.n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(CAST(f.quality AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_quality,
+       CAST(sum(p.is_dup) AS BIGINT) AS dup_docs,
+       round(CAST(sum(p.is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM documents d JOIN feats f USING (doc_id) JOIN dups p USING (doc_id)
+GROUP BY d.source, d.lang
+""",
+)
+def text_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) dataset-card rollup: docs, tokens, mean quality,
+    exact-duplicate share."""
+    return T.corpus_composition(table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_top_ngrams",
     oracle="WITH "
     + SHINGLES_CTE
