@@ -249,20 +249,27 @@ def minhash_signatures(
     return based.select("doc_id", *_minhash_cols(k))
 
 
-def minhash_lsh_pairs(
-    documents: DataFrame,
-    k: int = 16,
-    bands: int = 4,
-    threshold: float = 0.5,
-    text_col: str = "text",
+def _banded_shingles(
+    documents: DataFrame, k: int, bands: int, text_col: str = "text"
 ) -> DataFrame:
-    """Near-duplicate pairs by MinHash banding + exact Jaccard verify.
+    """(doc_id, s, band, bh): per-document LSH band hashes with the
+    shingle set riding along for downstream exact verification.
 
-    The signature is split into ``bands`` bands of ``k // bands`` rows;
-    docs sharing any band hash become candidates (linear-time candidate
-    generation: one groupBy on (band, band_hash)), then candidates are
-    verified with exact shingle-set Jaccard. Returns
-    (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    One pass computes shingles + signature + band hashes; the shingle set
+    rides along into the bucket shuffle so verification needs no re-join
+    with (and no recomputation of) the corpus. Shuffle volume is
+    `bands ×` the shingle arrays — the standard LSH trade; a hot bucket
+    (mass-duplicated content) explodes quadratically in pair count,
+    which AQE skew-join splitting and an upstream exact-dedup pass keep
+    bounded at corpus scale.
+
+    Empty-shingle docs have all-NULL minhashes, so every band collapses
+    to md5(concat_ws of nulls) = md5(""); dropping that sentinel bucket
+    excludes them. The filter runs on `bh`, a *generator output*
+    attribute, which predicate pushdown cannot sink below the Generate —
+    unlike a size(s) > 0 filter on the computed array, which would be
+    alias-substituted below the fan_out exchange and serialize a
+    duplicate shingle pass (measured ~1.8s of the LSH pipeline's 2.8s).
     """
     rows = k // bands
     sh = fan_out(documents).select("doc_id", shingles(F.col(text_col)).alias("s"))
@@ -285,26 +292,30 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    # One pass computes shingles + signature + band hashes; the shingle set
-    # rides along into the bucket shuffle so verification needs no re-join
-    # with (and no recomputation of) the corpus. Shuffle volume is
-    # `bands ×` the shingle arrays — the standard LSH trade; a hot bucket
-    # (mass-duplicated content) explodes quadratically in pair count,
-    # which AQE skew-join splitting and an upstream exact-dedup pass keep
-    # bounded at corpus scale.
-    # Empty-shingle docs have all-NULL minhashes, so every band collapses
-    # to md5(concat_ws of nulls) = md5(""); dropping that sentinel bucket
-    # excludes them. The filter runs on `bh`, a *generator output*
-    # attribute, which predicate pushdown cannot sink below the Generate —
-    # unlike a size(s) > 0 filter on the computed array, which would be
-    # alias-substituted below the fan_out exchange and serialize a
-    # duplicate shingle pass (measured ~1.8s of the pipeline's 2.8s).
     empty_bh = F.md5(F.lit(""))
-    banded = (
+    return (
         sig.select("doc_id", "s", F.explode(band_structs).alias("x"))
         .select("doc_id", "s", "x.band", "x.bh")
         .filter(F.col("bh") != empty_bh)
     )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash banding + exact Jaccard verify.
+
+    The signature is split into ``bands`` bands of ``k // bands`` rows;
+    docs sharing any band hash become candidates (linear-time candidate
+    generation: one groupBy on (band, band_hash)), then candidates are
+    verified with exact shingle-set Jaccard. Returns
+    (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    banded = _banded_shingles(documents, k=k, bands=bands, text_col=text_col)
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.collect_list(F.struct("doc_id", "s")).alias("members"))
@@ -327,6 +338,65 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .distinct()  # a pair can collide in several bands
     )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an incoming batch against an already-curated corpus — the
+    continuous-ingestion topology: at 100 TB nobody re-runs all-pairs
+    dedup per batch; the corpus's digests and LSH band hashes are
+    precomputed (bucketed by digest / (band, bh)), and each batch only
+    *probes* that index.
+
+    Two layers, one union:
+
+    - ``exact``: incoming md5 digest joins the corpus digest index;
+      identical text is a duplicate by definition (jaccard 1.0), and this
+      layer also catches short/empty-shingle docs LSH cannot see.
+    - ``near``: incoming band hashes join the corpus band index
+      (candidates only where a band collides), verified with exact
+      shingle-set Jaccard >= ``threshold``; pairs already caught by the
+      exact layer are excluded.
+
+    Both joins are asymmetric: the incoming batch is typically tiny
+    relative to the corpus, so Spark broadcasts it and the probe never
+    shuffles the corpus-sized side (with a stored, bucketed index the
+    band join is co-located too). Returns
+    (doc_id, dup_of, kind, jaccard) — one row per (incoming, existing)
+    duplicate relation; incoming docs with no row are novel.
+    """
+    t = F.col(text_col)
+    e_dig = existing.select(F.col("doc_id").alias("dup_of"), F.md5(t).alias("digest"))
+    i_dig = fan_out(incoming).select("doc_id", F.md5(t).alias("digest"))
+    exact = i_dig.join(e_dig, "digest").select(
+        "doc_id",
+        "dup_of",
+        F.lit("exact").alias("kind"),
+        F.lit(1.0).alias("jaccard"),
+    )
+
+    e_band = _banded_shingles(existing, k=k, bands=bands, text_col=text_col).select(
+        F.col("doc_id").alias("dup_of"), F.col("s").alias("s_e"), "band", "bh"
+    )
+    i_band = _banded_shingles(incoming, k=k, bands=bands, text_col=text_col)
+    jac = F.size(F.array_intersect("s", "s_e")).cast("double") / F.size(
+        F.array_union("s", "s_e")
+    ).cast("double")
+    near = (
+        i_band.join(e_band, ["band", "bh"])
+        .select("doc_id", "dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()  # a pair can collide in several bands
+        .join(exact.select("doc_id", "dup_of"), ["doc_id", "dup_of"], "left_anti")
+        .select("doc_id", "dup_of", F.lit("near").alias("kind"), "jaccard")
+    )
+    return exact.unionByName(near)
 
 
 def simhash(documents: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:

@@ -173,6 +173,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_oracle() -> str:
+    sig_cols = ",\n         ".join(_mh_exprs())
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"mh_{b * _ROWS + r}::VARCHAR" for r in range(_ROWS)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    return (
+        "WITH "
+        + SHINGLES_CTE
+        + f"""
+, terms AS (SELECT doc_id, unnest(s) AS term FROM shingle_sets),
+th AS (SELECT doc_id, {_BASE_H} AS h FROM terms),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM th GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+exact AS (
+  SELECT i.doc_id AS doc_id, e.doc_id AS dup_of, 'exact' AS kind, 1.0 AS jaccard
+  FROM documents i JOIN documents e ON md5(i.text) = md5(e.text)
+  WHERE i.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+),
+cand AS (
+  SELECT DISTINCT i.doc_id AS doc_id, e.doc_id AS dup_of
+  FROM bands i JOIN bands e ON i.band = e.band AND i.bh = e.bh
+  WHERE i.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+),
+near AS (
+  SELECT c.doc_id, c.dup_of, 'near' AS kind,
+         CAST(len(list_intersect(si.s, se.s)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(si.s, se.s))) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN shingle_sets si ON si.doc_id = c.doc_id
+  JOIN shingle_sets se ON se.doc_id = c.dup_of
+  WHERE CAST(len(list_intersect(si.s, se.s)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(si.s, se.s))) AS DOUBLE) >= {_JACCARD_T}
+    AND NOT EXISTS (SELECT 1 FROM exact x
+                    WHERE x.doc_id = c.doc_id AND x.dup_of = c.dup_of)
+)
+SELECT doc_id, dup_of, kind, jaccard FROM exact
+UNION ALL
+SELECT doc_id, dup_of, kind, jaccard FROM near
+"""
+    )
+
+
+@register("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: odd doc_ids play the incoming batch,
+    even doc_ids the curated corpus; the batch probes the corpus's digest
+    and LSH band indexes instead of re-running all-pairs dedup."""
+    docs = table(spark, sf_dir, "documents")
+    existing = docs.filter(docs.doc_id % 2 == 0)
+    incoming = docs.filter(docs.doc_id % 2 == 1)
+    return D.incremental_dedup(
+        existing, incoming, k=_K, bands=_BANDS, threshold=_JACCARD_T
+    )
+
+
 def _simhash_fp_sql() -> str:
     """Shared CTE text computing (doc_id, simhash) in DuckDB."""
     votes = ",\n         ".join(

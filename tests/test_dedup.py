@@ -126,3 +126,43 @@ def test_embedding_dup_pairs(spark):
            D.embedding_dup_pairs(emb, threshold=0.95).collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] > 0.999
+
+
+def test_incremental_dedup_probes_existing_corpus(spark):
+    existing = spark.createDataFrame(
+        [
+            (10, CORPUS[1]),
+            (20, CORPUS[4]),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (31, CORPUS[1]),  # exact copy of 10
+            # same token stream as 10 (identical shingles -> every band
+            # collides, guaranteed) but different bytes -> not exact
+            (32, "the quick  brown fox, jumps over the lazy dog!"),
+            (33, CORPUS[5]),  # novel
+            (34, "xy"),       # <3 tokens: invisible to LSH, no digest match
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.dup_of): (r.kind, r.jaccard)
+        for r in D.incremental_dedup(existing, incoming, threshold=0.3).collect()
+    }
+    assert set(got) == {(31, 10), (32, 10)}
+    assert got[(31, 10)] == ("exact", 1.0)
+    kind, jac = got[(32, 10)]
+    assert kind == "near"
+    assert math.isclose(jac, 1.0, rel_tol=1e-12)
+
+
+def test_incremental_dedup_within_batch_dups_are_not_flagged(spark):
+    # the operator's contract is batch-vs-corpus; two copies arriving in
+    # the same batch dedup against each other via the normal all-pairs op
+    existing = spark.createDataFrame([(1, CORPUS[4])], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(2, CORPUS[1]), (3, CORPUS[1])], "doc_id long, text string"
+    )
+    assert D.incremental_dedup(existing, incoming, threshold=0.3).count() == 0
