@@ -45,15 +45,27 @@ _table_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def events_ts_type(sf_dir: str) -> str:
+    """Physical parquet type of the events fixture's ``ts`` column, as a
+    pyarrow type string. Driver fixtures have shipped both
+    TIMESTAMP(NANOS) (``timestamp[ns]``) and TIMESTAMP(MICROS)
+    (``timestamp[us]``); readers branch on this so either vintage works.
+    """
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 
-    ``events`` is stored with parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; we read it as raw nanos via the
-    (dynamic) ``nanosAsLong`` conf and rebuild a microsecond timestamp.
-    The fixture's nanos are exactly microsecond-aligned, and DuckDB's
-    TIMESTAMP is microseconds too, so the conversion is lossless and
-    oracle-compatible.
+    ``events`` needs ``ts`` normalization to a session-timezone (UTC)
+    timestamp: a TIMESTAMP(NANOS) fixture is rejected outright by Spark's
+    vectorized reader, so it is read as raw nanos via the (dynamic)
+    ``nanosAsLong`` conf and rebuilt to microseconds (lossless — fixture
+    nanos are microsecond-aligned); a TIMESTAMP(MICROS) fixture arrives as
+    TIMESTAMP_NTZ and is cast. DuckDB's TIMESTAMP is naive microseconds,
+    so both normalizations are oracle-compatible.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -62,10 +74,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if key in cache:
         return cache[key]
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        if events_ts_type(sf_dir).startswith("timestamp[us"):
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     cache[key] = df

@@ -26,7 +26,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
 from similarity_search_with_hadoop_mapreduce_spark.streaming.windows import (
-    EVENTS_RAW_SCHEMA,
+    events_stream,
 )
 
 RUNNING_TOTALS_SCHEMA = T.StructType(
@@ -75,14 +75,7 @@ def user_running_totals(events: DataFrame) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    return events_stream(spark, sf_dir)
 
 
 def streaming_user_totals_demo(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,8 +10,9 @@ same logic the streaming pipeline runs.
 Streaming design points demonstrated in :func:`streaming_tumbling_demo`:
 
 - file source with an explicit schema (streaming readers never infer);
-  the events fixture's TIMESTAMP(NANOS) arrives as raw longs and is
-  rebuilt to a microsecond timestamp in the plan
+  :func:`events_stream` normalizes the fixture's ``ts`` (TIMESTAMP(NANOS)
+  raw longs or TIMESTAMP(MICROS) NTZ, depending on fixture vintage) to a
+  session-tz timestamp in the plan
 - ``withWatermark`` bounds state: windows older than the watermark are
   finalized and evicted — on an unbounded 100 TB/day stream this is what
   keeps the state store finite
@@ -29,16 +30,50 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as raw longs
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_schema(ts_field: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_field),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming reader for the events fixture with an explicit schema
+    (streaming readers never infer), normalizing ``ts`` to a session-tz
+    (UTC) timestamp.
+
+    Dtype-aware like the batch ``load_table``: a TIMESTAMP(NANOS) fixture
+    arrives as raw longs (``nanosAsLong``) and is rebuilt to microseconds;
+    a TIMESTAMP(MICROS) fixture arrives as TIMESTAMP_NTZ and is cast.
+    File stream sources require a *directory*, so the scan glob-filters
+    ``sf_dir`` down to the one table file.
+    """
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        events_ts_type,
+    )
+
+    ts_t = events_ts_type(sf_dir)
+    if ts_t == "timestamp[us]":
+        ts_field, conv = T.TimestampNTZType(), F.col("ts").cast("timestamp")
+    elif ts_t.startswith("timestamp[us"):
+        ts_field, conv = T.TimestampType(), F.col("ts")
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_field, conv = T.LongType(), F.expr("timestamp_micros(ts div 1000)")
+    return (
+        spark.readStream.schema(_events_schema(ts_field))
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", conv)
+    )
 
 
 def _dsum(col):
@@ -108,15 +143,7 @@ def streaming_tumbling_demo(
     sink wants; completeness comes from the next arriving batch advancing
     the watermark.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # file stream sources require a *directory*; glob-filter to the one table
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    raw = events_stream(spark, sf_dir)
     agg = tumbling_agg(raw.withWatermark("ts", watermark), width=width)
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
     q = (
@@ -187,14 +214,7 @@ def streaming_interval_join_demo(
     (unlike append-mode aggregation) the availableNow backfill emits every
     match, and the batch interval_join is a full-value oracle for it.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    raw = events_stream(spark, sf_dir)
     clicks = raw.filter(F.col("event_type") == "click").withWatermark(
         "ts", watermark
     )
@@ -228,14 +248,7 @@ def streaming_static_enrich_demo(
     """
     from similarity_search_with_hadoop_mapreduce_spark.sources.tables import load_table
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    raw = events_stream(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
     )
@@ -268,14 +281,7 @@ def streaming_foreach_batch_demo(
     after a crash overwrites its own output instead of duplicating it.
     The checkpoint dir tracks which epochs are committed.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    raw = events_stream(spark, sf_dir)
 
     def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         (
