@@ -175,6 +175,70 @@ def similarity_to_query(
     )
 
 
+def similarity_multi_query(
+    documents: DataFrame,
+    query_ids,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against a *batch* of query documents in one
+    pass — the engine generalization of the reference's one-query driver
+    (``BookQuery.java:194-208`` hard-codes a single query file; serving a
+    query batch there means re-running both MR jobs per query).
+
+    Returns ``(doc_id, query_id, shared, containment, jaccard)`` — one row
+    per (document, query) pair with ``shared = |D∩Q| > 0``, self-pairs
+    excluded; ``containment = |D∩Q|/|Q|`` is the reference's effective
+    score with nothing pruned (SURVEY §2.3 Q2), ``jaccard`` the textbook
+    ratio. No df-pruning quirks: those are single-query semantics (the
+    ``count == n`` prune counts the one query doc, quirk Q5).
+
+    Scale topology (100 TB corpus, thousands of queries):
+
+    - The union of all query terms is broadcast and ``array_intersect``-ed
+      map-side before the explode (the reference's O1 semi-filter
+      generalized), so explode volume is ``Σ_d |D ∩ ∪Q|`` — bounded by
+      corpus × batch vocabulary, never corpus × document length.
+    - Surviving (doc, term) rows broadcast-hash-join the exploded query
+      term table (tiny vs the corpus; no shuffle of the corpus side).
+    - One real exchange: the final ``groupBy(doc_id, query_id)`` count,
+      keyed on high-cardinality pairs (no skew key exists — a term shared
+      by every doc contributes rows spread over all doc ids).
+    """
+    docs = corpus_shingles(documents, text_col)
+    qset = docs.filter(F.col("doc_id").isin(list(query_ids))).select(
+        F.col("doc_id").alias("qid"),
+        F.col("shingle_set").alias("qs"),
+        F.size("shingle_set").alias("q_len"),
+    )
+    all_terms = qset.agg(
+        F.array_distinct(F.flatten(F.collect_list("qs"))).alias("all_q")
+    )
+    qterms = qset.select("qid", "q_len", F.explode("qs").alias("term"))
+    kept = docs.join(F.broadcast(all_terms)).select(
+        "doc_id",
+        F.size("shingle_set").alias("sz_d"),
+        F.explode(F.array_intersect("shingle_set", "all_q")).alias("term"),
+    )
+    pairs = (
+        kept.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("doc_id", "qid", "sz_d", "q_len")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return pairs.select(
+        "doc_id",
+        F.col("qid").cast("string").alias("query_id"),
+        "shared",
+        (F.col("shared").cast("double") / F.col("q_len").cast("double")).alias(
+            "containment"
+        ),
+        (
+            F.col("shared").cast("double")
+            / (F.col("sz_d") + F.col("q_len") - F.col("shared")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
 def top_k_similar(
     documents: DataFrame, query_doc_id=0, k: int = 10, mode: str = "parity"
 ) -> DataFrame:

@@ -20,6 +20,7 @@ from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
     trigrams,
 )
 from similarity_search_with_hadoop_mapreduce_spark.operators.similarity import (
+    similarity_multi_query,
     similarity_to_query,
     top_k_similar,
 )
@@ -407,6 +408,37 @@ def q_flagship_reference_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reference_output_format(
         similarity_to_query(_docs(spark, sf_dir), 0, mode="parity"),
     )
+
+
+_MULTI_QUERY_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE
+    + """
+, q AS (
+  SELECT doc_id AS qid, s AS qs, len(s) AS q_len
+  FROM shingle_sets WHERE doc_id IN (0, 1, 2, 3, 4)
+),
+pairs AS (
+  SELECT d.doc_id, q.qid, len(list_intersect(d.s, q.qs)) AS shared,
+         len(d.s) AS sz_d, q.q_len
+  FROM shingle_sets d, q
+  WHERE d.doc_id != q.qid AND len(list_intersect(d.s, q.qs)) > 0
+)
+SELECT doc_id, qid::VARCHAR AS query_id, CAST(shared AS BIGINT) AS shared,
+       CAST(shared AS DOUBLE) / CAST(q_len AS DOUBLE) AS containment,
+       CAST(shared AS DOUBLE) / CAST(sz_d + q_len - shared AS DOUBLE) AS jaccard
+FROM pairs
+"""
+)
+
+
+@register("flagship_multi_query", oracle=_MULTI_QUERY_ORACLE)
+def q_flagship_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch of 5 queries scored against the corpus in ONE inverted-index
+    pass (vs the reference's one-pipeline-per-query driver): broadcast
+    union-of-query-terms semi-filter (O1 generalized), broadcast term
+    join, one pair-count exchange."""
+    return similarity_multi_query(_docs(spark, sf_dir), [0, 1, 2, 3, 4])
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,6 +61,19 @@ def test_minhash_lsh_two_shuffles(spark):
     assert shuffle_exchange_count(D.minhash_lsh_pairs(_docs(spark))) == 2
 
 
+def test_multi_query_one_pair_shuffle_and_broadcast_query_side(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.operators.similarity import (
+        similarity_multi_query,
+    )
+
+    df = similarity_multi_query(_docs(spark), [0, 1, 2])
+    # the union-of-query-terms scalar agg + the final pair count; the
+    # corpus side itself never shuffles before aggregation
+    assert shuffle_exchange_count(df) == 2
+    # both query-side tables (term union, exploded term table) broadcast
+    assert broadcast_exchange_count(df) == 2
+
+
 def test_filter_and_projection_reach_parquet_scan(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     q = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
