@@ -241,3 +241,31 @@ def vocab_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("total_terms").cast("double") / F.col("n_docs").cast("double"), 6
         ).alias("mean_set_size"),
     )
+
+
+def make_sentence_udtf():
+    """Python UDTF (table function) splitting text into trimmed sentences.
+
+    The one deliberately Python-row-level operator in the engine: it
+    exists to exercise the UDTF surface (generator-shaped user logic the
+    reference could only express as a whole Mapper class,
+    BookQuery.java:116-149). Everything hot-path stays native; a UDTF like
+    this is the escape hatch for logic that genuinely needs Python (e.g.
+    a real sentence segmenter model). Registered per-session and used via
+    SQL LATERAL, so it composes with ordinary relational operators.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_id int, sentence string")
+    class SplitSentences:
+        def eval(self, text):
+            import re
+
+            i = 0
+            for part in re.split(r"[.!?]+", text or ""):
+                p = part.strip(" \t\n\r")
+                if p:
+                    yield i, p
+                    i += 1
+
+    return SplitSentences

@@ -197,3 +197,31 @@ FROM terms
 def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus vocabulary summary."""
     return T.vocab_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_sentences_udtf",
+    oracle=r"""
+WITH parts AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                    x -> trim(x, E' \t\n\r')),
+                     x -> x != '') AS ss
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(len(ss))) AS INTEGER) AS sent_id,
+       unnest(ss) AS sentence
+FROM parts
+""",
+)
+def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (the engine's one row-level Python operator, by
+    design — see make_sentence_udtf): sentence segmentation as a table
+    function composed via SQL LATERAL, full-value oracle-checked."""
+    spark.udtf.register("split_sentences", T.make_sentence_udtf())
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf_v")
+    return spark.sql(
+        "SELECT d.doc_id, s.sent_id, s.sentence "
+        "FROM documents_udtf_v d, LATERAL split_sentences(d.text) s"
+    )

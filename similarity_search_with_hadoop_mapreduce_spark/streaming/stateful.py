@@ -1,4 +1,6 @@
-"""Custom stateful streaming operators via ``applyInPandasWithState``.
+"""Custom stateful streaming operators: ``applyInPandasWithState`` plus
+its Spark-4 successor ``transformWithStateInPandas`` (typed state handles,
+timers, RocksDB store — gated on its protobuf dependency here).
 
 These cover the operator class Spark's built-in windows can't express:
 arbitrary per-key state evolved batch-by-batch (the Structured Streaming
@@ -119,3 +121,119 @@ def streaming_dedup_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-state API
+# ---------------------------------------------------------------------------
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf wire format between
+    the JVM and its Python driver worker; gate on the dependency instead
+    of failing mid-query (this container ships PySpark without protobuf).
+    """
+    import importlib.util
+
+    try:
+        # find_spec imports the parent package, so a missing 'google'
+        # namespace raises instead of returning None
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+TWS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+    ]
+)
+
+
+def make_user_totals_processor():
+    """StatefulProcessor maintaining per-user (event count, floor-cent
+    value sum) in a ValueState.
+
+    transformWithStateInPandas is the successor API to
+    applyInPandasWithState (demonstrated above): typed state handles
+    (value/list/map state), timers, TTL, and a RocksDB-backed store
+    instead of one opaque state tuple. The accumulator is an integer
+    (``floor(value * 100)`` cents) on purpose — integer addition is
+    order-independent, so the running total is bit-deterministic under
+    any micro-batch partitioning and a plain SQL aggregate is a
+    full-value oracle for it (float sums would drift by fold order).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            row = self._totals.get()
+            n, cents = (row[0], row[1]) if row is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100.0).astype("int64").sum()
+                )
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTotalsProcessor()
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Running per-user totals via transformWithStateInPandas (RocksDB
+    state store; caller sets the provider conf — see the demo)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=make_user_totals_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def streaming_user_totals_tws_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run :func:`user_running_totals_tws` as a real streaming query
+    (availableNow backfill → memory sink) and return the final per-user
+    totals (update mode: last emit per user wins)."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(google.protobuf), which is not installed in this environment; "
+            "user_running_totals (applyInPandasWithState) is the runnable "
+            "equivalent here"
+        )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = f"user_totals_tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_running_totals_tws(_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name)
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    return emitted.withColumn("rn", w).filter(F.col("rn") == 1).drop("rn")

@@ -116,3 +116,34 @@ def test_foreach_batch_sink_writes_all_events_idempotently(spark, tmp_path):
     # re-running against the same checkpoint is a no-op (epochs committed)
     streaming_foreach_batch_demo(spark, SF_DIR, out)
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_tws_gate_or_matches_batch(spark):
+    """transformWithStateInPandas (Spark 4 state API): when its protobuf
+    dependency is present the running totals must equal the batch
+    aggregate exactly (integer cent accumulator => order-independent);
+    without it the operator must fail fast with the documented gate."""
+    import pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.streaming import stateful as S
+
+    if not S.tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            S.streaming_user_totals_tws_demo(spark, SF_DIR)
+        return
+    got = (
+        S.streaming_user_totals_tws_demo(spark, SF_DIR)
+        .orderBy("user_id")
+        .collect()
+    )
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
