@@ -89,3 +89,61 @@ def asof_join(
         .filter(F.col("_side") == 1)
         .drop("_side")
     )
+
+
+def gapfill_locf(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense minute grid per key with zero-filled counts and
+    last-observation-carried-forward values — the gap-filling companion
+    to the hypertable rollup (TimescaleDB's ``time_bucket_gapfill`` +
+    ``locf`` re-expressed as DataFrame ops).
+
+    Plan: one aggregation shuffle on (key, minute); the grid is
+    ``distinct keys × sequence(min_minute, max_minute)`` — a few rows per
+    key per minute of history, negligible next to the event table — so
+    the left join against the aggregates broadcasts the grid or
+    hash-joins it cheaply; the LOCF is a running ``last(ignorenulls)``
+    window per key.
+
+    Skew note (100 TB): the window partitions by key alone, so a year of
+    minutes for one key sorts in one partition (~500k rows — fine). For
+    finer buckets or longer ranges, partition by (key, day) and carry a
+    per-day seed exactly like the as-of join's range-bucketed variant.
+    """
+    b = F.date_trunc("minute", F.col(ts_col))
+    agg = events.groupBy(F.col(key_col).alias("k"), b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    bounds = events.agg(
+        F.date_trunc("minute", F.min(ts_col)).alias("lo"),
+        F.date_trunc("minute", F.max(ts_col)).alias("hi"),
+    )
+    keys = events.select(F.col(key_col).alias("k")).distinct()
+    grid = keys.join(F.broadcast(bounds)).select(
+        "k",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 minute"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["k", "bucket"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("bucket").alias("bucket_start"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "total_value",
+            F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )

@@ -220,3 +220,40 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v_partial").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+WITH agg AS (
+  SELECT event_type AS k, date_trunc('minute', ts) AS bucket,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('minute', min(ts)) AS lo, date_trunc('minute', max(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket
+  FROM (SELECT DISTINCT event_type AS k FROM events), bounds
+)
+SELECT g.k AS event_type, CAST(g.bucket AS TIMESTAMP) AS bucket_start,
+       CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+       a.total_value,
+       last_value(a.total_value IGNORE NULLS) OVER (
+         PARTITION BY g.k ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM grid g LEFT JOIN agg a ON g.k = a.k AND g.bucket = a.bucket
+""",
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled minute series per event type: dense bucket grid,
+    zero-filled counts, last-observation-carried-forward value sums
+    (time_bucket_gapfill + locf semantics)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        gapfill_locf,
+    )
+
+    return gapfill_locf(table(spark, sf_dir, "events"))
