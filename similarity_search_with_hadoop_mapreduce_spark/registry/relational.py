@@ -1714,3 +1714,69 @@ def unpivot_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("double").alias("cust"),
     )
     return o.unpivot("o_orderkey", ["price", "cust"], "name", "value")
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT ALL
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (multiplicity = min of the two sides) —
+    the multiset counterpart of set_intersect."""
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT ALL
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity = left minus right, floored
+    at zero) — the multiset counterpart of set_except."""
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return a.exceptAll(b)
+
+
+@register(
+    "events_props_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       CAST(json_extract_string(props, '$.k') IS NOT NULL AS BOOLEAN) AS has_k
+FROM events
+""",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface via Spark 4's VARIANT type: parse_json once,
+    typed variant_get extraction — the open-schema path for property bags
+    (binary variant encoding decodes ~an order of magnitude faster than
+    re-parsing JSON strings per access, and pushes into shredded columns
+    on modern table formats). Oracle = DuckDB JSON extraction."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_value"),
+        F.variant_get(v, "$.k", "string").isNotNull().alias("has_k"),
+    )
