@@ -29,6 +29,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "flagship_containment_parity",
     "flagship_topk",
+    "flagship_multi_query",
+    "events_gapfill_locf",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
