@@ -93,9 +93,8 @@ def main() -> None:
     spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count().write.format(
         "noop"
     ).mode("overwrite").save()
-    QUERIES["shingle_distinct"](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    for name in HEADLINE:
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     # Three timed iterations, min per query: the first pays per-query codegen
     # and C2 JIT compilation of interpreted-HOF paths (a fixed JVM cost, not

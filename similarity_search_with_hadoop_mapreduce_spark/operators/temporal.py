@@ -121,12 +121,17 @@ def gapfill_locf(
         .cast("double")
         .alias("total_value"),
     )
-    bounds = events.agg(
-        F.date_trunc("minute", F.min(ts_col)).alias("lo"),
-        F.date_trunc("minute", F.max(ts_col)).alias("hi"),
+    # Bounds and the key set are derived from the aggregate, not the raw
+    # events: min/max observed bucket and distinct keys are identical
+    # either way, but this subtree is byte-identical to the join's right
+    # side, so Spark reuses one exchange instead of scanning the (at
+    # scale, enormous) event table three times.
+    kb = agg.agg(
+        F.collect_set("k").alias("ks"),
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
     )
-    keys = events.select(F.col(key_col).alias("k")).distinct()
-    grid = keys.join(F.broadcast(bounds)).select(
+    grid = kb.select(F.explode("ks").alias("k"), "lo", "hi").select(
         "k",
         F.explode(
             F.sequence("lo", "hi", F.expr("interval 1 minute"))
