@@ -8,6 +8,7 @@ are reproducible across engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.operators import ann as A
 from similarity_search_with_hadoop_mapreduce_spark.registry.base import register, table
@@ -141,4 +142,78 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K,
         n_centroids=_N_CENTROIDS,
         nprobe=_NPROBE,
+    )
+
+
+_DOT_NQ = (
+    f"list_sum(list_transform(range(1, {_DIM} + 1), "
+    "i -> CAST(n.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+WITH n AS (SELECT vec_id, embedding, {_NORM} AS nrm FROM embeddings),
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm
+  FROM n WHERE vec_id < {_N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT nv.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY nv.vec_id
+             ORDER BY round({_DOT_NC} / (nv.nrm * c.c_nrm), 6) DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM n nv CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0),
+probed AS (
+  SELECT c.centroid_id FROM cents c, q
+  ORDER BY round({_DOT_CQ} / (c.c_nrm * q.q_nrm), 6) DESC, c.centroid_id
+  LIMIT {_NPROBE}
+),
+ivf AS (
+  SELECT nv.vec_id
+  FROM assigned a JOIN probed USING (centroid_id)
+       JOIN n nv ON nv.vec_id = a.vec_id, q
+  WHERE nv.vec_id != 0
+  ORDER BY round({_DOT_NQ.replace('n.', 'nv.')} / (nv.nrm * q.q_nrm), 6) DESC,
+           nv.vec_id
+  LIMIT {_K}
+),
+exact AS (
+  SELECT n.vec_id
+  FROM n, q
+  WHERE n.vec_id != 0
+  ORDER BY round({_DOT_NQ} / (n.nrm * q.q_nrm), 6) DESC, n.vec_id
+  LIMIT {_K}
+)
+SELECT CAST((SELECT count(*) FROM ivf JOIN exact USING (vec_id)) AS DOUBLE)
+         / {_K} AS recall_at_k,
+       CAST({_K} AS INTEGER) AS k
+""",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality metric: recall@10 of the IVF probe against the exact
+    brute-force top-10 — the number a similarity-search deployment tunes
+    nprobe/centroid-count against. Composes the two existing pipelines
+    and reduces to one row, so it stays cheap at any corpus size (both
+    sides end in TakeOrderedAndProject before the tiny join)."""
+    ivf = A.ivf_topk(
+        table(spark, sf_dir, "embeddings"),
+        0,
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE,
+    ).select("vec_id")
+    exact = A.cosine_topk(table(spark, sf_dir, "embeddings"), 0, k=_K).select(
+        "vec_id"
+    )
+    return ivf.join(exact, "vec_id").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(_K))).alias("recall_at_k"),
+        F.lit(_K).cast("int").alias("k"),
     )
