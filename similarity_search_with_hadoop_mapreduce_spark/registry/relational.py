@@ -1780,3 +1780,68 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k_value"),
         F.variant_get(v, "$.k", "string").isNotNull().alias("has_k"),
     )
+
+
+@register(
+    "agg_argmax",
+    oracle="""
+SELECT c_nationkey,
+       (max(struct_pack(b := c_acctbal, k := c_custkey, n := c_name))).k
+         AS top_custkey,
+       (max(struct_pack(b := c_acctbal, k := c_custkey, n := c_name))).n
+         AS top_name,
+       (max(struct_pack(b := c_acctbal, k := c_custkey, n := c_name))).b
+         AS top_acctbal
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise argmax without a window: one hash aggregate carrying a
+    lexicographically-ordered struct (value, tiebreak, payload) — half
+    the cost of the row_number() plan (no sort, partial agg map-side)
+    and fully deterministic because the tiebreak key is unique."""
+    c = table(spark, sf_dir, "customer")
+    m = F.max(
+        F.struct(
+            F.col("c_acctbal").alias("b"),
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("n"),
+        )
+    )
+    return c.groupBy("c_nationkey").agg(m.alias("m")).select(
+        "c_nationkey",
+        F.col("m.k").alias("top_custkey"),
+        F.col("m.n").alias("top_name"),
+        F.col("m.b").alias("top_acctbal"),
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT CAST(least(15, floor(((value - lo) / (hi - lo)) * 16)) AS INTEGER)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events, bounds
+GROUP BY 1
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 16-bucket histogram of the event value distribution —
+    data-dependent bounds from one scalar agg (broadcast into the
+    bucketing projection), then a single group-by; identical IEEE double
+    arithmetic on both engines keeps bucket edges bit-stable."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.least(
+        F.lit(15),
+        F.floor(((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))) * 16),
+    ).cast("int")
+    return (
+        e.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
