@@ -196,3 +196,32 @@ def test_property_parity_random_corpora(spark, corpus):
     # invariants: scores in (0, 1]; absence <=> zero surviving overlap
     for v in _spark_scores(spark, corpus).values():
         assert 0.0 < v <= 1.0
+
+
+def test_multi_query_consistent_with_single_query_jaccard(spark):
+    """similarity_multi_query's jaccard column must equal the flagship's
+    jaccard mode per query (same |D∩Q| / |D∪Q|, no pruning quirks), and
+    its containment column must equal |D∩Q| / |Q| from the harness."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.similarity import (
+        similarity_multi_query,
+    )
+
+    corpus = {
+        "q": "the quick brown fox jumps over the lazy dog",
+        "d1": "the quick brown fox runs far away from here today",
+        "d2": "a completely different set of words with no overlap at all",
+        "d3": "the quick brown fox jumps over the lazy dog exactly",
+    }
+    df = _corpus_df(spark, corpus)
+    multi = {
+        (r.doc_id, r.query_id): (r.containment, r.jaccard)
+        for r in similarity_multi_query(df, ["q", "d1"]).collect()
+    }
+    for qid in ("q", "d1"):
+        single = _spark_scores(spark, corpus, query_id=qid, mode="jaccard")
+        multi_q = {d: j for (d, q), (_, j) in multi.items() if q == qid}
+        assert multi_q == single
+        qset = shingle_set(corpus[qid])
+        for d, (cont, _) in ((d, v) for (d, q), v in multi.items() if q == qid):
+            inter = len(shingle_set(corpus[d]) & qset)
+            assert math.isclose(cont, inter / len(qset), rel_tol=1e-12)
