@@ -269,3 +269,46 @@ def make_sentence_udtf():
                     i += 1
 
     return SplitSentences
+
+
+def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals over the trigram multiset — the
+    duplicate-n-gram quality filters large-scale curation uses (fraction
+    of duplicated n-grams / mass of the single most frequent n-gram):
+    heavily templated or looping documents score high and get filtered
+    before training.
+
+    (doc_id, n_trigrams, n_distinct_trigrams, dup_trigram_frac,
+    top_trigram_frac); zero-trigram docs report 0 ratios. One explode +
+    two-level aggregation — the per-(doc, term) partial keeps the shuffle
+    key high-cardinality, and both ratios reduce per doc.
+    """
+    from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
+        java_split_tokens,
+        trigrams,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
+
+    base = fan_out(documents)
+    tg = base.select(
+        "doc_id",
+        F.explode(trigrams(java_split_tokens(F.col(text_col)))).alias("term"),
+    )
+    per_term = tg.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    st = per_term.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("nd"),
+        F.max("c").alias("top"),
+    )
+    total = F.col("total").cast("double")
+    return base.select("doc_id").join(st, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("total", F.lit(0)).alias("n_trigrams"),
+        F.coalesce("nd", F.lit(0)).alias("n_distinct_trigrams"),
+        F.coalesce(
+            F.round(F.lit(1.0) - F.col("nd").cast("double") / total, 6), F.lit(0.0)
+        ).alias("dup_trigram_frac"),
+        F.coalesce(
+            F.round(F.col("top").cast("double") / total, 6), F.lit(0.0)
+        ).alias("top_trigram_frac"),
+    )

@@ -225,3 +225,38 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.sent_id, s.sentence "
         "FROM documents_udtf_v d, LATERAL split_sentences(d.text) s"
     )
+
+
+@register(
+    "text_repetition",
+    oracle="WITH "
+    + TOKENS_CTE
+    + r"""
+, tg AS (
+  SELECT doc_id,
+    CASE WHEN len(tok) >= 3
+         THEN list_transform(range(1, len(tok)-1),
+                             i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+         ELSE [] END AS g
+  FROM tokens
+),
+ex AS (SELECT doc_id, unnest(g) AS term FROM tg),
+pt AS (SELECT doc_id, term, count(*) AS c FROM ex GROUP BY 1, 2),
+st AS (
+  SELECT doc_id, sum(c) AS total, count(*) AS nd, max(c) AS top
+  FROM pt GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(st.total, 0) AS BIGINT) AS n_trigrams,
+       CAST(coalesce(st.nd, 0) AS BIGINT) AS n_distinct_trigrams,
+       coalesce(round(1.0 - CAST(st.nd AS DOUBLE) / CAST(st.total AS DOUBLE), 6),
+                0.0) AS dup_trigram_frac,
+       coalesce(round(CAST(st.top AS DOUBLE) / CAST(st.total AS DOUBLE), 6),
+                0.0) AS top_trigram_frac
+FROM documents d LEFT JOIN st USING (doc_id)
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-n-gram quality signals: fraction of repeated
+    trigram occurrences and mass of the most frequent trigram per doc."""
+    return T.repetition_stats(table(spark, sf_dir, "documents"))
