@@ -446,3 +446,26 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_to_query(_docs(spark, sf_dir), 0, mode="parity").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
+
+
+@register(
+    "flagship_multi_query_topk",
+    oracle=_MULTI_QUERY_ORACLE
+    + """QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY containment DESC, doc_id) <= 5
+""",
+)
+def q_flagship_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query top-5 over the batch similarity pass — the serving shape
+    for query batches (rank within query, not globally). One extra
+    window per query partition; query_id is the partition key, so the
+    rank never concentrates on one task."""
+    from pyspark.sql import Window
+
+    scored = similarity_multi_query(_docs(spark, sf_dir), [0, 1, 2, 3, 4])
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.desc("containment"), F.asc("doc_id")
+        )
+    )
+    return scored.withColumn("rn", rn).filter(F.col("rn") <= 5).drop("rn")
