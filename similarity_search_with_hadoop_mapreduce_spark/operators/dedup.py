@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.functions.text import shingles
+from similarity_search_with_hadoop_mapreduce_spark.operators.skew import write_bucketed
 from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
 
 HEX = "0123456789abcdef"
@@ -615,3 +616,82 @@ def embedding_dup_pairs(
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def build_dedup_index(
+    existing: DataFrame,
+    prefix: str = "dedup_index",
+    k: int = 16,
+    bands: int = 4,
+    n_buckets: int = 16,
+    text_col: str = "text",
+) -> None:
+    """Persist the corpus's dedup indexes as bucketed tables: a digest
+    index (exact layer) bucketed by ``digest`` and an LSH band index
+    (near layer) bucketed by ``bh``.
+
+    This is the storage half of continuous ingestion at 100 TB: the
+    corpus is hashed ONCE at index-build time; every future batch probes
+    these tables. Bucketing by the join key means a probe join never
+    shuffles the corpus-sized side — only the (small) batch side moves,
+    onto the index's pre-paid partitioning.
+    """
+    t = F.col(text_col)
+    digests = existing.select(
+        F.col("doc_id").alias("dup_of"), F.md5(t).alias("digest")
+    )
+    write_bucketed(digests, f"{prefix}_digest", "digest", n_buckets=n_buckets)
+    bandtbl = _banded_shingles(existing, k=k, bands=bands, text_col=text_col).select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("s").alias("s_e"),
+        F.col("band").alias("band_e"),
+        "bh",
+    )
+    write_bucketed(bandtbl, f"{prefix}_bands", "bh", n_buckets=n_buckets)
+
+
+def incremental_dedup_probe(
+    spark,
+    incoming: DataFrame,
+    prefix: str = "dedup_index",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an incoming batch against the *stored* indexes written by
+    :func:`build_dedup_index` — same output contract as
+    :func:`incremental_dedup` (doc_id, dup_of, kind, jaccard), different
+    physical plan: the corpus side is two bucketed scans, never hashed
+    or shuffled again.
+
+    Both probe joins key exactly on the bucket column (the band join
+    uses ``bh`` alone with the band id as a residual filter — a rare
+    cross-band ``bh`` collision is filtered, not joined), so the stored
+    side's ``HashPartitioning`` satisfies the join's distribution and
+    only the batch side exchanges.
+    """
+    e_dig = spark.table(f"{prefix}_digest")
+    e_band = spark.table(f"{prefix}_bands")
+    t = F.col(text_col)
+    i_dig = fan_out(incoming).select("doc_id", F.md5(t).alias("digest"))
+    exact = i_dig.join(e_dig, "digest").select(
+        "doc_id",
+        "dup_of",
+        F.lit("exact").alias("kind"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    i_band = _banded_shingles(incoming, k=k, bands=bands, text_col=text_col)
+    jac = F.size(F.array_intersect("s", "s_e")).cast("double") / F.size(
+        F.array_union("s", "s_e")
+    ).cast("double")
+    near = (
+        i_band.join(e_band, "bh")
+        .filter(F.col("band") == F.col("band_e"))
+        .select("doc_id", "dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+        .join(exact.select("doc_id", "dup_of"), ["doc_id", "dup_of"], "left_anti")
+        .select("doc_id", "dup_of", F.lit("near").alias("kind"), "jaccard")
+    )
+    return exact.unionByName(near)

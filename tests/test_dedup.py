@@ -166,3 +166,47 @@ def test_incremental_dedup_within_batch_dups_are_not_flagged(spark):
         [(2, CORPUS[1]), (3, CORPUS[1])], "doc_id long, text string"
     )
     assert D.incremental_dedup(existing, incoming, threshold=0.3).count() == 0
+
+
+def test_incremental_probe_matches_inline_and_never_shuffles_corpus(spark):
+    """build_dedup_index + incremental_dedup_probe must produce exactly
+    the inline incremental_dedup relations, with both stored index scans
+    bucketed so the corpus side joins shuffle-free."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+        incremental_dedup_probe,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.plans import explain_string
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta doc 3"),  # exact dup
+            (101, "alpha beta gamma delta epsilon zeta doc other"),  # near dup
+            (102, "totally unrelated words that have no overlap whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, prefix="t_didx", n_buckets=4)
+    probe = incremental_dedup_probe(spark, batch, prefix="t_didx")
+    inline = incremental_dedup(corpus, batch)
+    key = lambda r: (r.doc_id, r.dup_of, r.kind, round(r.jaccard, 9))
+    assert sorted(map(key, probe.collect())) == sorted(map(key, inline.collect()))
+    plan = explain_string(probe, "formatted")
+    assert plan.count("Bucketed: true") == 2  # both index scans stay bucketed
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_string(incremental_dedup_probe(spark, batch, prefix="t_didx"), "formatted")
+        # with broadcast off, every probe join is SMJ/shuffle-hash; the
+        # bucketed sides still must not re-shuffle: no Exchange directly
+        # above a bucketed scan subtree
+        assert plan.count("Bucketed: true") == 2
+        import re
+        # each bucketed scan feeds a Sort/Join without an intervening Exchange
+        assert not re.search(r"Exchange hashpartitioning\((digest|bh)#", plan)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
