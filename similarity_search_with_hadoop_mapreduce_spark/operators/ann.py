@@ -214,22 +214,19 @@ def assign_ivf_centroids(
     )
 
 
-def ivf_topk(
+def _ivf_probe_state(
     embeddings: DataFrame,
-    query_vec_id=0,
-    k: int = 10,
-    n_centroids: int = 8,
-    nprobe: int = 2,
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF approximate top-k: score only vectors whose centroid is among
-    the query's ``nprobe`` closest centroids.
-
-    Recall/speed dial: ``nprobe == n_centroids`` degenerates to exact
-    brute force; ``nprobe = 1`` reads a single inverted list. Returns
-    (vec_id, centroid_id, cosine).
-    """
-    # one driver collect fetches codebook + query row together
+    query_vec_id,
+    n_centroids: int,
+    nprobe: int,
+    id_col: str,
+):
+    """(query vector, its norm, probed centroid ids, codebook) — the
+    coordinator-side state of an IVF probe. One driver collect fetches
+    codebook + query row together; probe selection ranks nprobe of
+    n_centroids rows in Python with the same fold order and HALF_UP
+    rounding as the JVM expressions, so it is bit-compatible with a
+    dataframe formulation of the same ranking."""
     rows = (
         embeddings.filter(
             (F.col(id_col) < n_centroids) | (F.col(id_col) == F.lit(query_vec_id))
@@ -255,10 +252,6 @@ def ivf_topk(
         qn += x * x
     qn = math.sqrt(qn)
 
-    # query-side probe selection is coordinator work (nprobe out of
-    # n_centroids rows) — done in Python with the same fold order and
-    # HALF_UP rounding as the JVM expressions, so it is bit-compatible
-    # with a dataframe formulation of the same ranking
     def _dot(a: list[float], b: list[float]) -> float:
         s = 0.0
         for x, y in zip(a, b):
@@ -266,11 +259,33 @@ def ivf_topk(
         return s
 
     ranked = sorted(
-        ((_round6(_dot(v, q) / (cn * qn)) if cn * qn != 0.0 else 0.0, cid) for cid, v, cn in book),
+        (
+            (_round6(_dot(v, q) / (cn * qn)) if cn * qn != 0.0 else 0.0, cid)
+            for cid, v, cn in book
+        ),
         key=lambda t: (-t[0], t[1]),
     )
-    probe_ids = [cid for _, cid in ranked[:nprobe]]
+    return q, qn, [cid for _, cid in ranked[:nprobe]], book
 
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose centroid is among
+    the query's ``nprobe`` closest centroids.
+
+    Recall/speed dial: ``nprobe == n_centroids`` degenerates to exact
+    brute force; ``nprobe = 1`` reads a single inverted list. Returns
+    (vec_id, centroid_id, cosine).
+    """
+    q, qn, probe_ids, book = _ivf_probe_state(
+        embeddings, query_vec_id, n_centroids, nprobe, id_col
+    )
     assigned = assign_ivf_centroids(embeddings, n_centroids, id_col=id_col, book=book)
     e = F.col("embedding")
     cos = F.round(
@@ -334,6 +349,61 @@ def lsh_bucketed_topk(
             F.col("bucket"),
             cos.alias("cosine"),
         )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def write_ivf_layout(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the corpus in IVF storage layout: parquet partitioned by
+    ``centroid_id`` (one directory per inverted list). The index-build
+    half of ANN at 100 TB — assignment runs once at write time; every
+    query after that scans only its probed partitions."""
+    assign_ivf_centroids(embeddings, n_centroids, id_col=id_col).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
+
+
+def ivf_topk_from_layout(
+    spark,
+    layout_path: str,
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k against the stored layout written by
+    :func:`write_ivf_layout`: the ``centroid_id IN (probes)`` filter is a
+    *partition* filter on the layout's directory key, so the scan lists
+    and reads only ``nprobe`` of ``n_centroids`` partitions — the corpus
+    is never re-assigned, and the unprobed inverted lists cost zero I/O
+    (assert via PushedFilters/PartitionFilters in the plan).
+
+    Same results as :func:`ivf_topk` with the same parameters.
+    """
+    q, qn, probe_ids, _ = _ivf_probe_state(
+        embeddings, query_vec_id, n_centroids, nprobe, id_col
+    )
+    stored = spark.read.parquet(layout_path)
+    e = F.col("embedding")
+    cos = F.round(
+        F.coalesce(
+            dot(e, _lit_vec(q)) / F.nullif(l2_norm(e) * F.lit(qn), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        stored.filter(F.col("centroid_id").isin(probe_ids))
+        .filter(F.col("vec_id") != F.lit(query_vec_id))
+        .select("vec_id", "centroid_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )

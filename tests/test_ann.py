@@ -76,3 +76,28 @@ def test_ivf_topk_matches_numpy_replication(spark):
 def test_hyperplanes_deterministic():
     assert A.hyperplane_signs(2, 4) == A.hyperplane_signs(2, 4)
     assert all(x in (1.0, -1.0) for row in A.hyperplane_signs(3, 16) for x in row)
+
+
+def test_ivf_layout_probe_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """The stored IVF layout must return exactly the inline ivf_topk
+    result while scanning only the probed centroid partitions."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        ivf_topk,
+        ivf_topk_from_layout,
+        write_ivf_layout,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.plans import explain_string
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_layout")
+    write_ivf_layout(emb, path, n_centroids=8)
+    probe = ivf_topk_from_layout(spark, path, emb, 0, k=10, n_centroids=8, nprobe=2)
+    inline = ivf_topk(emb, 0, k=10, n_centroids=8, nprobe=2)
+    key = lambda r: (r.vec_id, r.centroid_id, r.cosine)
+    assert [key(r) for r in probe.collect()] == [key(r) for r in inline.collect()]
+    plan = explain_string(probe, "formatted")
+    # the centroid IN-list must reach the scan as a partition filter,
+    # i.e. unprobed inverted lists are skipped at file-listing time
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0]
