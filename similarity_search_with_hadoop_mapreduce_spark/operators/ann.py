@@ -407,3 +407,68 @@ def ivf_topk_from_layout(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def write_lsh_layout(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the corpus in LSH storage layout: parquet partitioned by
+    the hyperplane ``bucket`` — the hash-family counterpart of
+    :func:`write_ivf_layout` (same one-directory-per-list topology,
+    2**n_planes lists)."""
+    planes = hyperplane_signs(n_planes, dim)
+    fan_out(embeddings).withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), planes)
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_from_layout(
+    spark,
+    layout_path: str,
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH top-k against the stored layout: the query's bucket is computed
+    driver-side from the same deterministic hyperplane family, then the
+    scan reads exactly ONE partition directory (PartitionFilters); same
+    results as :func:`lsh_bucketed_topk`."""
+    planes = hyperplane_signs(n_planes, dim)
+    qrow = (
+        embeddings.filter(F.col(id_col) == F.lit(query_vec_id))
+        .select(
+            "embedding",
+            lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+            l2_norm(F.col("embedding")).alias("nrm"),
+        )
+        .collect()
+    )
+    if not qrow:
+        raise KeyError(f"query vector {query_vec_id!r} not found in {id_col}")
+    q_emb = [float(x) for x in qrow[0]["embedding"]]
+    q_bucket, q_nrm = qrow[0]["bucket"], float(qrow[0]["nrm"])
+    stored = spark.read.parquet(layout_path)
+    e = F.col("embedding")
+    cos = F.round(
+        F.coalesce(
+            dot(e, _lit_vec(q_emb)) / F.nullif(l2_norm(e) * F.lit(q_nrm), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        stored.filter(F.col("bucket") == F.lit(q_bucket))
+        .filter(F.col(id_col) != F.lit(query_vec_id))
+        .select(
+            F.col(id_col).alias("vec_id"), "bucket", cos.alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -101,3 +101,27 @@ def test_ivf_layout_probe_matches_inline_and_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split(
         "PartitionFilters"
     )[1].split("\n")[0]
+
+
+def test_lsh_layout_probe_matches_inline_and_prunes_to_one_partition(
+    spark, tmp_path
+):
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        lsh_bucketed_topk,
+        lsh_topk_from_layout,
+        write_lsh_layout,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.plans import explain_string
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "lsh_layout")
+    write_lsh_layout(emb, path, n_planes=4)
+    probe = lsh_topk_from_layout(spark, path, emb, 0, k=10, n_planes=4)
+    inline = lsh_bucketed_topk(emb, 0, k=10, n_planes=4)
+    got = [(r.vec_id, r.bucket, r.cosine) for r in probe.collect()]
+    want = [(r.vec_id, r.bucket, r.cosine) for r in inline.collect()]
+    assert got == want and len(got) > 0
+    plan = explain_string(probe, "formatted")
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0]
