@@ -30,5 +30,6 @@ for _mod in (
     "multimodal",
     "streaming_q",
     "curation",
+    "tpch_partsupp",
 ):
     __import__(f"similarity_search_with_hadoop_mapreduce_spark.registry.{_mod}")

@@ -1,0 +1,330 @@
+"""The five TPC-H shapes that need ``partsupp`` (Q2, Q9, Q11, Q16, Q20),
+on a **derived** partsupp relation.
+
+The driver fixtures ship no partsupp table, so it is derived
+deterministically from ``part`` × {0..3} with the official TPC-H key
+topology (4 suppliers per part, spread so every (part, supplier) pair is
+distinct), and hash-style availqty/supplycost attributes — identical
+integer/double arithmetic on both engines, so the oracle derives the
+exact same relation in SQL. The point is the *query shapes* (correlated
+aggregates, multi-way joins through a bridge table, group filters over a
+global scalar), not dbgen value fidelity.
+
+Adaptations for missing fixture columns are noted per query (no p_mfgr /
+p_container / s_comment; p_type is a single word).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from similarity_search_with_hadoop_mapreduce_spark.registry.base import register, table
+from similarity_search_with_hadoop_mapreduce_spark.registry.relational import (
+    _dsum,
+    _osum,
+)
+
+# Derivation rule (0-based fixture keys): for part p and replica i in 0..3
+#   ps_suppkey   = (p + p // S + i * (S // 4)) % S     (4 distinct suppliers)
+#   ps_availqty  = (p * 7 + i * 13) % 9999 + 1
+#   ps_supplycost = ((p * 31 + i * 17) % 100000) / 100.0   (exact 2-dp double)
+PARTSUPP_CTE = """
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey + p_partkey // sc.s_cnt + gen.i * (sc.s_cnt // 4)) % sc.s_cnt
+           AS ps_suppkey,
+         (p_partkey * 7 + gen.i * 13) % 9999 + 1 AS ps_availqty,
+         CAST((p_partkey * 31 + gen.i * 17) % 100000 AS DOUBLE) / 100.0
+           AS ps_supplycost
+  FROM part
+  CROSS JOIN (SELECT unnest(range(4)) AS i) gen
+  CROSS JOIN (SELECT count(*) AS s_cnt FROM supplier) sc
+)
+"""
+
+
+def partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp DataFrame — same rows as :data:`PARTSUPP_CTE`.
+
+    ``s_cnt`` is a driver-side scalar (the reference's own
+    driver-computed-side-state pattern, ``BookQuery.java:210-214``); the
+    derivation itself is one map-only projection over the part scan.
+    """
+    s_cnt = table(spark, sf_dir, "supplier").count()
+    g = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+    )
+    pk = F.col("ps_partkey")
+    i = F.col("i").cast("long")
+    return g.select(
+        "ps_partkey",
+        (
+            (pk + F.expr(f"ps_partkey div {s_cnt}") + i * F.lit(s_cnt // 4))
+            % F.lit(s_cnt)
+        ).alias("ps_suppkey"),
+        ((pk * 7 + i * 13) % 9999 + 1).alias("ps_availqty"),
+        (((pk * 31 + i * 17) % 100000).cast("double") / F.lit(100.0)).alias(
+            "ps_supplycost"
+        ),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="WITH "
+    + PARTSUPP_CTE
+    + """
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+       ps.ps_supplycost
+FROM part p, partsupp ps, supplier s, nation n, region r
+WHERE p.p_partkey = ps.ps_partkey
+  AND s.s_suppkey = ps.ps_suppkey
+  AND p.p_size > 25 AND p.p_type = 'STANDARD'
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'EUROPE'
+  AND ps.ps_supplycost = (
+    SELECT min(ps2.ps_supplycost)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p.p_partkey
+      AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) offering
+    the region's minimum supply cost — a correlated scalar-min subquery,
+    decorrelated here as a broadcast join against a per-part min table
+    (what Catalyst produces for the SQL form too). p_mfgr/s_address are
+    absent from the fixture and omitted from the projection."""
+    ps = partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") > 25) & (F.col("p_type") == "STANDARD")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    europe_ps = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    min_cost = europe_ps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        europe_ps.join(F.broadcast(min_cost), "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(p, F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost"
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="WITH "
+    + PARTSUPP_CTE
+    + f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       {_osum('l.l_extendedprice * (1 - l.l_discount) - ps.ps_supplycost * l.l_quantity')}
+         AS sum_profit
+FROM part p, supplier s, lineitem l, partsupp ps, orders o, nation n
+WHERE s.s_suppkey = l.l_suppkey
+  AND ps.ps_suppkey = l.l_suppkey AND ps.ps_partkey = l.l_partkey
+  AND p.p_partkey = l.l_partkey
+  AND o.o_orderkey = l.l_orderkey
+  AND s.s_nationkey = n.n_nationkey
+  AND p.p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per nation per year through the
+    (part, supplier) bridge — the classic 6-way join with a two-column
+    equi key into partsupp; amount sums use the exact decimal
+    accumulator."""
+    ps = partsupp(spark, sf_dir)
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(
+            ps,
+            (l.l_suppkey == ps.ps_suppkey) & (l.l_partkey == ps.ps_partkey),
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dsum(amount).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="WITH "
+    + PARTSUPP_CTE
+    + f"""
+SELECT ps.ps_partkey,
+       {_osum('ps.ps_supplycost * ps.ps_availqty')} AS value
+FROM partsupp ps, supplier s, nation n
+WHERE ps.ps_suppkey = s.s_suppkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_7'
+GROUP BY ps.ps_partkey
+HAVING {_osum('ps.ps_supplycost * ps.ps_availqty')} > (
+  SELECT {_osum('ps2.ps_supplycost * ps2.ps_availqty')} * 0.001
+  FROM partsupp ps2, supplier s2, nation n2
+  WHERE ps2.ps_suppkey = s2.s_suppkey
+    AND s2.s_nationkey = n2.n_nationkey AND n2.n_name = 'NATION_7'
+)
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value within one nation, kept only
+    above a fraction of the nation's total — a group filter against a
+    global scalar aggregate (computed once, broadcast into the HAVING)."""
+    ps = partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    joined = ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    val = F.col("ps_supplycost") * F.col("ps_availqty")
+    per_part = joined.groupBy("ps_partkey").agg(_dsum(val).alias("value"))
+    total = joined.agg((_dsum(val) * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", "value")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="WITH "
+    + PARTSUPP_CTE
+    + """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp ps, part p
+WHERE p.p_partkey = ps.ps_partkey
+  AND p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    with a NOT IN blocklist subquery (planned as a broadcast anti join).
+    The fixture has no s_comment, so the 'Customer Complaints' blocklist
+    is adapted to negative-balance suppliers."""
+    ps = partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin([1, 4, 7, 10, 13, 16, 19, 23])
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_potential_part_promotion",
+    oracle="WITH "
+    + PARTSUPP_CTE
+    + """
+SELECT s.s_name, s.s_nationkey
+FROM supplier s, nation n
+WHERE s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (
+    SELECT ps.ps_suppkey
+    FROM partsupp ps
+    WHERE ps.ps_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    )
+    AND ps.ps_availqty > (
+      SELECT 0.5 * coalesce(sum(l.l_quantity), 0)
+      FROM lineitem l
+      WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    )
+  )
+ORDER BY s.s_name, s.s_nationkey
+""",
+)
+def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding surplus stock (availqty > half a
+    year's shipped quantity) of promotable parts — a three-deep nested
+    IN/correlated-scalar chain, decorrelated into aggregate + joins (the
+    plan Catalyst builds for the SQL form)."""
+    ps = partsupp(spark, sf_dir)
+    small_parts = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = l.groupBy(
+        F.col("l_partkey").alias("sp"), F.col("l_suppkey").alias("ss")
+    ).agg(F.sum("l_quantity").alias("qty"))
+    qualified = (
+        ps.join(F.broadcast(small_parts), ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == F.col("sp")) & (ps.ps_suppkey == F.col("ss")),
+            "left",
+        )
+        .filter(
+            F.col("ps_availqty")
+            > F.lit(0.5) * F.coalesce(F.col("qty"), F.lit(0.0))
+        )
+        .select("ps_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualified, s.s_suppkey == qualified.ps_suppkey, "left_semi")
+        .select("s_name", "s_nationkey")
+        .orderBy("s_name", "s_nationkey")
+    )
