@@ -12,6 +12,11 @@ global scalar), not dbgen value fidelity.
 
 Adaptations for missing fixture columns are noted per query (no p_mfgr /
 p_container / s_comment; p_type is a single word).
+
+Broadcast hints mark only bounded-cardinality sides (region, nation, the
+one-row global scalar); sides that grow with the data (filtered part
+sets, per-part min tables, supplier blocklists) are left to AQE, which
+broadcasts them at small SF and shuffles them at 100 TB.
 """
 
 from __future__ import annotations
@@ -120,7 +125,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ps_supplycost").alias("min_cost")
     )
     return (
-        europe_ps.join(F.broadcast(min_cost), "ps_partkey")
+        europe_ps.join(min_cost, "ps_partkey")
         .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(p, F.col("ps_partkey") == p.p_partkey)
         .select(
@@ -167,12 +172,12 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ps_supplycost"
     ) * F.col("l_quantity")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(
             ps,
             (l.l_suppkey == ps.ps_suppkey) & (l.l_partkey == ps.ps_partkey),
         )
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
@@ -257,8 +262,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, ps.ps_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -308,7 +313,7 @@ def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("sp"), F.col("l_suppkey").alias("ss")
     ).agg(F.sum("l_quantity").alias("qty"))
     qualified = (
-        ps.join(F.broadcast(small_parts), ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        ps.join(small_parts, ps.ps_partkey == F.col("p_partkey"), "left_semi")
         .join(
             shipped,
             (ps.ps_partkey == F.col("sp")) & (ps.ps_suppkey == F.col("ss")),
