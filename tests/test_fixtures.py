@@ -1,0 +1,66 @@
+"""Fixture-schema sentinels: the driver regenerates the testdata between
+rounds and has changed physical types before (events.ts shipped as
+TIMESTAMP(NANOS), later as TIMESTAMP(MICROS)). These assertions fail with
+a readable message the moment a fixture no longer carries what the engine
+depends on, instead of surfacing as an AnalysisException deep inside a
+query plan."""
+
+from __future__ import annotations
+
+from similarity_search_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+EXPECTED = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+    "orders": {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    },
+    "lineitem": {
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text"},
+    "embeddings": {"vec_id", "embedding"},
+}
+
+
+def test_fixture_tables_carry_expected_columns(spark):
+    for name, want in EXPECTED.items():
+        cols = set(load_table(spark, SF, name).columns)
+        missing = want - cols
+        assert not missing, (
+            f"fixture table {name!r} lost columns {sorted(missing)} "
+            f"(has {sorted(cols)}) — driver testdata schema changed; "
+            "audit every query touching it"
+        )
+
+
+def test_events_ts_normalizes_to_session_timestamp(spark):
+    # regardless of the parquet vintage (nanos longs vs micros), the
+    # loaded ts must be a session-tz timestamp usable in window exprs
+    t = dict(load_table(spark, SF, "events").dtypes)["ts"]
+    assert t == "timestamp", t
+
+
+def test_embeddings_are_float_arrays(spark):
+    t = dict(load_table(spark, SF, "embeddings").dtypes)["embedding"]
+    assert t.startswith("array<"), t
