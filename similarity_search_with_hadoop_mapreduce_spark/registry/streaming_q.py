@@ -158,3 +158,64 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter("event_type = 'click'"),
         e.filter("event_type = 'purchase'"),
     )
+
+
+@register(
+    "events_gaps_and_islands",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+labeled AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) AS TIMESTAMP) AS session_end
+FROM labeled
+GROUP BY user_id, session_id
+""",
+)
+def events_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: lag to mark gap starts, a
+    conditional running sum to label islands, then a per-island rollup —
+    the windowed formulation of what ``session_window`` computes natively
+    (events_session_window), exposed because the technique generalizes to
+    any island predicate (price regimes, sensor dropouts), not just time
+    gaps. One exchange on user_id; both windows and the final aggregate
+    reuse that partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
