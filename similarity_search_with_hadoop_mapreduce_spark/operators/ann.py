@@ -402,8 +402,8 @@ def ivf_topk_from_layout(
     )
     return (
         stored.filter(F.col("centroid_id").isin(probe_ids))
-        .filter(F.col("vec_id") != F.lit(query_vec_id))
-        .select("vec_id", "centroid_id", cos.alias("cosine"))
+        .filter(F.col(id_col) != F.lit(query_vec_id))
+        .select(F.col(id_col).alias("vec_id"), "centroid_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )

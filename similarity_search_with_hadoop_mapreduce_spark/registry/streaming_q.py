@@ -203,7 +203,10 @@ def events_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     new_session = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+            > 30 * 60 * 1_000_000
+        ),
         F.lit(1),
     ).otherwise(F.lit(0))
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(

@@ -197,13 +197,13 @@ SELECT ps.ps_partkey,
        {_osum('ps.ps_supplycost * ps.ps_availqty')} AS value
 FROM partsupp ps, supplier s, nation n
 WHERE ps.ps_suppkey = s.s_suppkey
-  AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_7'
+  AND s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
 GROUP BY ps.ps_partkey
 HAVING {_osum('ps.ps_supplycost * ps.ps_availqty')} > (
   SELECT {_osum('ps2.ps_supplycost * ps2.ps_availqty')} * 0.001
   FROM partsupp ps2, supplier s2, nation n2
   WHERE ps2.ps_suppkey = s2.s_suppkey
-    AND s2.s_nationkey = n2.n_nationkey AND n2.n_name = 'NATION_7'
+    AND s2.s_nationkey = n2.n_nationkey AND n2.n_name = 'NATION_3'
 )
 """,
 )
@@ -213,8 +213,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     global scalar aggregate (computed once, broadcast into the HAVING)."""
     ps = partsupp(spark, sf_dir)
     s = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
-    joined = ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey).join(
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    joined = ps.join(s, ps.ps_suppkey == s.s_suppkey).join(
         F.broadcast(n), s.s_nationkey == n.n_nationkey
     )
     val = F.col("ps_supplycost") * F.col("ps_availqty")
