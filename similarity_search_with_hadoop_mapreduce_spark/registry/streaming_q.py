@@ -4,9 +4,9 @@
 streaming, so these oracles certify the exact logic
 ``streaming/windows.py`` runs under Structured Streaming (the true
 streaming execution — watermark, availableNow, append mode — is
-exercised in tests/test_streaming.py; its state-dependent output set is
-not SQL-expressible, which is why the streaming *run* has no oracle
-entry).
+exercised in tests/test_streaming.py). The stateful running-totals entry
+uses an order-independent integer accumulator so even that streaming run
+carries a full value oracle.
 """
 
 from __future__ import annotations
@@ -116,13 +116,23 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dedup_demo(spark, sf_dir)
 
 
-@register("streaming_user_running_totals")  # update-mode state: rows-only check
+@register(
+    "streaming_user_running_totals",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY user_id
+""",
+)
 def streaming_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
-    (count, sum) folded across micro-batches. The emitted update stream is
-    state-dependent — not SQL-expressible — so this entry takes the
-    driver's weaker rows-only check; tests/test_streaming.py pins the
-    final totals against the batch aggregate."""
+    (count, integer-cent sum) folded across micro-batches, run as a real
+    availableNow stream. The *final* state per user is order-independent
+    (integer accumulator), so the last update-mode emit per user equals the
+    batch aggregate exactly — giving this stateful streaming run a full
+    value-hash oracle."""
     from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
         streaming_user_totals_demo,
     )

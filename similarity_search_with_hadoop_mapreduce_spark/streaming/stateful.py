@@ -35,14 +35,14 @@ RUNNING_TOTALS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_cents", T.LongType()),
     ]
 )
 
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        T.StructField("cents", T.LongType()),
     ]
 )
 
@@ -53,14 +53,25 @@ def _update_user_totals(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Fold each micro-batch's rows for one user into (count, sum) state
-    and emit the updated running totals."""
-    n, total = state.get if state.exists else (0, 0.0)
+    and emit the updated running totals.
+
+    The value sum accumulates as ``floor(value * 100)`` integer cents:
+    integer addition is order-independent, so the final state is
+    bit-deterministic under any micro-batch partitioning and a plain SQL
+    aggregate (``sum(floor(value*100))``) is a full-value oracle for it —
+    a float accumulator would drift with fold order.
+    """
+    import numpy as np
+
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        cents += int(
+            np.floor(pdf["value"].to_numpy() * 100.0).astype("int64").sum()
+        )
+    state.update((n, cents))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
     )
 
 

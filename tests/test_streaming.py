@@ -38,23 +38,21 @@ def test_streaming_matches_batch_for_closed_windows(spark):
 
 
 def test_stateful_user_totals_matches_batch(spark):
-    import math
-
     got = {
-        r.user_id: (r.n_events, r.total_value)
+        r.user_id: (r.n_events, r.total_cents)
         for r in streaming_user_totals_demo(spark, SF_DIR).collect()
     }
     events = load_table(spark, SF_DIR, "events")
     want = {
-        r.user_id: (r.n, r.tv)
+        r.user_id: (r.n, r.tc)
         for r in events.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("tc"),
+        )
         .collect()
     }
-    assert set(got) == set(want)
-    for u in want:
-        assert got[u][0] == want[u][0]
-        assert math.isclose(got[u][1], want[u][1], rel_tol=1e-9)
+    assert got == want
 
 
 def test_streaming_dedup_keeps_each_event_once(spark):
