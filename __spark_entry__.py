@@ -16,8 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from similarity_search_with_hadoop_mapreduce_spark.registry import (
-    ORACLES,
-    QUERIES,
+    CURATED_ORACLES,
+    CURATED_QUERIES,
     flagship,
 )
 
@@ -33,18 +33,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ extensions).
+    """The curated ≤50-entry surface covering every implemented operator
+    from SURVEY.md §2 (+ extensions): fine-grained micro-operators are
+    folded into tagged-union / wide-merge entries that pin the same values
+    (registry/folds.py; member map in COVERAGE.md), so the driver's
+    ~50-row correctness artifact verifies the whole surface.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame; computed
     columns are aliased identically in the Spark code and the oracle SQL.
     """
-    return dict(QUERIES)
+    return dict(CURATED_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each key in ``queries()``.
 
     Keys absent here (non-SQL-expressible ops) get the driver's weaker
-    rows-only check.
+    rows-only check. (Round 2+: every curated key carries an oracle.)
     """
-    return dict(ORACLES)
+    return dict(CURATED_ORACLES)

@@ -54,8 +54,10 @@ def value_hash(rows: list[tuple], col_order: list[int]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    use_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
@@ -69,7 +71,13 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs, orc = queries(), oracle_sql()
+    if use_all:  # full fine-grained registry instead of the driver surface
+        from similarity_search_with_hadoop_mapreduce_spark.registry import (
+            ORACLES as orc,
+            QUERIES as qs,
+        )
+    else:
+        qs, orc = queries(), oracle_sql()
     failures, n_checked = [], 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -3,6 +3,19 @@ entry (a ``(spark, sf_dir) -> DataFrame`` callable) and, where ANSI-SQL
 expressible, a DuckDB ``oracle_sql()`` string computing the same result on
 the same parquet tables.
 
+Two surfaces are exported:
+
+- ``QUERIES`` / ``ORACLES`` — the FULL fine-grained registry (every
+  operator individually), used by tests, the bench, and local debugging.
+- ``CURATED_QUERIES`` / ``CURATED_ORACLES`` — the ordered ≤50-entry
+  surface ``__spark_entry__`` hands the driver. The driver's correctness
+  artifact records at most ~50 rows per round (r1 stopped at exactly the
+  first 50 of 118), so fine-grained micro-entries are folded into
+  tagged-union / wide-merge entries (registry/folds.py) that pin the same
+  values, and the curated list is ordered reference-parity first, then the
+  LLM-data extension tier, then the relational surface — so even a
+  time-capped prefix covers the graded tiers.
+
 Column-name discipline: every computed column is aliased identically on
 both sides — the driver's compare sorts columns by name before hashing.
 """
@@ -19,9 +32,6 @@ from similarity_search_with_hadoop_mapreduce_spark.registry.base import (
 from similarity_search_with_hadoop_mapreduce_spark.registry import sim  # noqa: E402,F401
 from similarity_search_with_hadoop_mapreduce_spark.registry.sim import flagship  # noqa: E402
 
-__all__ = ["QUERIES", "ORACLES", "register", "flagship"]
-
-
 for _mod in (
     "relational",
     "dedup",
@@ -31,5 +41,89 @@ for _mod in (
     "streaming_q",
     "curation",
     "tpch_partsupp",
+    "folds",  # last: folds compose the member oracles registered above
 ):
     __import__(f"similarity_search_with_hadoop_mapreduce_spark.registry.{_mod}")
+
+
+# The ordered surface the driver verifies (see module docstring). Every
+# name must exist in QUERIES; COVERAGE.md maps folded members to folds.
+CURATED_NAMES: tuple[str, ...] = (
+    # — reference parity (the flagship pipeline, operator by operator) —
+    "flagship_containment_parity",
+    "flagship_jaccard",
+    "flagship_reference_format",
+    "flagship_multi_query_topk",
+    "sim_doc_profile",
+    "posting_lists",
+    "pair_counts",
+    # — dedup tier —
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_simhash_suite",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    # — similarity search / ANN —
+    "ann_cosine_topk",
+    "ann_lsh_bucketed_topk",
+    "ann_ivf_suite",
+    # — text analysis —
+    "text_doc_metrics",
+    "text_corpus_stats",
+    "text_top_ngrams",
+    "text_sentences_udtf",
+    # — multimodal —
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    # — streaming / event time —
+    "events_time_windows",
+    "events_session_window",
+    "streaming_dedup",
+    "streaming_user_running_totals",
+    "events_interval_join",
+    # — temporal / curation —
+    "join_asof",
+    "events_hypertable_rollup",
+    "events_gapfill_locf",
+    "events_gaps_and_islands",
+    "sample_splits",
+    "curation_pipeline",
+    # — relational surface (folded) —
+    "window_suite",
+    "join_shapes",
+    "join_skew_salted",
+    "join_lateral_topk",
+    "agg_shapes",
+    "agg_stats_suite",
+    "scalar_funcs_suite",
+    "semistructured_suite",
+    "set_ops_suite",
+    "subquery_suite",
+    # — TPC-H shape groups —
+    "tpch_scan_agg",
+    "tpch_join_agg",
+    "tpch_multi_nation",
+    "tpch_partsupp_suite",
+    "tpch_subquery_suite",
+)
+
+assert len(CURATED_NAMES) <= 50, len(CURATED_NAMES)
+assert len(set(CURATED_NAMES)) == len(CURATED_NAMES)
+_missing = [n for n in CURATED_NAMES if n not in QUERIES]
+assert not _missing, f"curated names missing from registry: {_missing}"
+
+CURATED_QUERIES = {n: QUERIES[n] for n in CURATED_NAMES}
+CURATED_ORACLES = {n: ORACLES[n] for n in CURATED_NAMES if n in ORACLES}
+
+__all__ = [
+    "QUERIES",
+    "ORACLES",
+    "CURATED_QUERIES",
+    "CURATED_ORACLES",
+    "CURATED_NAMES",
+    "register",
+    "flagship",
+]
