@@ -119,7 +119,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-permutation MinHash signatures, map-only in the engine (per-row
     array HOFs, zero shuffles); the oracle computes the same hashes via
     unnest + 16 min() aggregates. Empty-shingle docs: all-NULL signature."""
-    return D.minhash_signatures(table(spark, sf_dir, "documents"), k=_K)
+    return D.minhash_signatures(
+        table(spark, sf_dir, "documents"), k=_K, base_hash="md5"
+    )
 
 
 def _minhash_lsh_oracle() -> str:
@@ -169,7 +171,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding (4 bands × 4 rows) for linear candidate generation,
     then exact-Jaccard verification of bucket-mates only."""
     return D.minhash_lsh_pairs(
-        table(spark, sf_dir, "documents"), k=_K, bands=_BANDS, threshold=_JACCARD_T
+        table(spark, sf_dir, "documents"),
+        k=_K,
+        bands=_BANDS,
+        threshold=_JACCARD_T,
+        base_hash="md5",
     )
 
 
@@ -236,7 +242,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = docs.filter(docs.doc_id % 2 == 0)
     incoming = docs.filter(docs.doc_id % 2 == 1)
     return D.incremental_dedup(
-        existing, incoming, k=_K, bands=_BANDS, threshold=_JACCARD_T
+        existing, incoming, k=_K, bands=_BANDS, threshold=_JACCARD_T,
+        base_hash="md5",
     )
 
 
@@ -272,7 +279,9 @@ fp AS (SELECT ss.doc_id, CAST({fp} AS BIGINT) AS simhash
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (±1 majority vote over
     term-hash bits; pure integer math)."""
-    return D.simhash(table(spark, sf_dir, "documents"), bits=_SIM_BITS)
+    return D.simhash(
+        table(spark, sf_dir, "documents"), bits=_SIM_BITS, base_hash="md5"
+    )
 
 
 def _simhash_pairs_oracle() -> str:
@@ -304,7 +313,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at hamming <= 2 via pigeonhole banding (3 bands ⇒
     any such pair matches exactly on >= 1 band; only band-mates verified)."""
     return D.simhash_dup_pairs(
-        table(spark, sf_dir, "documents"), bits=_SIM_BITS, max_hamming=_MAX_HAMMING
+        table(spark, sf_dir, "documents"),
+        bits=_SIM_BITS,
+        max_hamming=_MAX_HAMMING,
+        base_hash="md5",
     )
 
 
@@ -351,7 +363,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop, rounds = component diameter), cluster id = min doc_id. The
     oracle computes the same components with a recursive CTE — a genuinely
     different fixpoint algorithm, so agreement is strong evidence."""
-    return D.duplicate_clusters(table(spark, sf_dir, "documents"))
+    return D.duplicate_clusters(table(spark, sf_dir, "documents"), base_hash="md5")
 
 
 _EMB_DOT = (

@@ -210,3 +210,36 @@ def test_incremental_probe_matches_inline_and_never_shuffles_corpus(spark):
         assert not re.search(r"Exchange hashpartitioning\((digest|bh)#", plan)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_base_hash_modes_share_verified_semantics(spark):
+    # Both hash families go through the same exact-Jaccard verification, so
+    # every emitted pair is a true near-dup in either mode, and the exact
+    # duplicates seeded in the fixture collide in every band family.
+    docs = _docs(spark)
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    exact_pairs = set()
+    for r in exact_duplicates(docs).filter("n_copies > 1").collect():
+        group = sorted(
+            x.doc_id
+            for x in docs.filter(f"md5(text) = '{r.text_hash}'")
+            .select("doc_id")
+            .collect()
+        )
+        for i in range(len(group)):
+            for j in range(i + 1, len(group)):
+                exact_pairs.add((group[i], group[j]))
+    for mode in ("md5", "xxhash64"):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.minhash_lsh_pairs(
+                docs, threshold=0.3, base_hash=mode
+            ).collect()
+        }
+        assert all(j >= 0.3 for j in got.values()), mode
+        missing = exact_pairs - set(got)
+        assert not missing, (mode, missing)
+        assert all(got[p] == 1.0 for p in exact_pairs), mode
