@@ -167,6 +167,70 @@ def _lit_vec(v: list[float]) -> Column:
     return F.expr("array(" + ",".join(f"{x!r}D" for x in v) + ")")
 
 
+def kmeans_codebook(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float], float]]:
+    """Deterministic Lloyd-trained IVF codebook: (id, vector, norm) list.
+
+    Spherical k-means with every source of cross-engine nondeterminism
+    removed, so a SQL engine can replay the training bit for bit:
+
+    - **init**: the first ``n_centroids`` vectors by id (no RNG);
+    - **assign**: max *rounded-to-6-decimals* cosine, ties to the smallest
+      centroid id (the same comparator every probe uses);
+    - **update**: per-dimension mean computed as a sum of
+      ``floor(component * 1e6)`` BIGINTs divided by the count — integer
+      addition is order-independent, so the mean is identical under any
+      partitioning, any engine;
+    - **empty clusters** keep their previous centroid.
+
+    Each iteration is one distributed assignment + one (centroid, dim)
+    aggregate; only the O(centroids x dim) component table is collected
+    (the codebook is a coordinator artifact, like the reference's
+    driver-held query string, BookQuery.java:194-205). The oracle unrolls
+    the same iterations in SQL (registry/ann.py), which is the point: a
+    trained index whose training itself is value-checked cross-engine.
+    """
+    book = _codebook(embeddings, n_centroids, id_col)
+    dim_count = len(book[0][1]) if book else 0
+    for _ in range(iters):
+        assigned = assign_ivf_centroids(
+            embeddings, n_centroids, id_col=id_col, book=book
+        )
+        comp_rows = (
+            assigned.select(
+                "centroid_id", F.posexplode("embedding").alias("dim", "comp")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("comp").cast("double") * F.lit(1000000.0)).cast(
+                        "bigint"
+                    )
+                ).alias("sq"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for r in comp_rows:
+            means.setdefault(r["centroid_id"], [0.0] * dim_count)[r["dim"]] = (
+                float(r["sq"]) / float(r["cnt"])
+            ) / 1000000.0
+        new_book = []
+        for cid, old_v, _old_n in book:
+            v = means.get(cid, old_v)
+            n = 0.0
+            for x in v:
+                n += x * x
+            new_book.append((cid, v, math.sqrt(n)))
+        book = new_book
+    return book
+
+
 def assign_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 8,
@@ -220,27 +284,32 @@ def _ivf_probe_state(
     n_centroids: int,
     nprobe: int,
     id_col: str,
+    book: list[tuple[int, list[float], float]] | None = None,
 ):
     """(query vector, its norm, probed centroid ids, codebook) — the
     coordinator-side state of an IVF probe. One driver collect fetches
-    codebook + query row together; probe selection ranks nprobe of
-    n_centroids rows in Python with the same fold order and HALF_UP
-    rounding as the JVM expressions, so it is bit-compatible with a
-    dataframe formulation of the same ranking."""
+    codebook + query row together (query row only when a trained ``book``
+    is supplied); probe selection ranks nprobe of n_centroids rows in
+    Python with the same fold order and HALF_UP rounding as the JVM
+    expressions, so it is bit-compatible with a dataframe formulation of
+    the same ranking."""
+    want_book = book is None
+    cond = F.col(id_col) == F.lit(query_vec_id)
+    if want_book:
+        cond = cond | (F.col(id_col) < n_centroids)
     rows = (
-        embeddings.filter(
-            (F.col(id_col) < n_centroids) | (F.col(id_col) == F.lit(query_vec_id))
-        )
+        embeddings.filter(cond)
         .select(F.col(id_col).alias("cid"), "embedding")
         .collect()
     )
-    book = []
+    if want_book:
+        book = []
     q = None
     for r in sorted(rows, key=lambda r: r["cid"]):
         v = [float(x) for x in r["embedding"]]
         if r["cid"] == query_vec_id:
             q = v
-        if r["cid"] < n_centroids:
+        if want_book and r["cid"] < n_centroids:
             n = 0.0
             for x in v:
                 n += x * x
@@ -275,16 +344,22 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     id_col: str = "vec_id",
+    book: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors whose centroid is among
     the query's ``nprobe`` closest centroids.
+
+    ``book`` is the codebook to probe — pass :func:`kmeans_codebook` output
+    for a trained index (what the registry entries and a production
+    deployment use; train once, probe many); default None falls back to
+    the untrained first-N-ids codebook.
 
     Recall/speed dial: ``nprobe == n_centroids`` degenerates to exact
     brute force; ``nprobe = 1`` reads a single inverted list. Returns
     (vec_id, centroid_id, cosine).
     """
     q, qn, probe_ids, book = _ivf_probe_state(
-        embeddings, query_vec_id, n_centroids, nprobe, id_col
+        embeddings, query_vec_id, n_centroids, nprobe, id_col, book=book
     )
     assigned = assign_ivf_centroids(embeddings, n_centroids, id_col=id_col, book=book)
     e = F.col("embedding")
@@ -303,6 +378,105 @@ def ivf_topk(
         .select("vec_id", "centroid_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def ivf_recall_multi(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    book: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
+    """Mean recall@k of the IVF probe over the first ``n_queries`` vectors
+    — the index-quality number a deployment tunes nprobe / centroid count
+    / training against (a single query's recall is noise).
+
+    One DAG for all queries: the query table and the per-query probed
+    centroid pairs are tiny driver-side artifacts (broadcast), the IVF and
+    exact candidate sets are ranked with one window each partitioned by
+    query id, and the result reduces to a single row.
+    """
+    from pyspark.sql import Window
+
+    if book is None:
+        book = _codebook(embeddings, n_centroids, id_col)
+    rows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), "embedding")
+        .collect()
+    )
+
+    def _pydot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    q_rows, probe_rows = [], []
+    for r in sorted(rows, key=lambda r: r["qid"]):
+        qv = [float(x) for x in r["embedding"]]
+        qn = 0.0
+        for x in qv:
+            qn += x * x
+        qn = math.sqrt(qn)
+        ranked = sorted(
+            (
+                (_round6(_pydot(v, qv) / (cn * qn)) if cn * qn != 0.0 else 0.0, cid)
+                for cid, v, cn in book
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        q_rows.append((int(r["qid"]), qv, qn))
+        probe_rows.extend((int(r["qid"]), cid) for _, cid in ranked[:nprobe])
+
+    spark = embeddings.sparkSession
+    q_df = F.broadcast(
+        spark.createDataFrame(q_rows, "qid BIGINT, q_emb ARRAY<DOUBLE>, q_nrm DOUBLE")
+    )
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "qid BIGINT, centroid_id BIGINT")
+    )
+    cos = F.round(
+        F.coalesce(
+            dot(F.col("embedding"), F.col("q_emb"))
+            / F.nullif(l2_norm(F.col("embedding")) * F.col("q_nrm"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+
+    assigned = assign_ivf_centroids(
+        embeddings, n_centroids, id_col=id_col, book=book
+    ).withColumn("centroid_id", F.col("centroid_id").cast("bigint"))
+    ivf = (
+        assigned.join(probes, ["centroid_id"])
+        .join(q_df, ["qid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        fan_out(embeddings)
+        .select(F.col(id_col).alias("vec_id"), "embedding")
+        .join(q_df)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    return ivf.join(exact, ["qid", "vec_id"]).agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(k * n_queries))).alias(
+            "recall_at_k"
+        ),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(n_queries).cast("int").alias("n_queries"),
     )
 
 
@@ -359,14 +533,17 @@ def write_ivf_layout(
     path: str,
     n_centroids: int = 8,
     id_col: str = "vec_id",
+    book: list[tuple[int, list[float], float]] | None = None,
 ) -> None:
     """Persist the corpus in IVF storage layout: parquet partitioned by
     ``centroid_id`` (one directory per inverted list). The index-build
     half of ANN at 100 TB — assignment runs once at write time; every
-    query after that scans only its probed partitions."""
-    assign_ivf_centroids(embeddings, n_centroids, id_col=id_col).write.mode(
-        "overwrite"
-    ).partitionBy("centroid_id").parquet(path)
+    query after that scans only its probed partitions. Pass the same
+    (trained) ``book`` to :func:`ivf_topk_from_layout` so probes rank the
+    centroids the layout was built with."""
+    assign_ivf_centroids(
+        embeddings, n_centroids, id_col=id_col, book=book
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
 def ivf_topk_from_layout(
@@ -378,6 +555,7 @@ def ivf_topk_from_layout(
     n_centroids: int = 8,
     nprobe: int = 2,
     id_col: str = "vec_id",
+    book: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
     """IVF top-k against the stored layout written by
     :func:`write_ivf_layout`: the ``centroid_id IN (probes)`` filter is a
@@ -386,10 +564,11 @@ def ivf_topk_from_layout(
     is never re-assigned, and the unprobed inverted lists cost zero I/O
     (assert via PushedFilters/PartitionFilters in the plan).
 
-    Same results as :func:`ivf_topk` with the same parameters.
+    Same results as :func:`ivf_topk` with the same parameters (pass the
+    ``book`` the layout was written with).
     """
     q, qn, probe_ids, _ = _ivf_probe_state(
-        embeddings, query_vec_id, n_centroids, nprobe, id_col
+        embeddings, query_vec_id, n_centroids, nprobe, id_col, book=book
     )
     stored = spark.read.parquet(layout_path)
     e = F.col("embedding")

@@ -217,7 +217,7 @@ def _register_ann_ivf_suite() -> None:
         (
             "ann_ivf_recall",
             "'recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
-            "CAST(NULL AS BIGINT) AS centroid_id, recall_at_k AS v",
+            "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
         ),
     ]
 
@@ -235,7 +235,7 @@ def _register_ann_ivf_suite() -> None:
         rec = _q("ann_ivf_recall")(spark, sf_dir).select(
             F.lit("recall").alias("shape"),
             F.col("k").cast("bigint").alias("vec_id"),
-            _null("centroid_id", "bigint"),
+            F.col("n_queries").cast("bigint").alias("centroid_id"),
             F.col("recall_at_k").alias("v"),
         )
         return _union_spark([topk, rec])

@@ -125,3 +125,28 @@ def test_lsh_layout_probe_matches_inline_and_prunes_to_one_partition(
     assert "PartitionFilters" in plan and "bucket" in plan.split(
         "PartitionFilters"
     )[1].split("\n")[0]
+
+
+def test_kmeans_codebook_deterministic_and_improves_recall(spark):
+    df, vecs = _emb_df(spark, n=120, dim=8)
+    b1 = A.kmeans_codebook(df, n_centroids=4, iters=2)
+    b2 = A.kmeans_codebook(df, n_centroids=4, iters=2)
+    assert b1 == b2  # bit-identical across runs (no RNG, exact int sums)
+    assert len(b1) == 4 and all(len(v) == 8 for _, v, _ in b1)
+    # every centroid norm is consistent with its vector
+    for cid, v, nrm in b1:
+        assert math.isclose(nrm, math.sqrt(sum(x * x for x in v)), rel_tol=0)
+    # recall metric: trained codebook >= untrained first-N codebook
+    untrained = A.ivf_recall_multi(
+        df, n_queries=8, k=5, n_centroids=4, nprobe=1
+    ).collect()[0]
+    trained = A.ivf_recall_multi(
+        df, n_queries=8, k=5, n_centroids=4, nprobe=1, book=b1
+    ).collect()[0]
+    assert 0.0 <= untrained.recall_at_k <= 1.0
+    assert trained.recall_at_k >= untrained.recall_at_k
+    # probing every list is exact: recall must be 1.0
+    full = A.ivf_recall_multi(
+        df, n_queries=8, k=5, n_centroids=4, nprobe=4, book=b1
+    ).collect()[0]
+    assert full.recall_at_k == 1.0
