@@ -1,0 +1,81 @@
+"""Real-codec multimodal plumbing: BMP/WAV writers must be byte-correct
+and the struct-based header parser must invert them exactly."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest
+
+from similarity_search_with_hadoop_mapreduce_spark.operators import multimodal as M
+
+
+def test_bmp_roundtrip_exact():
+    for w, h in [(1, 1), (3, 7), (64, 48), (17, 2)]:
+        payload = M._encode_bmp(w, h)
+        fmt, width, height, sr, ns, dur, frames = M._decode_payload(payload)
+        assert (fmt, width, height, frames) == ("bmp", w, h, 1)
+        assert (sr, ns, dur) == (None, None, None)
+        row = (w * 3 + 3) // 4 * 4
+        assert len(payload) == 54 + row * h  # declared size == real size
+        # the file-size field in the header matches the actual bytes
+        import struct
+
+        assert struct.unpack_from("<I", payload, 2)[0] == len(payload)
+
+
+def test_wav_roundtrip_exact():
+    for rate, n in [(8000, 50), (16000, 549), (44100, 123), (22050, 250)]:
+        payload = M._encode_wav(rate, n)
+        fmt, width, height, sr, ns, dur, frames = M._decode_payload(payload)
+        assert (fmt, sr, ns) == ("wav", rate, n)
+        assert dur == n * 1000 // rate
+        assert frames == n // 25 + 1
+        assert (width, height) == (None, None)
+        assert len(payload) == 44 + 2 * n
+
+
+def test_wav_parser_walks_extra_chunks():
+    # a LIST chunk before fmt/data must not break the RIFF walk; odd-sized
+    # chunks pad to even per the spec
+    import struct
+
+    base = M._encode_wav(8000, 50)
+    fmt_and_data = base[12:]
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # padded
+    hacked = (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(extra) + len(fmt_and_data), b"WAVE")
+        + extra
+        + fmt_and_data
+    )
+    fmt, _, _, sr, ns, dur, _ = M._decode_payload(hacked)
+    assert (fmt, sr, ns) == ("wav", 8000, 50)
+
+
+def test_unknown_magic_rejected():
+    with pytest.raises(ValueError, match="magic"):
+        M._decode_payload(b"\x89PNG\r\n\x1a\n0000")
+
+
+def test_decode_real_is_explicit_boundary():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        M.decode_real(b"BM")
+
+
+def test_decode_media_spark_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(0, "a" * 70), (1, "b" * 30), (2, "c"), (3, "d" * 600)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in M.decode_media(M.attach_media_payload(docs)).collect()}
+    assert rows[0].format == "bmp" and rows[0].width == 70 % 64 + 1
+    assert rows[2].format == "bmp" and rows[2].height == 2 % 48 + 1
+    assert rows[1].format == "wav" and rows[1].sample_rate == M.WAV_RATES[1]
+    assert rows[3].format == "wav" and rows[3].n_samples == 600 % 500 + 50
+    # frame sampling fans out per sampled frame
+    fs = M.frame_sample(M.decode_media(M.attach_media_payload(docs)))
+    got = {(r.doc_id, r.frame_idx) for r in fs.collect()}
+    n3 = rows[3].n_frames
+    assert {(3, i) for i in range(0, n3, 8)} <= got
