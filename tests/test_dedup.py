@@ -243,3 +243,23 @@ def test_base_hash_modes_share_verified_semantics(spark):
         missing = exact_pairs - set(got)
         assert not missing, (mode, missing)
         assert all(got[p] == 1.0 for p in exact_pairs), mode
+
+
+def test_cluster_rounds_logarithmic_on_chain(spark):
+    # 500-node path graph: plain min propagation needs diameter rounds
+    # (499); pointer jumping must land under ceil(log2(diameter)) + 1.
+    import math
+
+    n = 500
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in D.duplicate_clusters(docs, pairs=pairs, stats=stats).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+    # +1 for the convergence-detection round (signature-equal pass)
+    assert stats["rounds"] <= math.ceil(math.log2(n - 1)) + 1, stats
