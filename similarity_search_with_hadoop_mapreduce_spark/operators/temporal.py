@@ -16,11 +16,16 @@ and the sort it needs is exactly the sort the window would need anyway —
 this is the plan kdb/QuestDB/Flink use for as-of semantics re-expressed
 as DataFrame ops.
 
-Skew note (100 TB): partitioning is by the ``by`` columns; a hot key
-(one user with millions of events) serializes its window. The standard
-mitigations compose: pre-bucket by (key, coarse time range) and run the
-as-of per range with a per-range seed row carried forward, or let AQE
-split the sort.
+Skew hardening (100 TB): :func:`asof_join` partitions by the ``by``
+columns alone, so a hot key (one user with millions of events)
+serializes its window. :func:`asof_join_bucketed` and
+:func:`gapfill_locf_bucketed` are the hardened variants: rows partition
+by (key, coarse time bucket) — a hot key spreads over its time range —
+and each bucket's window is seeded with the last value carried in from
+earlier buckets (computed with one tiny per-(key, bucket) window, one
+row per key per bucket). Result-identical to the unbucketed plans
+(pytest-pinned on fixtures, oracle-checked by the driver: the registry
+entries run the bucketed implementations against the unchanged oracles).
 """
 
 from __future__ import annotations
@@ -91,6 +96,109 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    values: Sequence[str],
+    suffix: str = "",
+    direction: str = "backward",
+    bucket_unit: str = "day",
+) -> DataFrame:
+    """Skew-hardened :func:`asof_join`: the running-last window partitions
+    by ``(by..., time bucket)`` instead of ``by`` alone, so one hot key's
+    rows spread across its time range instead of serializing in a single
+    sort partition.
+
+    Correctness is restored by *seed rows*: for every (key, bucket) the
+    last right-side value from any earlier bucket is injected at the
+    bucket start (ordered before any real row at the same timestamp), so
+    each bucket-local window sees exactly what the global window would
+    have carried in. Seeds are computed from the per-bucket last right
+    rows — one row per (key, bucket) — with a window over that tiny
+    relation, never over the raw data. Result-identical to
+    :func:`asof_join` (pytest-pinned; the registry entry runs this
+    implementation against the unbucketed DuckDB ASOF JOIN oracle).
+    """
+    if direction != "backward":
+        raise ValueError(
+            "asof_join_bucketed implements the backward direction; use "
+            "asof_join for forward"
+        )
+    out_vals = [v + suffix for v in values]
+    lcols = left.columns
+    rb = F.date_trunc(bucket_unit, F.col(on)).alias("_rb")
+    # sides: -1 seed < 0 right < 1 left at equal (ts) — keeps the `<=`
+    # contract (an exact-tie right row overrides the carried-in seed and
+    # is visible to left rows at the same timestamp)
+    l2 = left.select(
+        *lcols,
+        *[
+            F.lit(None).cast(right.schema[v].dataType).alias(ov)
+            for v, ov in zip(values, out_vals)
+        ],
+        F.lit(1).alias("_side"),
+        rb,
+    )
+    rkeep = set(by) | {on}
+    r2 = right.select(
+        *[
+            F.col(c) if c in rkeep else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        *[F.col(v).alias(ov) for v, ov in zip(values, out_vals)],
+        F.lit(0).alias("_side"),
+        rb,
+    )
+    # last right row per (key, bucket): max struct orders by ts first
+    rlast = right.select(
+        *by, rb, F.struct(F.col(on), *[F.col(v) for v in values]).alias("_m")
+    ).groupBy(*by, "_rb").agg(F.max("_m").alias("_m"))
+    # bucket spine = every (key, bucket) either side touches
+    spine = (
+        l2.select(*by, "_rb").union(r2.select(*by, "_rb")).distinct()
+    )
+    w_prev = (
+        Window.partitionBy(*by)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        spine.join(rlast, [*by, "_rb"], "left")
+        .select(*by, "_rb", F.last("_m", ignorenulls=True).over(w_prev).alias("_m"))
+        .filter(F.col("_m").isNotNull())
+    )
+    seed_rows = seeds.select(
+        *[
+            F.col(c)
+            if c in by
+            else (
+                F.col("_rb").alias(on)
+                if c == on
+                else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            )
+            for c in lcols
+        ],
+        *[F.col("_m")[v].alias(ov) for v, ov in zip(values, out_vals)],
+        F.lit(-1).alias("_side"),
+        F.col("_rb"),
+    )
+    w = (
+        Window.partitionBy(*by, "_rb")
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(ov, ignorenulls=True).over(w).alias(ov) for ov in out_vals]
+    return (
+        l2.unionByName(r2)
+        .unionByName(seed_rows)
+        .select(*lcols, *carried, "_side")
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
 def gapfill_locf(
     events: DataFrame,
     ts_col: str = "ts",
@@ -150,5 +258,83 @@ def gapfill_locf(
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
             "total_value",
             F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )
+
+
+def gapfill_locf_bucketed(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket_unit: str = "day",
+) -> DataFrame:
+    """Skew-hardened :func:`gapfill_locf`: the LOCF window partitions by
+    ``(key, time bucket)`` instead of key alone, so one key's dense grid
+    (a year of minutes = ~500k rows) spreads across its days instead of
+    sorting in a single partition.
+
+    The carry-in per (key, bucket) is the last non-null value from any
+    earlier bucket, computed from the per-bucket last values (one row per
+    key per bucket) and coalesced under the bucket-local running last —
+    exactly what the global window would have carried in.
+    Result-identical to :func:`gapfill_locf` (pytest-pinned; the registry
+    entry runs this implementation against the unchanged oracle).
+    """
+    b = F.date_trunc("minute", F.col(ts_col))
+    agg = events.groupBy(F.col(key_col).alias("k"), b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    kb = agg.agg(
+        F.collect_set("k").alias("ks"),
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+    )
+    grid = kb.select(F.explode("ks").alias("k"), "lo", "hi").select(
+        "k",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 minute"))
+        ).alias("bucket"),
+    )
+    joined = grid.join(agg, ["k", "bucket"], "left").withColumn(
+        "_rb", F.date_trunc(bucket_unit, F.col("bucket"))
+    )
+    # last non-null value per (key, bucket-range): one row per key per day
+    blast = joined.groupBy("k", "_rb").agg(
+        F.max(
+            F.when(
+                F.col("total_value").isNotNull(),
+                F.struct("bucket", "total_value"),
+            )
+        ).alias("_m")
+    )
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = blast.select(
+        "k",
+        "_rb",
+        F.last("_m", ignorenulls=True).over(w_prev)["total_value"].alias("_seed"),
+    )
+    w = (
+        Window.partitionBy("k", "_rb")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.join(seeds, ["k", "_rb"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.col("bucket").alias("bucket_start"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "total_value",
+            F.coalesce(
+                F.last("total_value", ignorenulls=True).over(w), F.col("_seed")
+            ).alias("locf_value"),
         )
     )

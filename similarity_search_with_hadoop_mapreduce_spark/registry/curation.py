@@ -13,7 +13,9 @@ from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
     stratified_sample,
     train_val_test_split,
 )
-from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import asof_join
+from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+    asof_join_bucketed,
+)
 from similarity_search_with_hadoop_mapreduce_spark.registry.base import register, table
 
 _BUCKET = "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT & 2147483647) % 10000)"
@@ -35,9 +37,12 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click gets the most recent prior purchase value of
-    the same user. Engine plan is union + running last (one shuffle on
-    user_id, linear); the oracle is DuckDB's native ASOF LEFT JOIN — an
-    independent implementation of the same semantics."""
+    the same user. Engine plan is the skew-hardened bucketed union +
+    running last — the window partitions by (user_id, day bucket) with
+    per-bucket carried-in seeds, so a hot user spreads over its time
+    range; the oracle is DuckDB's native (unbucketed) ASOF LEFT JOIN — an
+    independent implementation of the same semantics, which also pins the
+    bucketed plan's result-equality to the global formulation."""
     ev = table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
@@ -47,7 +52,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("last_purchase_value"))
     )
-    return asof_join(
+    return asof_join_bucketed(
         clicks, purchases, on="ts", by=["user_id"], values=["last_purchase_value"]
     )
 
@@ -251,9 +256,12 @@ FROM grid g LEFT JOIN agg a ON g.k = a.k AND g.bucket = a.bucket
 def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled minute series per event type: dense bucket grid,
     zero-filled counts, last-observation-carried-forward value sums
-    (time_bucket_gapfill + locf semantics)."""
+    (time_bucket_gapfill + locf semantics). Runs the skew-hardened
+    bucketed implementation — LOCF windows partition by (key, day) with
+    carried-in day seeds — against the unchanged global-window oracle,
+    pinning result-equality of the two plans."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
-        gapfill_locf,
+        gapfill_locf_bucketed,
     )
 
-    return gapfill_locf(table(spark, sf_dir, "events"))
+    return gapfill_locf_bucketed(table(spark, sf_dir, "events"))

@@ -77,3 +77,81 @@ def test_bucketed_join_has_zero_shuffles(spark):
         assert j.count() == orders.count()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def _skewed_events(spark, n_hot=400, n_cold=40):
+    # one hot user with events spread over many days + a few cold users;
+    # timestamps include exact collisions with purchase times
+    rows = []
+    for i in range(n_hot):
+        day, sec = divmod(i, 20)
+        rows.append((i, 1, f"2024-01-{day + 1:02d} 00:{sec:02d}:10", "click", None))
+    for i in range(n_hot // 4):
+        day, sec = divmod(i * 4 + 1, 20)
+        rows.append(
+            (10_000 + i, 1, f"2024-01-{day + 1:02d} 00:{sec:02d}:10", "purchase",
+             float(i))
+        )
+    for u in range(2, 2 + n_cold):
+        rows.append((20_000 + u, u, f"2024-01-03 0{u % 10}:00:00", "click", None))
+        if u % 3 == 0:
+            rows.append(
+                (30_000 + u, u, f"2024-01-01 00:00:00", "purchase", float(u))
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, event_type string, value double"
+    )
+    return df.select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+
+
+def test_bucketed_asof_equals_global_asof_on_skewed_data(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    ev = _skewed_events(spark)
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    kw = dict(on="ts", by=["user_id"], values=["v"])
+    want = sorted(
+        (r.event_id, r.v) for r in asof_join(clicks, purchases, **kw).collect()
+    )
+    got_df = asof_join_bucketed(clicks, purchases, **kw)
+    got = sorted((r.event_id, r.v) for r in got_df.collect())
+    assert got == want
+    # the hardened plan's big window must partition by (user_id, _rb) —
+    # the hot key spreads across its time buckets
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "hashpartitioning(user_id" in ln and "_rb" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_bucketed_gapfill_equals_global_gapfill(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        gapfill_locf,
+        gapfill_locf_bucketed,
+    )
+
+    ev = _skewed_events(spark).withColumn(
+        "event_type", F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string"))
+    )
+    key = lambda r: (r.event_type, r.bucket_start)
+    want = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in gapfill_locf(ev).collect()
+    }
+    got = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in gapfill_locf_bucketed(ev).collect()
+    }
+    assert got == want
