@@ -216,32 +216,29 @@ def _base_hash(s_col: str = "s", base_hash: str = "xxhash64"):
       recompute it digit for digit — the cross-engine oracle mode the
       registry correctness entries pin (DuckDB has no xxhash64).
     """
+    # Built as ONE sql-parsed expression: lambda-based F.transform costs a
+    # Py4J round trip per node (~0.2-0.4 s of pure driver time per query
+    # for the k=16 pipeline, measured); F.expr is a single parse.
     if base_hash == "xxhash64":
-        return F.transform(
-            F.col(s_col),
-            lambda t: F.xxhash64(t).bitwiseAND(F.lit(_MERSENNE31)),
-        )
+        return F.expr(f"transform({s_col}, t -> xxhash64(t) & {_MERSENNE31})")
     assert base_hash == "md5", base_hash
-    return F.transform(
-        F.col(s_col),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
-        .cast("long")
-        .bitwiseAND(F.lit(_MERSENNE31)),
+    return F.expr(
+        f"transform({s_col}, t -> "
+        f"CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+        f" & {_MERSENNE31})"
     )
 
 
 def _minhash_cols(k: int, h_col: str = "h") -> list:
     """k MinHash columns from the materialized base-hash array — per-row
     array HOFs, no explode, no shuffle: entry i is the array_min of the
-    affine permutation ``(a_i * h + b_i) mod (2^31-1)``."""
-
-    def perm(a: int, b: int):
-        # NB: must be a 1-arg lambda — a two-parameter signature makes
-        # PySpark bind the second arg to the array INDEX.
-        return lambda v: (v * a + b) % _MERSENNE31
-
+    affine permutation ``(a_i * h + b_i) mod (2^31-1)``. Each column is
+    one sql-parsed expression (see :func:`_base_hash` on why)."""
     return [
-        F.array_min(F.transform(F.col(h_col), perm(a, b))).alias(f"mh_{i}")
+        F.expr(
+            f"array_min(transform({h_col}, "
+            f"v -> (v * {a}L + {b}L) % {_MERSENNE31}L))"
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_affine_params(k))
     ]
 
@@ -300,22 +297,18 @@ def _banded_shingles(
     sh = fan_out(documents).select("doc_id", shingles(F.col(text_col)).alias("s"))
     based = sh.select("doc_id", "s", _base_hash("s", base_hash).alias("h"))
     sig = based.select("doc_id", "s", *_minhash_cols(k))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh_{b * rows + r}").cast("string")
-                            for r in range(rows)
-                        ],
-                    )
-                ).alias("bh"),
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            "named_struct('band', {b}, 'bh', md5(concat_ws('|', {cols})))".format(
+                b=b,
+                cols=", ".join(
+                    f"CAST(mh_{b * rows + r} AS STRING)" for r in range(rows)
+                ),
             )
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     empty_bh = F.md5(F.lit(""))
     return (
@@ -459,47 +452,49 @@ def simhash(
 
     # Map-only plan: one hash per term (transform), then a single aggregate
     # HOF folds the per-term ±1 votes for all `bits` positions into one
-    # struct accumulator — no explode, no shuffle.
+    # struct accumulator — no explode, no shuffle. The whole fold is ONE
+    # sql-parsed expression: building it from per-field Column ops costs a
+    # Py4J round trip per node (~0.5 s of pure driver time per query for
+    # bits=16, measured).
     if base_hash == "xxhash64":
-        hvals = F.transform("s", lambda t: F.xxhash64(t))
+        hvals = "transform(s, t -> xxhash64(t))"
 
         def bit_shift(j: int) -> int:
             return j
 
     else:
         assert base_hash == "md5", base_hash
-        hvals = F.transform(
-            "s",
-            lambda t: F.conv(F.substring(F.md5(t), 1, ndigits), 16, 10).cast("long"),
+        hvals = (
+            f"transform(s, t -> "
+            f"CAST(conv(substring(md5(t), 1, {ndigits}), 16, 10) AS BIGINT))"
         )
 
         def bit_shift(j: int) -> int:
             return (ndigits - 1 - j // 4) * 4 + (3 - j % 4)
 
-    zero = F.struct(
-        *[F.lit(0).cast("long").alias(f"w_{j}") for j in range(bits)]
+    zero = "named_struct(" + ", ".join(f"'w_{j}', 0L" for j in range(bits)) + ")"
+    vote_fields = ", ".join(
+        f"'w_{j}', acc.w_{j} + (shiftright(v, {bit_shift(j)}) & 1) * 2 - 1"
+        for j in range(bits)
     )
-
-    def _vote(acc, v):
-        fields = []
-        for j in range(bits):
-            bit = F.shiftright(v, bit_shift(j)).bitwiseAND(F.lit(1))
-            fields.append((acc[f"w_{j}"] + bit * 2 - 1).alias(f"w_{j}"))
-        return F.struct(*fields)
-
     # `votes` must be materialized as its own projection: the fingerprint
     # references it `bits` times, and interpreted (non-codegen, HOF-bearing)
     # projections do no common-subexpression elimination — inlining would
     # run the whole aggregate fold `bits` times per row. CollapseProject
     # keeps the split because the aggregate is non-cheap and multi-referenced.
-    voted = sh.select("doc_id", F.aggregate(hvals, zero, _vote).alias("votes"))
-    fp = None
-    for j in range(bits):
-        term_j = F.when(F.col("votes")[f"w_{j}"] > 0, F.lit(2**j)).otherwise(
-            F.lit(0)
-        )
-        fp = term_j if fp is None else fp + term_j
-    return voted.select("doc_id", fp.cast("long").alias("simhash"))
+    voted = sh.select(
+        "doc_id",
+        F.expr(
+            f"aggregate({hvals}, {zero}, "
+            f"(acc, v) -> named_struct({vote_fields}))"
+        ).alias("votes"),
+    )
+    fp = " + ".join(
+        f"(CASE WHEN votes.w_{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits)
+    )
+    return voted.select(
+        "doc_id", F.expr(f"CAST({fp} AS BIGINT)").alias("simhash")
+    )
 
 
 def simhash_dup_pairs(

