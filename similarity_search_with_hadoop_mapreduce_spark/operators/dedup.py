@@ -73,7 +73,7 @@ def ngram_jaccard_pairs(
     non-discriminative-shingle prune (BookQuery.java:105) generalized.
     """
     sh = fan_out(documents).select(
-        "doc_id", shingles(F.col(text_col)).alias("s")
+        "doc_id", shingles(text_col).alias("s")
     ).withColumn("sz", F.size("s"))
     terms = sh.select("doc_id", "sz", F.explode("s").alias("term"))
     if max_df is not None:
@@ -142,7 +142,7 @@ def ngram_jaccard_pairs_prefix(
     # explicit filter on the computed array would be alias-substituted by
     # predicate pushdown and sunk below the fan_out exchange, serializing
     # a duplicate shingle pass onto the scan's single input split.
-    sh = fan_out(documents).select("doc_id", shingles(F.col(text_col)).alias("s"))
+    sh = fan_out(documents).select("doc_id", shingles(text_col).alias("s"))
     terms = sh.select("doc_id", F.size("s").alias("sz"), F.explode("s").alias("term"))
     df_tbl = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # canonical order = (df, term): total, global, rarest-first. Window
@@ -262,7 +262,7 @@ def minhash_signatures(
     shingle computation onto the scan's single split (measured 6x on the
     whole pipeline); NULL rows are the scalable contract.
     """
-    sh = fan_out(documents).select("doc_id", shingles(F.col(text_col)).alias("s"))
+    sh = fan_out(documents).select("doc_id", shingles(text_col).alias("s"))
     based = sh.select("doc_id", _base_hash("s", base_hash).alias("h"))
     return based.select("doc_id", *_minhash_cols(k))
 
@@ -294,7 +294,7 @@ def _banded_shingles(
     duplicate shingle pass (measured ~1.8s of the LSH pipeline's 2.8s).
     """
     rows = k // bands
-    sh = fan_out(documents).select("doc_id", shingles(F.col(text_col)).alias("s"))
+    sh = fan_out(documents).select("doc_id", shingles(text_col).alias("s"))
     based = sh.select("doc_id", "s", _base_hash("s", base_hash).alias("h"))
     sig = based.select("doc_id", "s", *_minhash_cols(k))
     band_structs = F.expr(
@@ -448,7 +448,7 @@ def simhash(
     """
     assert bits % 4 == 0 and bits <= 56  # term hash must fit a signed long
     ndigits = bits // 4
-    sh = fan_out(documents).select("doc_id", shingles(F.col(text_col)).alias("s"))
+    sh = fan_out(documents).select("doc_id", shingles(text_col).alias("s"))
 
     # Map-only plan: one hash per term (transform), then a single aggregate
     # HOF folds the per-term ±1 votes for all `bits` positions into one

@@ -55,7 +55,7 @@ def corpus_shingles(documents: DataFrame, text_col: str = "text") -> DataFrame:
     point lookups like the query side still push their filter below it.
     """
     return fan_out(documents).select(
-        "doc_id", shingles(F.col(text_col)).alias("shingle_set")
+        "doc_id", shingles(text_col).alias("shingle_set")
     )
 
 

@@ -12,6 +12,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
+    java_split_tokens_sql,
+    trigrams_sql,
+)
+from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
     java_split_tokens,
 )
 from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
@@ -57,7 +61,7 @@ def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     The fixture's ``lang`` column is metadata, not derivable from the
     synthetic text — this operator demonstrates the *computed* signal.
     """
-    toks = java_split_tokens(F.col(text_col))
+    toks = java_split_tokens(text_col)
     ratio = F.round(_stop_ratio(toks), 6)
     return fan_out(documents).select(
         "doc_id",
@@ -129,7 +133,7 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace-collapsed token stream — robust to case and spacing noise,
     the cheap first pass before shingle-level dedup."""
     norm = F.concat_ws(
-        " ", java_split_tokens(F.lower(F.col(text_col)))
+        " ", java_split_tokens(f"lower({text_col})")
     )
     return fan_out(documents).select(
         "doc_id",
@@ -197,7 +201,7 @@ def ngram_frequencies(
         fan_out,
     )
 
-    sh = fan_out(documents).select(shingles(F.col(text_col)).alias("s"))
+    sh = fan_out(documents).select(shingles(text_col).alias("s"))
     return (
         sh.select(F.explode("s").alias("term"))
         .groupBy("term")
@@ -226,7 +230,7 @@ def vocab_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     # avg over exact integer sums.
     terms = (
         fan_out(documents)
-        .select("doc_id", shingles(F.col(text_col)).alias("s"))
+        .select("doc_id", shingles(text_col).alias("s"))
         .select("doc_id", F.explode("s").alias("term"))
     )
     return terms.agg(
@@ -292,7 +296,9 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     base = fan_out(documents)
     tg = base.select(
         "doc_id",
-        F.explode(trigrams(java_split_tokens(F.col(text_col)))).alias("term"),
+        F.explode(
+            F.expr(trigrams_sql(java_split_tokens_sql(text_col)))
+        ).alias("term"),
     )
     per_term = tg.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     st = per_term.groupBy("doc_id").agg(

@@ -128,15 +128,15 @@ def sim_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-document set (quirk Q1's len1). One map stage + one broadcast
     join — zero shuffles."""
     from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
-        java_split_tokens,
+        java_split_tokens_sql,
         shingles,
-        trigrams,
+        trigrams_sql,
     )
 
     docs = table(spark, sf_dir, "documents")
-    toks = java_split_tokens(F.col("text"))
-    grams = trigrams(toks)
-    sset = shingles(F.col("text"))
+    toks = F.expr(java_split_tokens_sql("text"))
+    grams = F.expr(trigrams_sql(java_split_tokens_sql("text")))
+    sset = shingles("text")
     profile = docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -149,7 +149,7 @@ def sim_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qset = F.broadcast(
         docs.filter(F.col("doc_id") == 0).select(
-            shingles(F.col("text")).alias("qs")
+            shingles("text").alias("qs")
         )
     )
     return profile.join(qset).select(

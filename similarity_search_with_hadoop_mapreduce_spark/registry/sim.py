@@ -97,7 +97,7 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     String.split semantics; exploded with position for value comparison."""
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.posexplode(java_split_tokens(F.col("text"))).alias("pos", "token"),
+        F.posexplode(java_split_tokens("text")).alias("pos", "token"),
     )
 
 
@@ -127,7 +127,7 @@ def q_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens => empty; multiset (pre-distinct) with positions."""
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.posexplode(trigrams(java_split_tokens(F.col("text")))).alias(
+        F.posexplode(trigrams(java_split_tokens("text"))).alias(
             "pos", "shingle"
         ),
     )
@@ -150,7 +150,7 @@ SELECT doc_id, len(s) AS n_shingles FROM shingle_sets
 def q_shingle_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 (BookQuery.java:26,66): HashSet distinctness per document."""
     return _docs(spark, sf_dir).select(
-        "doc_id", F.size(shingles(F.col("text"))).alias("n_shingles")
+        "doc_id", F.size(shingles("text")).alias("n_shingles")
     )
 
 
@@ -173,7 +173,7 @@ def q_semi_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side against a broadcast 1-row query set before any shuffle —
     the reference's `retainAll` re-expressed as `array_intersect`."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("s"))
+    sh = docs.select("doc_id", shingles("text").alias("s"))
     q = F.broadcast(sh.filter(F.col("doc_id") == 0).select(F.col("s").alias("qs")))
     return sh.join(q).select(
         "doc_id", F.explode(F.array_intersect("s", "qs")).alias("term")
@@ -198,7 +198,7 @@ def q_intersection_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 (BookQuery.java:80): `length` is taken AFTER retainAll, so it is
     |D∩Q| not |D| — the quirk-Q1 contract, one row per document."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("s"))
+    sh = docs.select("doc_id", shingles("text").alias("s"))
     q = F.broadcast(sh.filter(F.col("doc_id") == 0).select(F.col("s").alias("qs")))
     return sh.join(q).select(
         "doc_id", F.size(F.array_intersect("s", "qs")).alias("len1")
@@ -237,7 +237,7 @@ def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     n = _doc_count(spark, sf_dir)
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("s"))
+    sh = docs.select("doc_id", shingles("text").alias("s"))
     q = F.broadcast(sh.filter(F.col("doc_id") == 0).select(F.col("s").alias("qs")))
     exploded = (
         sh.join(q)
@@ -305,7 +305,7 @@ def q_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate adds the map-side combine the reference lacked."""
     docs = _docs(spark, sf_dir)
     n = _doc_count(spark, sf_dir)
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("s"))
+    sh = docs.select("doc_id", shingles("text").alias("s"))
     q = F.broadcast(
         sh.filter(F.col("doc_id") == 0).select(
             F.col("s").alias("qs"), F.size("s").alias("q_len")

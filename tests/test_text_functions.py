@@ -69,3 +69,40 @@ def test_shingle_edge_cases(spark):
 def test_property_java_split(spark, texts):
     assert _spark_tokens(spark, texts) == [java_split(t) for t in texts]
     assert _spark_shingles(spark, texts) == [shingle_set(t) for t in texts]
+
+
+def test_sql_twins_match_column_builders(spark):
+    # The sql-text twins must build the exact same expression semantics as
+    # the Column builders, including Java-split edge cases.
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
+        java_split_tokens,
+        java_split_tokens_sql,
+        shingles,
+        shingles_sql,
+        trigrams,
+        trigrams_sql,
+    )
+
+    cases = ["a b c d e", "", "!!!", "one two", "x.y z!  ", " lead",
+             "a  b\tc d", "single", "a-b-c-d", "\t\n"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "id long, text string"
+    )
+    col_side = df.select(
+        "id",
+        java_split_tokens(F.col("text")).alias("t"),
+        trigrams(java_split_tokens(F.col("text"))).alias("g"),
+        shingles(F.col("text")).alias("s"),
+    ).collect()
+    sql_side = df.select(
+        "id",
+        F.expr(java_split_tokens_sql("text")).alias("t"),
+        F.expr(trigrams_sql(java_split_tokens_sql("text"))).alias("g"),
+        F.expr(shingles_sql("text")).alias("s"),
+    ).collect()
+    key = lambda r: r.id
+    assert [tuple(r) for r in sorted(col_side, key=key)] == [
+        tuple(r) for r in sorted(sql_side, key=key)
+    ]
