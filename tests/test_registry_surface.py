@@ -144,3 +144,17 @@ def test_full_registry_oracles_still_complete():
     # every fine-grained entry keeps its own oracle for --all checking
     missing = [n for n in QUERIES if n not in ORACLES]
     assert missing == [], missing
+
+
+def test_bench_headline_names_resolve_with_oracles():
+    # the perf gate compares bench.py (Spark) against the same names'
+    # oracle SQL in scripts/bench_duckdb.py — every headline name must
+    # exist in the full registry with an oracle
+    from bench import HEADLINE, _bench_impls
+
+    for name in HEADLINE:
+        assert name in QUERIES, name
+        assert name in ORACLES, name
+    # production-mode overrides only shadow real registry entries
+    for name in _bench_impls():
+        assert name in HEADLINE, name
