@@ -30,8 +30,12 @@ oracles reproduce signatures exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 from similarity_search_with_hadoop_mapreduce_spark.functions.text import shingles
 from similarity_search_with_hadoop_mapreduce_spark.operators.skew import write_bucketed
@@ -318,6 +322,76 @@ def _banded_shingles(
     )
 
 
+def _bounded_buckets(
+    banded: DataFrame,
+    key_col: str,
+    member_cols: list[str],
+    max_bucket: int | None,
+    stats: dict | None = None,
+    family: str = "lsh",
+) -> DataFrame:
+    """Bucket rows by ``(band, key_col)`` into bounded member arrays.
+
+    The naive plan — ``groupBy(band, key).agg(collect_list(...))`` then
+    filter on ``size(members)`` — materializes an ENTIRE bucket as one
+    unsplittable row *before* any filter can run: on a mass-duplicated
+    corpus (the exact input dedup exists for) a hot bucket with 10⁵–10⁶
+    members becomes a multi-GB single row and OOMs the executor; AQE
+    skew handling cannot split an already-aggregated row.
+
+    Bounded plan: a window ``count(*) over (partition by band, key)``
+    computes each bucket's size BEFORE aggregation, rows in buckets
+    larger than ``max_bucket`` are diverted to an overflow side-output,
+    and only then does ``collect_list`` run — every aggregated row holds
+    at most ``max_bucket`` members *by construction*. Cost profile:
+
+    - still exactly ONE exchange: the window's hash partitioning on
+      (band, key) satisfies the downstream groupBy's distribution, so
+      EnsureRequirements inserts no second shuffle (plan-asserted in
+      tests/test_plans.py);
+    - the map-side hash DAG is evaluated once (no census re-scan of the
+      corpus, unlike a count-aggregate + anti-join two-pass design);
+    - WindowExec buffers each (band, key) group with a spillable row
+      container, so even the hot groups stream through bounded memory —
+      the property the single collect_list row can never have.
+
+    Overflow contract: rows in over-cap buckets produce NO pairs here.
+    Mass-identical text is the job of the exact layer
+    (:func:`exact_duplicates` — run it upstream, as the curation
+    pipeline does); an over-cap LSH bucket that survives exact dedup
+    means mass *near*-identical content, which callers inspect via
+    ``stats`` and handle as a corpus-quality event (e.g. keep one
+    representative per bucket) rather than as O(B²) pair rows. When
+    ``stats`` is provided, ``stats['overflow_buckets']`` /
+    ``stats['overflow_docs']`` record the diverted volume (triggers a
+    small diagnostic job) and the counts are logged.
+    """
+    w = Window.partitionBy("band", key_col)
+    sized = banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+    if max_bucket is not None:
+        kept = sized.filter(
+            (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= max_bucket)
+        )
+        if stats is not None:
+            overflow = sized.filter(F.col("bucket_n") > max_bucket)
+            row = overflow.agg(
+                F.count_distinct("band", key_col).alias("b"),
+                F.count(F.lit(1)).alias("d"),
+            ).collect()[0]
+            stats["overflow_buckets"] = row["b"]
+            stats["overflow_docs"] = row["d"]
+            _log.info(
+                "%s pair generation: %d hot buckets (> %d members, %d rows) "
+                "diverted to overflow",
+                family, row["b"], max_bucket, row["d"],
+            )
+    else:
+        kept = sized.filter(F.col("bucket_n") >= 2)
+    return kept.groupBy("band", key_col).agg(
+        F.collect_list(F.struct(*member_cols)).alias("members")
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     k: int = 16,
@@ -325,22 +399,24 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     base_hash: str = "xxhash64",
+    max_bucket: int | None = 1000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash banding + exact Jaccard verify.
 
     The signature is split into ``bands`` bands of ``k // bands`` rows;
     docs sharing any band hash become candidates (linear-time candidate
-    generation: one groupBy on (band, band_hash)), then candidates are
-    verified with exact shingle-set Jaccard. Returns
-    (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    generation: one bounded bucketing on (band, band_hash) — see
+    :func:`_bounded_buckets` for why buckets are size-capped with an
+    overflow side-output), then candidates are verified with exact
+    shingle-set Jaccard. Returns (doc_a, doc_b, jaccard) with
+    jaccard >= threshold.
     """
     banded = _banded_shingles(
         documents, k=k, bands=bands, text_col=text_col, base_hash=base_hash
     )
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.collect_list(F.struct("doc_id", "s")).alias("members"))
-        .filter(F.size("members") > 1)
+    buckets = _bounded_buckets(
+        banded, "bh", ["doc_id", "s"], max_bucket, stats=stats, family="minhash-lsh"
     )
     pairs = (
         buckets.select(F.explode("members").alias("a"), "members")
@@ -503,6 +579,8 @@ def simhash_dup_pairs(
     max_hamming: int = 2,
     text_col: str = "text",
     base_hash: str = "xxhash64",
+    max_bucket: int | None = 1000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by SimHash banding + hamming verify.
 
@@ -510,6 +588,10 @@ def simhash_dup_pairs(
     bits must agree exactly on at least one of 3 bands — so candidates
     are generated with three equi-joins on band values (linear, no
     all-pairs), then verified with bit_count(xor) <= max_hamming.
+    Buckets are size-capped with an overflow side-output (see
+    :func:`_bounded_buckets`); a 16-bit fingerprint space is small, so
+    mass-near-identical corpora WILL produce hot band values — the cap
+    is what keeps a hot band from becoming one multi-GB aggregated row.
 
     Empty-shingle docs carry fingerprint 0 (see :func:`simhash`) and so
     pair with each other at hamming 0 — consistent with the oracle and
@@ -537,10 +619,8 @@ def simhash_dup_pairs(
     banded = fp.select("doc_id", "simhash", F.explode(bandcols).alias("x")).select(
         "doc_id", "simhash", "x.band", "x.bv"
     )
-    buckets = (
-        banded.groupBy("band", "bv")
-        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("members"))
-        .filter(F.size("members") > 1)
+    buckets = _bounded_buckets(
+        banded, "bv", ["doc_id", "simhash"], max_bucket, stats=stats, family="simhash"
     )
     pairs = (
         buckets.select(F.explode("members").alias("a"), "members")

@@ -245,6 +245,76 @@ def test_base_hash_modes_share_verified_semantics(spark):
         assert all(got[p] == 1.0 for p in exact_pairs), mode
 
 
+def test_lsh_hot_bucket_bounded_with_overflow(spark):
+    """Mass-duplicate corpus: the hot bucket is diverted to overflow, no
+    aggregated row ever exceeds the cap, and the small groups still pair."""
+    n = 5000
+    docs = spark.createDataFrame(
+        [(i, "mass duplicated body text repeated verbatim in every doc")
+         for i in range(n)]
+        + [(n + 1, CORPUS[1]), (n + 2, CORPUS[1]), (n + 3, CORPUS[4])],
+        "doc_id long, text string",
+    )
+    stats = {}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.3, max_bucket=100, stats=stats
+        ).collect()
+    }
+    assert (n + 1, n + 2) in got          # small bucket unaffected
+    assert not any(a < n and b < n for a, b in got)  # hot bucket emits nothing
+    assert stats["overflow_buckets"] == 4  # the mass-dup bucket, once per band
+    assert stats["overflow_docs"] == 4 * n
+    # bounded BY CONSTRUCTION: no materialized bucket row exceeds the cap
+    banded = D._banded_shingles(docs, k=16, bands=4)
+    buckets = D._bounded_buckets(banded, "bh", ["doc_id", "s"], 100)
+    assert buckets.agg(F.max(F.size("members"))).first()[0] <= 100
+
+
+def test_simhash_hot_bucket_bounded_with_overflow(spark):
+    n = 3000
+    docs = spark.createDataFrame(
+        [(i, "mass duplicated body text repeated verbatim in every doc")
+         for i in range(n)]
+        + [(n + 1, CORPUS[1]), (n + 2, CORPUS[1])],
+        "doc_id long, text string",
+    )
+    stats = {}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_dup_pairs(docs, max_bucket=50, stats=stats).collect()
+    }
+    assert (n + 1, n + 2) in got
+    assert not any(a < n and b < n for a, b in got)
+    # identical fingerprints -> one hot bucket per band (3 bands at hd<=2),
+    # plus any band value the identical-pair fingerprint happens to share
+    assert stats["overflow_buckets"] >= 3
+    assert stats["overflow_docs"] >= 3 * n
+
+
+def test_lsh_cap_is_exact_below_threshold(spark):
+    """With every bucket under the cap, capped and uncapped plans are
+    result-identical — the bound only changes behavior on hot buckets."""
+    docs = _docs(spark)
+    key = lambda r: (r.doc_a, r.doc_b, round(r.jaccard, 12))
+    base = sorted(
+        map(key, D.minhash_lsh_pairs(docs, threshold=0.3, max_bucket=None).collect())
+    )
+    capped = sorted(
+        map(key, D.minhash_lsh_pairs(docs, threshold=0.3, max_bucket=10).collect())
+    )
+    assert base == capped and base
+    sh_key = lambda r: (r.doc_a, r.doc_b, r.hamming)
+    sh_base = sorted(
+        map(sh_key, D.simhash_dup_pairs(docs, max_bucket=None).collect())
+    )
+    sh_capped = sorted(
+        map(sh_key, D.simhash_dup_pairs(docs, max_bucket=10).collect())
+    )
+    assert sh_base == sh_capped and sh_base
+
+
 def test_cluster_rounds_logarithmic_on_chain(spark):
     # 500-node path graph: plain min propagation needs diameter rounds
     # (499); pointer jumping must land under ceil(log2(diameter)) + 1.
