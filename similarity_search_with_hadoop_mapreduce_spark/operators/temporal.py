@@ -31,6 +31,7 @@ entries run the bucketed implementations against the unchanged oracles).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -151,10 +152,20 @@ def asof_join_bucketed(
         F.lit(0).alias("_side"),
         rb,
     )
-    # last right row per (key, bucket): max struct orders by ts first
+    # Per-bucket last NON-null row per value column — one max-struct per
+    # column, not one shared row: the global plan's running last carries
+    # each column's last non-null value independently, so a shared
+    # latest-ts seed would diverge whenever right values contain NULLs
+    # (the latest row's NULL column would mask an older non-null one).
+    mcols = [f"_m_{i}" for i in range(len(values))]
     rlast = right.select(
-        *by, rb, F.struct(F.col(on), *[F.col(v) for v in values]).alias("_m")
-    ).groupBy(*by, "_rb").agg(F.max("_m").alias("_m"))
+        *by,
+        rb,
+        *[
+            F.when(F.col(v).isNotNull(), F.struct(F.col(on), F.col(v).alias("v"))).alias(m)
+            for v, m in zip(values, mcols)
+        ],
+    ).groupBy(*by, "_rb").agg(*[F.max(m).alias(m) for m in mcols])
     # bucket spine = every (key, bucket) either side touches
     spine = (
         l2.select(*by, "_rb").union(r2.select(*by, "_rb")).distinct()
@@ -166,8 +177,12 @@ def asof_join_bucketed(
     )
     seeds = (
         spine.join(rlast, [*by, "_rb"], "left")
-        .select(*by, "_rb", F.last("_m", ignorenulls=True).over(w_prev).alias("_m"))
-        .filter(F.col("_m").isNotNull())
+        .select(
+            *by,
+            "_rb",
+            *[F.last(m, ignorenulls=True).over(w_prev).alias(m) for m in mcols],
+        )
+        .filter(reduce(lambda a, b: a | b, [F.col(m).isNotNull() for m in mcols]))
     )
     seed_rows = seeds.select(
         *[
@@ -180,7 +195,7 @@ def asof_join_bucketed(
             )
             for c in lcols
         ],
-        *[F.col("_m")[v].alias(ov) for v, ov in zip(values, out_vals)],
+        *[F.col(m)["v"].alias(ov) for m, ov in zip(mcols, out_vals)],
         F.lit(-1).alias("_side"),
         F.col("_rb"),
     )
@@ -260,6 +275,55 @@ def gapfill_locf(
             F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+def gapfill_locf_auto(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket_unit: str = "day",
+    hot_window_rows: int = 500_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """:func:`gapfill_locf` with the skew hardening applied *only when
+    needed* — a stat-driven switch instead of paying the bucketed plan's
+    premium (extra seed join + window) unconditionally.
+
+    What makes the gapfill window hot is NOT per-key event skew: the
+    window runs over GRID rows, and the grid gives every key the same
+    ``(max_minute - min_minute)`` span — so the single window partition
+    for a key holds exactly the global minute span, whatever the raw
+    event distribution looks like. (Event-count skew lands on the
+    (key, minute) aggregation, which partial aggregation already
+    handles.) The hot condition is therefore just the span, probed with
+    a bare ``min(ts)/max(ts)`` aggregate: with parquet aggregate
+    pushdown this is footer-metadata-only — O(#files), no row scan, at
+    100 TB exactly as cheap as at 100 MB. Spans at or under
+    ``hot_window_rows`` minutes (default 500k ≈ one year) run the
+    global-window plan; longer histories run the (key, day)-bucketed
+    plan. Both are result-identical (pytest-pinned), so the switch is a
+    pure physical-plan decision — the oracle does not change.
+
+    ``stats['gapfill_plan']`` records the choice when a dict is passed.
+    """
+    spark = events.sparkSession
+    prev = spark.conf.get("spark.sql.parquet.aggregatePushDown", "false")
+    spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+    try:
+        lo, hi = events.agg(F.min(ts_col), F.max(ts_col)).first()
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushDown", prev)
+    span_minutes = (
+        0 if lo is None else int((hi - lo).total_seconds() // 60) + 1
+    )
+    if span_minutes <= hot_window_rows:
+        if stats is not None:
+            stats["gapfill_plan"] = "global"
+        return gapfill_locf(events, ts_col, key_col, value_col)
+    if stats is not None:
+        stats["gapfill_plan"] = "bucketed"
+    return gapfill_locf_bucketed(events, ts_col, key_col, value_col, bucket_unit)
 
 
 def gapfill_locf_bucketed(

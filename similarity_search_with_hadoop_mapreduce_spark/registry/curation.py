@@ -256,12 +256,14 @@ FROM grid g LEFT JOIN agg a ON g.k = a.k AND g.bucket = a.bucket
 def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled minute series per event type: dense bucket grid,
     zero-filled counts, last-observation-carried-forward value sums
-    (time_bucket_gapfill + locf semantics). Runs the skew-hardened
-    bucketed implementation — LOCF windows partition by (key, day) with
-    carried-in day seeds — against the unchanged global-window oracle,
-    pinning result-equality of the two plans."""
+    (time_bucket_gapfill + locf semantics). Runs the stat-driven
+    implementation: a footer-metadata span probe picks the global-window
+    plan for short histories and the (key, day)-bucketed skew-hardened
+    plan for long ones — both result-identical to this unchanged oracle
+    (equality of the two physical plans is pytest-pinned in
+    tests/test_temporal.py)."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
-        gapfill_locf_bucketed,
+        gapfill_locf_auto,
     )
 
-    return gapfill_locf_bucketed(table(spark, sf_dir, "events"))
+    return gapfill_locf_auto(table(spark, sf_dir, "events"))

@@ -136,6 +136,77 @@ def test_bucketed_asof_equals_global_asof_on_skewed_data(spark):
     ), plan
 
 
+def test_bucketed_asof_carries_null_values_like_global(spark):
+    """A right row whose value is NULL at the latest ts of a bucket must
+    not mask an older non-null value for later buckets — the seed is the
+    per-column last NON-null, exactly like the global running last. Two
+    value columns go null at different times to pin per-column
+    independence."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    clicks = spark.createDataFrame(
+        [(i, 1, f"2024-01-{d:02d} 12:00:00") for i, d in enumerate([1, 2, 3, 4, 5])],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    purchases = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0, 100.0),
+            (1, "2024-01-01 23:00:00", None, 200.0),   # day-1 latest: v1 NULL
+            (1, "2024-01-03 23:00:00", 30.0, None),    # day-3 latest: v2 NULL
+        ],
+        "user_id long, ts_s string, v1 double, v2 double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "v1", "v2")
+    kw = dict(on="ts", by=["user_id"], values=["v1", "v2"])
+    want = sorted(
+        (r.event_id, r.v1, r.v2)
+        for r in asof_join(clicks, purchases, **kw).collect()
+    )
+    got = sorted(
+        (r.event_id, r.v1, r.v2)
+        for r in asof_join_bucketed(clicks, purchases, **kw).collect()
+    )
+    assert got == want
+    # and the carried values really exercise the per-column paths
+    by_id = dict((e, (a, b)) for e, a, b in want)
+    assert by_id[1] == (10.0, 200.0)  # day-2 click: v1 from older non-null row
+    assert by_id[4] == (30.0, 200.0)  # day-5 click: v2 survives day-3 NULL
+
+
+def test_gapfill_auto_switches_on_span_and_stays_result_identical(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        gapfill_locf,
+        gapfill_locf_auto,
+    )
+
+    ev = _skewed_events(spark).withColumn(
+        "event_type", F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string"))
+    )
+    key = lambda r: (r.event_type, r.bucket_start)
+    want = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in gapfill_locf(ev).collect()
+    }
+    # fixture spans weeks of minutes: default threshold -> global plan
+    stats = {}
+    got = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in gapfill_locf_auto(ev, stats=stats).collect()
+    }
+    assert stats["gapfill_plan"] == "global"
+    assert got == want
+    # forced-low threshold -> bucketed plan, same result
+    stats = {}
+    got_b = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in gapfill_locf_auto(ev, hot_window_rows=10, stats=stats).collect()
+    }
+    assert stats["gapfill_plan"] == "bucketed"
+    assert got_b == want
+
+
 def test_bucketed_gapfill_equals_global_gapfill(spark):
     from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
         gapfill_locf,
