@@ -179,6 +179,8 @@ def similarity_multi_query(
     documents: DataFrame,
     query_ids,
     text_col: str = "text",
+    broadcast_term_limit: int = 2_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Score every document against a *batch* of query documents in one
     pass — the engine generalization of the reference's one-query driver
@@ -203,6 +205,18 @@ def similarity_multi_query(
     - One real exchange: the final ``groupBy(doc_id, query_id)`` count,
       keyed on high-cardinality pairs (no skew key exists — a term shared
       by every doc contributes rows spread over all doc ids).
+
+    Broadcast guard: the plan above ships the union of all query terms to
+    every executor, which stops being viable when the query battery's
+    vocabulary no longer fits executor memory (tens of thousands of
+    queries). A cheap probe — ``sum(q_len)`` over the query rows only, a
+    point-lookup aggregate, never a corpus scan — counts the term upper
+    bound; above ``broadcast_term_limit`` the operator switches to the
+    shuffled plan: corpus shingles explode fully and shuffle-join the
+    exploded query terms on ``term`` (both sides hash-partitioned;
+    AQE's runtime bloom filter can still prune corpus rows early).
+    Result-identical to the broadcast plan (pytest-pinned with a forced
+    threshold); ``stats['multi_query_plan']`` records the choice.
     """
     docs = corpus_shingles(documents, text_col)
     qset = docs.filter(F.col("doc_id").isin(list(query_ids))).select(
@@ -210,17 +224,30 @@ def similarity_multi_query(
         F.col("shingle_set").alias("qs"),
         F.size("shingle_set").alias("q_len"),
     )
-    all_terms = qset.agg(
-        F.array_distinct(F.flatten(F.collect_list("qs"))).alias("all_q")
-    )
     qterms = qset.select("qid", "q_len", F.explode("qs").alias("term"))
-    kept = docs.join(F.broadcast(all_terms)).select(
-        "doc_id",
-        F.size("shingle_set").alias("sz_d"),
-        F.explode(F.array_intersect("shingle_set", "all_q")).alias("term"),
-    )
+    n_terms = qset.agg(F.sum("q_len")).first()[0] or 0
+    if n_terms <= broadcast_term_limit:
+        if stats is not None:
+            stats["multi_query_plan"] = "broadcast"
+        all_terms = qset.agg(
+            F.array_distinct(F.flatten(F.collect_list("qs"))).alias("all_q")
+        )
+        kept = docs.join(F.broadcast(all_terms)).select(
+            "doc_id",
+            F.size("shingle_set").alias("sz_d"),
+            F.explode(F.array_intersect("shingle_set", "all_q")).alias("term"),
+        )
+        qterms = F.broadcast(qterms)
+    else:
+        if stats is not None:
+            stats["multi_query_plan"] = "shuffled"
+        kept = docs.select(
+            "doc_id",
+            F.size("shingle_set").alias("sz_d"),
+            F.explode("shingle_set").alias("term"),
+        )
     pairs = (
-        kept.join(F.broadcast(qterms), "term")
+        kept.join(qterms, "term")
         .filter(F.col("doc_id") != F.col("qid"))
         .groupBy("doc_id", "qid", "sz_d", "q_len")
         .agg(F.count(F.lit(1)).alias("shared"))

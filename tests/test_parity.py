@@ -225,3 +225,41 @@ def test_multi_query_consistent_with_single_query_jaccard(spark):
         for d, (cont, _) in ((d, v) for (d, q), v in multi.items() if q == qid):
             inter = len(shingle_set(corpus[d]) & qset)
             assert math.isclose(cont, inter / len(qset), rel_tol=1e-12)
+
+
+def test_multi_query_shuffled_fallback_equals_broadcast_plan(spark):
+    """Above the broadcast-term limit the operator switches to the
+    shuffled-join plan; a forced-low threshold pins exact result equality
+    of the two physical plans on the same batch."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.similarity import (
+        similarity_multi_query,
+    )
+
+    corpus = {
+        "q": "the quick brown fox jumps over the lazy dog",
+        "q2": "pack my box with five dozen liquor jugs today friend",
+        "d1": "the quick brown fox runs far away from here today",
+        "d2": "a completely different set of words with no overlap at all",
+        "d3": "the quick brown fox jumps over the lazy dog exactly",
+        "d4": "pack my box with five dozen liquor jugs",
+    }
+    df = _corpus_df(spark, corpus)
+    key = lambda r: (
+        r.doc_id, r.query_id, r.shared,
+        round(r.containment, 12), round(r.jaccard, 12),
+    )
+    stats_b, stats_s = {}, {}
+    broad = sorted(
+        map(key, similarity_multi_query(df, ["q", "q2"], stats=stats_b).collect())
+    )
+    shuf = sorted(
+        map(
+            key,
+            similarity_multi_query(
+                df, ["q", "q2"], broadcast_term_limit=1, stats=stats_s
+            ).collect(),
+        )
+    )
+    assert stats_b["multi_query_plan"] == "broadcast"
+    assert stats_s["multi_query_plan"] == "shuffled"
+    assert broad == shuf and broad
