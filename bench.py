@@ -8,6 +8,13 @@ at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 Timing is per-query wall time of plan + execution (a ``count``-style full
 materialization via ``df.write.format("noop")`` so results aren't pulled to
 the driver).
+
+``task_compute`` reports, per query, the total executor task time
+(cpu-seconds summed across all tasks, from the app status store) for the
+min-wall iteration. It separates plan cost from Spark's fixed per-job
+scheduling floor: a query with wall >> task_compute/cores is
+floor-dominated (the floor amortizes on a real cluster); task_compute >>
+wall means the query genuinely parallelized across the 32 local cores.
 """
 
 from __future__ import annotations
@@ -138,19 +145,49 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    # Per-query task compute: cumulative executorRunTime over all stages
+    # from the app status store, read before/after each query — the delta
+    # is the query's actual task time. wall >> task_compute/cores flags a
+    # query dominated by Spark's fixed per-job scheduling floor (driver
+    # round trips, stage submission, task launch) rather than by its plan:
+    # that floor amortizes on a real cluster, compute does not.
+    sc = spark.sparkContext
+
+    def total_task_ms() -> int:
+        store = sc._jsc.sc().statusStore()
+        # stageList(statuses, details, withSummaries, unsortedQuantiles, taskStatus)
+        seq = store.stageList(
+            sc._jvm.java.util.ArrayList(),
+            False,
+            False,
+            sc._gateway.new_array(sc._jvm.double, 0),
+            sc._jvm.java.util.ArrayList(),
+        )
+        it = seq.iterator()
+        total = 0
+        while it.hasNext():
+            total += it.next().executorRunTime()
+        return total
+
     # Three timed iterations, min per query: the first pays per-query codegen
     # and C2 JIT compilation of interpreted-HOF paths (a fixed JVM cost, not
     # a data cost — measured up to 5x on the LSH pipeline's first run); the
     # min is the steady-state number a resident service would see.
+    # task_compute is taken from the min-wall iteration of each query.
     timings: dict[str, float] = {}
+    compute: dict[str, float] = {}
     for _ in range(3):
         for name in HEADLINE:
             fn = impls.get(name) or QUERIES[name]
+            c0 = total_task_ms()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            cms = round(max(0, total_task_ms() - c0) / 1000.0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+                compute[name] = cms
 
     total = round(sum(timings.values()), 3)
     print(
@@ -160,6 +197,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "task_compute": compute,
                 "sf": float(sf),
             }
         )
