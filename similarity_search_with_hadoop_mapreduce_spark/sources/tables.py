@@ -101,12 +101,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 # fan_out memo: input DataFrame -> {min_partitions: fanned-out DataFrame}.
 # load_table returns the cached object per (session, table), so repeated
-# fan_out(corpus) calls hit this and skip the .rdd partition probe (a
-# plan-conversion round trip per call). Keyed weakly on the input df object
-# (DataFrame doesn't override __eq__/__hash__, so this is identity).
+# fan_out(corpus) calls hit this and skip the plan-stats probe. Keyed
+# weakly on the input df object (DataFrame doesn't override
+# __eq__/__hash__, so this is identity).
 _fan_cache: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def _size_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string ('128MB', '134217728b', '1g')."""
+    v = value.strip().lower()
+    for suffix, mult in (
+        ("tb", 2**40), ("gb", 2**30), ("mb", 2**20), ("kb", 2**10),
+        ("t", 2**40), ("g", 2**30), ("m", 2**20), ("k", 2**10), ("b", 1),
+    ):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)]) * mult)
+    return int(v)
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -118,13 +130,26 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     exist. At real scale the scan already yields >= parallelism splits and
     this is a **no-op** (no shuffle); the repartition only fires on
     under-split inputs, where the shuffled bytes are tiny by construction.
+
+    The under-split decision reads the *logical plan's* size statistics
+    (for file sources: the already-listed file sizes) against
+    ``min_partitions × maxPartitionBytes`` — an input smaller than that
+    cannot yield ``min_partitions`` splits. This is driver-side metadata
+    only: no ``df.rdd`` conversion, no physical planning, no job.
     """
     memo = _fan_cache.setdefault(df, {})
     if min_partitions in memo:
         return memo[min_partitions]
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    out = df if df.rdd.getNumPartitions() >= target else df.repartition(target)
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        max_pb = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+    except ValueError:
+        max_pb = 128 * 2**20
+    plan_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    out = df if plan_bytes >= target * max_pb else df.repartition(target)
     memo[min_partitions] = out
     return out
 

@@ -155,3 +155,21 @@ def test_lateral_decorrelates_to_window(spark):
     plan = explain_string(df, "simple")
     assert "CartesianProduct" not in plan
     assert "Window" in plan or "rank" in plan.lower()
+
+
+def test_package_never_converts_plans_to_rdd():
+    """df.rdd forces physical planning + RDD DAG build on the driver; the
+    engine decides fan-out from logical-plan statistics instead. Pin that
+    no hot path regresses to an .rdd probe."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "similarity_search_with_hadoop_mapreduce_spark"
+    )
+    offenders = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        for ln in p.read_text().splitlines()
+        if ".rdd" in ln and not ln.lstrip().startswith("#") and "``" not in ln
+    ]
+    assert offenders == []
