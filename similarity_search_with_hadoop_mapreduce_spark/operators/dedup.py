@@ -286,8 +286,9 @@ def _banded_shingles(
     with (and no recomputation of) the corpus. Shuffle volume is
     `bands ×` the shingle arrays — the standard LSH trade; a hot bucket
     (mass-duplicated content) explodes quadratically in pair count,
-    which AQE skew-join splitting and an upstream exact-dedup pass keep
-    bounded at corpus scale.
+    which the consumers bound structurally: :func:`_bounded_buckets`
+    caps bucket size with an overflow side-output, and an upstream
+    exact-dedup pass removes the identical-text mass first.
 
     Empty-shingle docs have all-NULL minhashes, so every band collapses
     to md5(concat_ws of nulls) = md5(""); dropping that sentinel bucket
@@ -640,6 +641,36 @@ def simhash_dup_pairs(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star rewiring (Kiveris et al. 2014): every node connects its
+    strictly-larger neighbors to the minimum of its closed neighborhood.
+    Input/output edges are oriented ``hi > lo``; connectivity-preserving."""
+    sym = edges.selectExpr("hi as u", "lo as v").union(
+        edges.selectExpr("lo as u", "hi as v")
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))  # m <= u < v, so hi > lo holds
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star rewiring: every node connects itself and all its smaller
+    neighbors to its minimum neighbor. Edges oriented ``hi > lo``."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    center = mins.select("hi", F.col("m").alias("lo"))
+    others = (
+        edges.join(mins, "hi")
+        .filter(F.col("lo") != F.col("m"))  # m = min(N(hi)) < lo < hi
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    )
+    return center.union(others).distinct()
+
+
 def duplicate_clusters(
     documents: DataFrame,
     pairs: DataFrame | None = None,
@@ -652,74 +683,69 @@ def duplicate_clusters(
     over the pair graph, cluster id = min doc_id in the component.
 
     Pair detectors emit *edges* (a~b, b~c); dedup needs the transitive
-    closure — keep one doc per component, not per edge. Each round is
-    min-label propagation **plus pointer jumping**: after every vertex
-    takes the min label among itself and its neighbors, it also adopts
-    its label's label (``L(v) <- min(L(v), L(L(v)))`` — the shortcutting
-    step of Shiloach-Vishkin / hash-to-min, Rastogi et al. 2013). Plain
-    propagation needs diameter rounds (a 500-node chain: 499); with the
-    jump the reachable distance doubles each round, so rounds ≈
-    ``log2(diameter)`` (that chain: 8 — property-tested in
-    tests/test_dedup.py). Dup components in practice are shallow stars,
-    where both variants converge in 2-3 rounds; the jump costs one extra
-    equi-join per round and buys the worst case.
+    closure — keep one doc per component, not per edge. The engine is the
+    alternating **large-star / small-star** algorithm (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+    and Beyond", SoCC 2014): each round rewires the *edge set* itself —
+    large-star points every node's larger neighbors at the min of its
+    neighborhood, small-star stars out each node's smaller neighbors —
+    until the graph stabilizes as one star per component, centered at the
+    component minimum. Label-propagation-with-pointer-jumping was the
+    previous engine; it is only log-bounded when ids correlate with
+    topology (the jump follows *id* chains), and a star-of-chains with
+    the min at a chain tip regresses it to diameter rounds — the
+    edge-rewiring formulation doubles reach through the rewired edges
+    themselves, so the bound holds on adversarial layouts too
+    (property-tested on a 500-chain AND an 8×64 star-of-chains).
 
-    Convergence is detected by the monotone decimal sum of labels (labels
-    only ever decrease), one cheap agg per round — no driver-side row
-    materialization beyond that scalar. `localCheckpoint` truncates the
-    growing lineage so round k doesn't re-run rounds 1..k-1. If ``stats``
-    is given, ``stats['rounds']`` records the executed round count.
+    Scale shape: every step is a scalar ``min`` aggregation or an
+    equi-join on node id — no collect_list, no unbounded rows; a hot
+    (high-degree) node is an ordinary AQE-splittable skewed key. One tiny
+    signature aggregate (count + decimal hash-sum of the edge set)
+    crosses to the driver per round for convergence detection;
+    ``localCheckpoint`` truncates lineage so round k doesn't re-run
+    rounds 1..k-1. ``stats['rounds']`` records executed rounds (a
+    large-star + small-star pair each).
 
     Default edge set: SimHash banding at hamming <= 2 (:func:`simhash_dup_pairs`).
     """
     if pairs is None:
         pairs = simhash_dup_pairs(documents, text_col=text_col, base_hash=base_hash)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
-    labels = documents.select(
-        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=False)
-    # decimal sum: overflow-proof monotone convergence witness
-    sig = labels.agg(
-        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+
+    def sig_of(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = sig_of(edges)
     rounds = 0
     for _ in range(max_iter):
-        msgs = edges.join(
-            labels, edges.src == labels.doc_id, "inner"
-        ).select(F.col("dst").alias("doc_id"), "cluster_id")
-        lab1 = (
-            labels.union(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-        )
-        # pointer jump: L(v) <- min(L(v), L(L(v))). Labels start at the
-        # vertex id and only decrease, so L is total and L(L(v)) <= L(v).
-        jump = lab1.select(
-            F.col("doc_id").alias("j_id"), F.col("cluster_id").alias("j_label")
-        )
-        labels = (
-            lab1.join(jump, lab1.cluster_id == F.col("j_id"), "left")
-            .select(
-                "doc_id",
-                F.least("cluster_id", "j_label").alias("cluster_id"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         rounds += 1
-        new_sig = labels.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        new_sig = sig_of(edges)
         if new_sig == sig:
             break
         sig = new_sig
     if stats is not None:
         stats["rounds"] = rounds
-    return labels
+    # converged edge set = one star per component, centered at the min:
+    # every non-center node has exactly one (node, center) edge
+    return documents.select("doc_id").join(
+        edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("_c")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("_c", "doc_id").alias("cluster_id"))
 
 
 def embedding_dup_pairs(

@@ -333,3 +333,35 @@ def test_cluster_rounds_logarithmic_on_chain(spark):
     assert labels == {i: 0 for i in range(n)}
     # +1 for the convergence-detection round (signature-equal pass)
     assert stats["rounds"] <= math.ceil(math.log2(n - 1)) + 1, stats
+
+
+def test_cluster_rounds_logarithmic_on_star_of_chains(spark):
+    """Adversarial 2-level topology: 8 chains of length 64 hanging off one
+    center, global min label at the far END of one chain (diameter 128 —
+    the label must cross the full diameter). Pointer jumping must stay
+    within ceil(log2(diameter)) + 1 rounds; plain propagation would need
+    ~diameter rounds."""
+    import math
+
+    center = 999_999
+    chains, length = 8, 64
+    nodes = [center]
+    edges = []
+    for j in range(chains):
+        prev = center
+        for i in range(1, length + 1):
+            node = 0 if (j == 0 and i == length) else (j + 1) * 10_000 + i
+            nodes.append(node)
+            edges.append((min(prev, node), max(prev, node)))
+            prev = node
+    docs = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    stats = {}
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in D.duplicate_clusters(docs, pairs=pairs, stats=stats).collect()
+    }
+    assert set(labels.values()) == {0}
+    assert len(labels) == chains * length + 1
+    diameter = 2 * length
+    assert stats["rounds"] <= math.ceil(math.log2(diameter)) + 1, stats
