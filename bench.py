@@ -56,17 +56,20 @@ HEADLINE = [
 ]
 
 
-def _bench_impls():
-    """Production-mode overrides for hash-family operators.
+def _production_impls():
+    """Production-mode variants for hash-family operators, timed and
+    reported SEPARATELY from the gated suite.
 
     The registry entries for MinHash/SimHash pin ``base_hash='md5'``
     because the DuckDB correctness oracle must recompute the digests; the
     production default (and what a 100 TB deployment runs) is the
     codegen'd ``xxhash64`` base hash — same operator, same plan shape,
-    JVM-native hashing. The bench measures the production mode; DuckDB's
-    comparison side still runs the same logical workload (its md5-based
-    oracle SQL). Both modes' outputs are property-tested in
-    tests/test_dedup.py.
+    JVM-native hashing. The GATED ``queries`` timings run the md5-mode
+    registry entries so both engines compute the same digests (symmetric
+    with scripts/bench_duckdb.py); these xxhash64 timings are emitted as
+    ``production_queries`` for the production-latency story only and are
+    NOT summed into the gated ``value``. Both modes' outputs are
+    property-tested in tests/test_dedup.py.
     """
     from similarity_search_with_hadoop_mapreduce_spark.operators import dedup as D
     from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
@@ -136,14 +139,16 @@ def main() -> None:
     # steady-state per-query latency is what the suite measures.
     from pyspark.sql import functions as F
 
-    impls = _bench_impls()
+    prod_impls = _production_impls()
     spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count().write.format(
         "noop"
     ).mode("overwrite").save()
     for name in HEADLINE:
-        (impls.get(name) or QUERIES[name])(spark, SF_DIR).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    for fn in prod_impls.values():
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     # Per-query task compute: cumulative executorRunTime over all stages
     # from the app status store, read before/after each query — the delta
@@ -174,20 +179,28 @@ def main() -> None:
     # a data cost — measured up to 5x on the LSH pipeline's first run); the
     # min is the steady-state number a resident service would see.
     # task_compute is taken from the min-wall iteration of each query.
-    timings: dict[str, float] = {}
-    compute: dict[str, float] = {}
-    for _ in range(3):
-        for name in HEADLINE:
-            fn = impls.get(name) or QUERIES[name]
-            c0 = total_task_ms()
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            cms = round(max(0, total_task_ms() - c0) / 1000.0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
-                compute[name] = cms
+    def timed_min_of_3(work: dict) -> tuple[dict, dict]:
+        timings: dict[str, float] = {}
+        compute: dict[str, float] = {}
+        for _ in range(3):
+            for name, fn in work.items():
+                c0 = total_task_ms()
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                cms = round(max(0, total_task_ms() - c0) / 1000.0, 3)
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
+                    compute[name] = cms
+        return timings, compute
+
+    # Gated suite: md5-mode registry entries — the same digests DuckDB's
+    # oracle SQL computes, so the 2x comparison is engine vs engine on an
+    # identical workload (ADVICE r2 symmetry fix).
+    timings, compute = timed_min_of_3({n: QUERIES[n] for n in HEADLINE})
+    # Informational: xxhash64 production mode for the hash families.
+    prod_timings, _prod_compute = timed_min_of_3(prod_impls)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -198,6 +211,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "task_compute": compute,
+                "production_queries": prod_timings,
                 "sf": float(sf),
             }
         )

@@ -19,10 +19,30 @@ Reference parity notes (SURVEY.md §2.3):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 TOKEN_PATTERN = r"\W+"
+
+_PLAIN_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _ident_sql(c: str) -> str:
+    """Backtick-quote a plain identifier so reserved words (``from``,
+    ``select``) resolve as column names; anything else (dotted paths,
+    function calls, full expressions) is passed through verbatim — names
+    that need quoting beyond this (spaces, backticks) must come in as
+    ``Column`` objects."""
+    return f"`{c}`" if _PLAIN_IDENT.match(c) else c
+
+
+def _pattern_lit(pattern: str) -> str:
+    """Render a regex as a Spark SQL string literal: backslashes doubled
+    (SQL-literal unescape restores them) and single quotes escaped so a
+    quote inside the pattern cannot terminate the literal."""
+    return "'" + pattern.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 # ---------------------------------------------------------------------------
 # SQL-text twins: the same expression trees rendered as SQL strings.
@@ -38,8 +58,7 @@ TOKEN_PATTERN = r"\W+"
 
 
 def java_split_tokens_sql(c: str, pattern: str = TOKEN_PATTERN) -> str:
-    pat = pattern.replace("\\", "\\\\")
-    t = f"split({c}, '{pat}', -1)"
+    t = f"split({_ident_sql(c)}, {_pattern_lit(pattern)}, -1)"
     n = f"size({t})"
     drop = (
         f"CASE WHEN {n} <= 1 THEN 0 "

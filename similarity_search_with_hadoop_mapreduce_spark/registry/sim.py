@@ -63,18 +63,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents")
 
 
-_DOC_COUNT_CACHE: dict[str, int] = {}
+_DOC_COUNT_CACHE: dict[tuple, int] = {}
 
 
 def _doc_count(spark: SparkSession, sf_dir: str) -> int:
     """Corpus row count, computed once per corpus dir and cached — the
     same catalog statistic ``ANALYZE TABLE`` persists (the reference's
     driver likewise counted files once per job submission,
-    BookQuery.java:210-214, not per query execution)."""
-    n = _DOC_COUNT_CACHE.get(sf_dir)
+    BookQuery.java:210-214, not per query execution). Keyed on the
+    parquet fingerprint so an in-place rewrite invalidates (ADVICE r2)."""
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        table_fingerprint,
+    )
+
+    key = (sf_dir, table_fingerprint(sf_dir, "documents"))
+    n = _DOC_COUNT_CACHE.get(key)
     if n is None:
         n = _docs(spark, sf_dir).count()
-        _DOC_COUNT_CACHE[sf_dir] = n
+        _DOC_COUNT_CACHE[key] = n
     return n
 
 

@@ -15,6 +15,7 @@ lets Spark place splits.
 
 from __future__ import annotations
 
+import os
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,6 +44,18 @@ TABLES = (
 _table_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
+
+
+def table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """``(mtime_ns, size)`` of a fixture table's backing parquet.
+
+    Process-global caches of table-derived artifacts (corpus doc counts,
+    trained codebooks) key on this alongside ``sf_dir`` so rewriting a
+    fixture in place within one process invalidates them (ADVICE r2)
+    instead of serving stale values against their own oracles.
+    """
+    st = os.stat(f"{sf_dir}/{name}.parquet")
+    return (st.st_mtime_ns, st.st_size)
 
 
 def events_ts_type(sf_dir: str) -> str:

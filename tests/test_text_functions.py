@@ -106,3 +106,26 @@ def test_sql_twins_match_column_builders(spark):
     assert [tuple(r) for r in sorted(col_side, key=key)] == [
         tuple(r) for r in sorted(sql_side, key=key)
     ]
+
+
+def test_sql_twins_quote_hostile_args(spark):
+    # A reserved-word column name must resolve (backtick-quoted), and a
+    # pattern containing a single quote must survive literal rendering
+    # instead of terminating the SQL string (ADVICE r2).
+    from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
+        java_split_tokens,
+        java_split_tokens_sql,
+    )
+
+    df = spark.createDataFrame([(0, "a'b c")], "id long, `from` string")
+    got = df.select(F.expr(java_split_tokens_sql("from")).alias("t")).collect()
+    assert got[0].t == ["a", "b", "c"]
+
+    pat = r"['\s]+"  # quote inside a character class
+    sql_side = df.select(
+        F.expr(java_split_tokens_sql("from", pat)).alias("t")
+    ).collect()
+    col_side = df.select(
+        java_split_tokens(F.col("from"), pat).alias("t")
+    ).collect()
+    assert sql_side[0].t == col_side[0].t == ["a", "b", "c"]
