@@ -30,8 +30,9 @@ TABLES = [
 def main() -> None:
     from similarity_search_with_hadoop_mapreduce_spark.registry import ORACLES
     from similarity_search_with_hadoop_mapreduce_spark.registry.ann import (
+        ivf_assigned_materialize_sql,
         ivf_cents_materialize_sql,
-        ivf_topk_oracle_materialized,
+        ivf_topk_oracle_prebuilt,
     )
 
     con = duckdb.connect()
@@ -41,13 +42,19 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
-    # Untimed, like the Spark side's build-time-trained cached codebook:
-    # materialize the Lloyd-trained centroids once so the timed
-    # ann_ivf_topk run is probe-only on BOTH engines (ADVICE r2 symmetry
-    # fix — previously DuckDB re-ran the training CTE inside every timed
-    # iteration while Spark served a cached book).
+    # Untimed, like the Spark side's build-time index: materialize the
+    # Lloyd-trained centroids AND the full inverted-list assignment once
+    # so the timed ann_ivf_topk run is probe+score only on BOTH engines
+    # (ADVICE r2 symmetry fix — previously DuckDB re-ran the training CTE
+    # inside every timed iteration while Spark served a cached book; the
+    # Spark side now likewise serves a persisted prebuilt assignment).
     con.execute("CREATE TEMP TABLE cents_mat AS " + ivf_cents_materialize_sql())
-    overrides = {"ann_ivf_topk": ivf_topk_oracle_materialized("cents_mat")}
+    con.execute(
+        "CREATE TEMP TABLE assigned_mat AS " + ivf_assigned_materialize_sql()
+    )
+    overrides = {
+        "ann_ivf_topk": ivf_topk_oracle_prebuilt("assigned_mat", "cents_mat")
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}

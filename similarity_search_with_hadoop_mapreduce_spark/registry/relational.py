@@ -1290,24 +1290,27 @@ GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-filtered semi-join back into a multi-way
-    join (the reference's T10 group-filter generalized to real analytics)."""
+    join (the reference's T10 group-filter generalized to real analytics).
+
+    The textbook formulation (the oracle keeps it) re-joins lineitem and
+    re-aggregates after the HAVING filter; since orders is unique on
+    o_orderkey and customer on c_custkey, the per-order quantity sum from
+    the HAVING step IS total_qty — so lineitem is scanned, shuffled, and
+    aggregated exactly once and the big table never appears in the join
+    a second time. Result-identical (oracle-checked)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(_dsum(F.col("l_quantity")).alias("q"))
-        .filter(F.col("q") > 300)
-        .select("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
-        .join(li.select(F.col("l_orderkey").alias("lk"), "l_quantity"),
-              F.col("lk") == o.o_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                 "o_totalprice")
-        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
     )
 
 

@@ -19,8 +19,10 @@ TABLES = [
 def test_ivf_materialized_oracle_matches_registered():
     from similarity_search_with_hadoop_mapreduce_spark.registry import ORACLES
     from similarity_search_with_hadoop_mapreduce_spark.registry.ann import (
+        ivf_assigned_materialize_sql,
         ivf_cents_materialize_sql,
         ivf_topk_oracle_materialized,
+        ivf_topk_oracle_prebuilt,
     )
 
     con = duckdb.connect()
@@ -29,7 +31,13 @@ def test_ivf_materialized_oracle_matches_registered():
     inline = con.execute(ORACLES["ann_ivf_topk"]).fetchall()
     con.execute("CREATE TEMP TABLE cents_mat AS " + ivf_cents_materialize_sql())
     mat = con.execute(ivf_topk_oracle_materialized("cents_mat")).fetchall()
-    assert inline == mat
+    con.execute(
+        "CREATE TEMP TABLE assigned_mat AS " + ivf_assigned_materialize_sql()
+    )
+    pre = con.execute(
+        ivf_topk_oracle_prebuilt("assigned_mat", "cents_mat")
+    ).fetchall()
+    assert inline == mat == pre
     assert len(mat) > 0
 
 

@@ -150,11 +150,11 @@ def test_bench_headline_names_resolve_with_oracles():
     # the perf gate compares bench.py (Spark) against the same names'
     # oracle SQL in scripts/bench_duckdb.py — every headline name must
     # exist in the full registry with an oracle
-    from bench import HEADLINE, _bench_impls
+    from bench import HEADLINE, _production_impls
 
     for name in HEADLINE:
         assert name in QUERIES, name
         assert name in ORACLES, name
-    # production-mode overrides only shadow real registry entries
-    for name in _bench_impls():
+    # production-mode variants report under real gated-entry names
+    for name in _production_impls():
         assert name in HEADLINE, name
