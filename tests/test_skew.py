@@ -270,3 +270,80 @@ def test_aqe_skew_join_split_fires_on_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gapfill_edges_against_hand_grid(spark):
+    """Gap-explode gapfill vs a hand-computed dense grid on hostile edges:
+    a key that appears only late (head fill-in with null LOCF), a key only
+    early (trailing fill carries forward), a null value in a key's FIRST
+    observed bucket (LOCF must stay null until a non-null arrives, and a
+    later null must not reset it), and a single-observation key."""
+    import datetime as dt
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        gapfill_locf,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        # "late": first event at minute 3
+        ("late", m(3), 1.0), ("late", m(5), 2.0),
+        # "early": events only in minutes 0-1; grid extends to global hi=5
+        ("early", m(0), 10.0), ("early", m(1), None),
+        # "nullhead": null value first, then a value, then null again
+        ("nullhead", m(0), None), ("nullhead", m(2), 7.0), ("nullhead", m(4), None),
+        # "single": one event
+        ("single", m(2), 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {
+        (r.event_type, r.bucket_start.minute): (
+            r.n_events, r.total_value, r.locf_value
+        )
+        for r in gapfill_locf(ev).collect()
+    }
+    # dense grid: every key x minutes 0..5
+    assert len(got) == 4 * 6
+    assert got[("late", 0)] == (0, None, None)
+    assert got[("late", 2)] == (0, None, None)
+    assert got[("late", 3)] == (1, 1.0, 1.0)
+    assert got[("late", 4)] == (0, None, 1.0)
+    assert got[("late", 5)] == (1, 2.0, 2.0)
+    assert got[("early", 0)] == (1, 10.0, 10.0)
+    assert got[("early", 1)] == (1, None, 10.0)  # null agg value: carry 10.0
+    assert got[("early", 5)] == (0, None, 10.0)  # trailing fill to global hi
+    assert got[("nullhead", 0)] == (1, None, None)  # no non-null seen yet
+    assert got[("nullhead", 1)] == (0, None, None)
+    assert got[("nullhead", 2)] == (1, 7.0, 7.0)
+    assert got[("nullhead", 4)] == (1, None, 7.0)  # later null doesn't reset
+    assert got[("nullhead", 5)] == (0, None, 7.0)
+    assert got[("single", 2)] == (1, 5.0, 5.0)
+    assert got[("single", 5)] == (0, None, 5.0)
+
+
+def test_gapfill_empty_input_is_empty(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        gapfill_locf,
+    )
+
+    ev = spark.createDataFrame([], "event_type string, ts timestamp, value double")
+    assert gapfill_locf(ev).count() == 0
+
+
+def test_gapfill_gap_explode_has_two_exchanges(spark):
+    """The gap-explode plan's selling point: agg exchange + window
+    exchange only (the bounds aggregate broadcasts; no grid join)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        gapfill_locf,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    df = gapfill_locf(ev)
+    # bounds subtree: its exchange reuses the agg's; the only remaining
+    # exchanges are the (key, minute) aggregation and the per-key window,
+    # plus the single-partition exchange feeding the 1-row bounds agg.
+    assert shuffle_exchange_count(df) <= 3
