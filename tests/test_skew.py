@@ -347,3 +347,68 @@ def test_gapfill_gap_explode_has_two_exchanges(spark):
     # exchanges are the (key, minute) aggregation and the per-key window,
     # plus the single-partition exchange feeding the 1-row bounds agg.
     assert shuffle_exchange_count(df) <= 3
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=40),  # minute offset
+            st.one_of(st.none(), st.integers(-5, 5)),  # value (None = null)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_gapfill_property_matches_python_oracle(spark, events):
+    """Gap-explode gapfill vs a brute-force Python dense-grid LOCF on
+    random event sets (multiple events per minute, null values, sparse
+    keys)."""
+    import datetime as dt
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        gapfill_locf,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, t0 + dt.timedelta(minutes=minute, seconds=11), None if v is None else float(v))
+        for k, minute, v in events
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    got = {
+        (r.event_type, int((r.bucket_start - t0).total_seconds() // 60)): (
+            r.n_events,
+            r.total_value,
+            r.locf_value,
+        )
+        for r in gapfill_locf(ev).collect()
+    }
+
+    # python oracle: dense grid over [min, max] observed minute, all keys
+    per_bucket: dict = {}
+    for k, minute, v in events:
+        n, vals = per_bucket.get((k, minute), (0, []))
+        per_bucket[(k, minute)] = (n + 1, vals + ([] if v is None else [float(v)]))
+    minutes = [m for (_, m) in per_bucket]
+    lo, hi = min(minutes), max(minutes)
+    keys = {k for (k, _) in per_bucket}
+    want = {}
+    for k in keys:
+        run = None
+        for m in range(lo, hi + 1):
+            n, vals = per_bucket.get((k, m), (0, []))
+            tv = float(sum(vals)) if vals else None
+            if tv is not None:
+                run = tv
+            want[(k, m)] = (n, tv, run)
+    assert got == want
