@@ -173,3 +173,18 @@ def test_package_never_converts_plans_to_rdd():
         if ".rdd" in ln and not ln.lstrip().startswith("#") and "``" not in ln
     ]
     assert offenders == []
+
+
+def test_q18_single_lineitem_agg_no_second_join(spark):
+    """q18's rewrite: exactly one aggregation over lineitem (the HAVING
+    sum doubles as total_qty) — the plan must contain ONE exchange for
+    the orderkey aggregation plus broadcast joins for orders/customer,
+    and lineitem must appear in exactly one scan."""
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+
+    df = QUERIES["q18_large_volume_customer"](spark, SF)
+    plan = explain_string(df)
+    assert plan.lower().count("lineitem.parquet") == 1, plan
+    # one real shuffle (the orderkey agg); everything else broadcasts
+    assert shuffle_exchange_count(df) == 1, plan
+    assert broadcast_exchange_count(df) >= 1, plan
