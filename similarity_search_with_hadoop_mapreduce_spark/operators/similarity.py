@@ -231,7 +231,8 @@ def similarity_multi_query(
     threshold); ``stats['multi_query_plan']`` records the choice.
     """
     docs = corpus_shingles(documents, text_col)
-    qset = docs.filter(F.col("doc_id").isin(list(query_ids))).select(
+    query_ids = list(query_ids)  # materialize: consumed twice (filter + memo key)
+    qset = docs.filter(F.col("doc_id").isin(query_ids)).select(
         F.col("doc_id").alias("qid"),
         F.col("shingle_set").alias("qs"),
         F.size("shingle_set").alias("q_len"),
