@@ -364,8 +364,14 @@ def _bounded_buckets(
     ``stats`` and handle as a corpus-quality event (e.g. keep one
     representative per bucket) rather than as O(B²) pair rows. When
     ``stats`` is provided, ``stats['overflow_buckets']`` /
-    ``stats['overflow_docs']`` record the diverted volume (triggers a
-    small diagnostic job) and the counts are logged.
+    ``stats['overflow_docs']`` record the diverted volume and the
+    counts are logged. NOTE: the census is an EAGER, SEPARATE execution
+    of the banded subtree (scan + shingle/signature + the window
+    shuffle) at plan-construction time, and the main query re-executes
+    that subtree again — diagnostic mode doubles the pipeline's most
+    expensive stage. Production calls leave ``stats=None`` (zero extra
+    cost); monitoring that needs the counts per run should compute them
+    from the returned pairs' side instead.
     """
     w = Window.partitionBy("band", key_col)
     sized = banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
@@ -677,6 +683,7 @@ def duplicate_clusters(
     max_iter: int = 20,
     text_col: str = "text",
     base_hash: str = "xxhash64",
+    max_bucket: int | None = 1000,
     stats: dict | None = None,
 ) -> DataFrame:
     """Group near-duplicate documents into clusters: connected components
@@ -710,7 +717,12 @@ def duplicate_clusters(
     Default edge set: SimHash banding at hamming <= 2 (:func:`simhash_dup_pairs`).
     """
     if pairs is None:
-        pairs = simhash_dup_pairs(documents, text_col=text_col, base_hash=base_hash)
+        pairs = simhash_dup_pairs(
+            documents,
+            text_col=text_col,
+            base_hash=base_hash,
+            max_bucket=max_bucket,
+        )
     edges = (
         pairs.select(
             F.greatest("doc_a", "doc_b").alias("hi"),
@@ -730,13 +742,25 @@ def duplicate_clusters(
 
     sig = sig_of(edges)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         rounds += 1
         new_sig = sig_of(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # The final join assumes one star per component (one edge per
+        # non-center node); a non-converged edge set would silently emit
+        # duplicate doc_id rows with conflicting cluster ids. max_iter=20
+        # covers components of diameter ~2^20 (rounds ≈ log2 diameter,
+        # property-tested), so hitting this is a logic error, not data.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} "
+            "large-star/small-star rounds; raise max_iter"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     # converged edge set = one star per component, centered at the min:

@@ -299,6 +299,56 @@ def gapfill_locf(
     )
 
 
+def _parquet_footer_span(events: DataFrame, ts_col: str):
+    """``(lo, hi)`` of ``ts_col`` from parquet row-group footer
+    statistics, or None when the fast path does not apply (non-parquet
+    scan, column absent from the physical schema — e.g. a derived
+    column, missing/typeless statistics). Driver-side metadata only: the
+    file listing is already cached in the plan, and each footer read is
+    O(KB). Bounds are over the UNFILTERED files — an upper bound of the
+    true span, which callers must only use for conservative routing.
+    TIMESTAMP(NANOS) statistics arrive micro-truncated, matching the
+    reader's nanos→micros normalization (sources/tables.load_table)."""
+    import datetime
+
+    try:
+        files = events.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    import pyarrow.parquet as pq
+
+    lo = hi = None
+    for uri in files:
+        path = uri
+        for prefix in ("file://", "file:"):
+            if path.startswith(prefix):
+                path = path[len(prefix):]
+                break
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        names = md.schema.names
+        if ts_col not in names:
+            return None
+        ci = names.index(ts_col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = st.min, st.max
+            if not isinstance(mn, datetime.datetime) or not isinstance(
+                mx, datetime.datetime
+            ):
+                return None
+            mn, mx = mn.replace(tzinfo=None), mx.replace(tzinfo=None)
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+    return (lo, hi)
+
+
 def gapfill_locf_auto(
     events: DataFrame,
     ts_col: str = "ts",
@@ -318,14 +368,21 @@ def gapfill_locf_auto(
     for a key holds exactly the global minute span, whatever the raw
     event distribution looks like. (Event-count skew lands on the
     (key, minute) aggregation, which partial aggregation already
-    handles.) The hot condition is therefore just the span, probed with
-    a bare ``min(ts)/max(ts)`` aggregate: with parquet aggregate
-    pushdown this is footer-metadata-only — O(#files), no row scan, at
-    100 TB exactly as cheap as at 100 MB. Spans at or under
-    ``hot_window_rows`` minutes (default 500k ≈ one year) run the
-    global-window plan; longer histories run the (key, day)-bucketed
-    plan. Both are result-identical (pytest-pinned), so the switch is a
-    pure physical-plan decision — the oracle does not change.
+    handles.) The hot condition is therefore just the span. It is probed
+    from **parquet row-group footer statistics** when the plan reads
+    parquet files — a driver-side read of O(#row-groups) footers, no
+    Spark job, at 100 TB exactly as cheap as at 100 MB. Footer min/max
+    over the *unfiltered* files is an upper bound of the true span of a
+    filtered DataFrame, which is the safe direction here: an over-span
+    can only route to the bucketed plan, never under-protect the window
+    (results are identical either way). Non-parquet inputs, files
+    without statistics, or non-timestamp stats fall back to a
+    column-pruned ``min(ts)/max(ts)`` aggregate (one narrow-column
+    scan). Spans at or under ``hot_window_rows`` minutes (default
+    500k ≈ one year) run the global-window plan; longer histories run
+    the (key, day)-bucketed plan. Both are result-identical
+    (pytest-pinned), so the switch is a pure physical-plan decision —
+    the oracle does not change.
 
     ``stats['gapfill_plan']`` records the choice when a dict is passed.
     """
@@ -333,13 +390,11 @@ def gapfill_locf_auto(
     if ts_col in memo:
         lo, hi = memo[ts_col]
     else:
-        spark = events.sparkSession
-        prev = spark.conf.get("spark.sql.parquet.aggregatePushDown", "false")
-        spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
-        try:
+        bounds = _parquet_footer_span(events, ts_col)
+        if bounds is None:
             lo, hi = events.agg(F.min(ts_col), F.max(ts_col)).first()
-        finally:
-            spark.conf.set("spark.sql.parquet.aggregatePushDown", prev)
+        else:
+            lo, hi = bounds
         memo[ts_col] = (lo, hi)
     span_minutes = (
         0 if lo is None else int((hi - lo).total_seconds() // 60) + 1

@@ -306,19 +306,30 @@ _IVF_SERVE_CACHE: "_weakref.WeakKeyDictionary[DataFrame, dict]" = (
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        table_fingerprint,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
     d = _IVF_SERVE_CACHE.setdefault(emb, {})
-    if "assigned" not in d:
-        d["assigned"] = A.assign_ivf_centroids(
+    # fingerprint in the key, like _trained_book/_doc_count: an in-place
+    # parquet rewrite must rebuild the index, not serve the persisted one
+    key = ("assigned", table_fingerprint(sf_dir, "embeddings"))
+    if key not in d:
+        d[key] = A.assign_ivf_centroids(
             emb, _N_CENTROIDS, book=_trained_book(spark, sf_dir)
         ).persist()
-    return d["assigned"]
+    return d[key]
 
 
 def _ivf_probe(spark: SparkSession, sf_dir: str, qid) -> tuple:
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        table_fingerprint,
+    )
+
     emb = table(spark, sf_dir, "embeddings")
     d = _IVF_SERVE_CACHE.setdefault(emb, {})
-    key = ("probe", qid)
+    key = ("probe", qid, table_fingerprint(sf_dir, "embeddings"))
     if key not in d:
         q, qn, probe_ids, _ = A._ivf_probe_state(
             emb, qid, _N_CENTROIDS, _NPROBE, "vec_id",

@@ -261,7 +261,7 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan for short histories and the (key, day)-bucketed skew-hardened
     plan for long ones — both result-identical to this unchanged oracle
     (equality of the two physical plans is pytest-pinned in
-    tests/test_temporal.py)."""
+    tests/test_skew.py)."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
         gapfill_locf_auto,
     )

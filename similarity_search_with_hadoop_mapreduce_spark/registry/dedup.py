@@ -169,13 +169,19 @@ WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
 @register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding (4 bands × 4 rows) for linear candidate generation,
-    then exact-Jaccard verification of bucket-mates only."""
+    then exact-Jaccard verification of bucket-mates only.
+
+    Oracle mode: ``max_bucket=None`` — the DuckDB oracle has no bucket
+    cap, so the entry must be exact at ANY sf (the production default
+    caps hot buckets at 1000 with an overflow side-output, a documented
+    bounded-recall trade the oracle does not model)."""
     return D.minhash_lsh_pairs(
         table(spark, sf_dir, "documents"),
         k=_K,
         bands=_BANDS,
         threshold=_JACCARD_T,
         base_hash="md5",
+        max_bucket=None,
     )
 
 
@@ -311,12 +317,18 @@ WHERE a.doc_id < b.doc_id
 @register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at hamming <= 2 via pigeonhole banding (3 bands ⇒
-    any such pair matches exactly on >= 1 band; only band-mates verified)."""
+    any such pair matches exactly on >= 1 band; only band-mates verified).
+
+    Oracle mode: ``max_bucket=None`` — uncapped like the oracle SQL (see
+    dedup_minhash_lsh; for SimHash the band-value space is tiny, so the
+    production cap is structurally reachable on large diverse corpora,
+    not just on mass-duplicated ones)."""
     return D.simhash_dup_pairs(
         table(spark, sf_dir, "documents"),
         bits=_SIM_BITS,
         max_hamming=_MAX_HAMMING,
         base_hash="md5",
+        max_bucket=None,
     )
 
 
@@ -359,11 +371,15 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
 @register("dedup_clusters", oracle=_clusters_oracle())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the SimHash near-dup pairs: connected
-    components by iterative min-label propagation (Pregel-style driver
-    loop, rounds = component diameter), cluster id = min doc_id. The
+    components by alternating large-star/small-star edge rewiring
+    (rounds ≈ log2 component diameter), cluster id = min doc_id. The
     oracle computes the same components with a recursive CTE — a genuinely
-    different fixpoint algorithm, so agreement is strong evidence."""
-    return D.duplicate_clusters(table(spark, sf_dir, "documents"), base_hash="md5")
+    different fixpoint algorithm, so agreement is strong evidence.
+    Oracle mode: uncapped pair generation (``max_bucket=None``), matching
+    the cap-free oracle at any sf."""
+    return D.duplicate_clusters(
+        table(spark, sf_dir, "documents"), base_hash="md5", max_bucket=None
+    )
 
 
 _EMB_DOT = (

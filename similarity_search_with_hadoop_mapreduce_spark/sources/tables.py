@@ -123,7 +123,10 @@ _fan_cache: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
 
 
 def _size_bytes(value: str) -> int:
-    """Parse a Spark byte-size conf string ('128MB', '134217728b', '1g')."""
+    """Parse a Spark byte-size conf string ('128MB', '134217728b', '1g').
+    Fallback for when the JVM parser (JavaUtils.byteStringAsBytes — the
+    authority on what Spark accepts, used first by fan_out) is not
+    reachable."""
     v = value.strip().lower()
     for suffix, mult in (
         ("tb", 2**40), ("gb", 2**30), ("mb", 2**20), ("kb", 2**10),
@@ -149,18 +152,31 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     ``min_partitions × maxPartitionBytes`` — an input smaller than that
     cannot yield ``min_partitions`` splits. This is driver-side metadata
     only: no ``df.rdd`` conversion, no physical planning, no job.
+
+    The byte heuristic assumes a byte-range-splittable source (parquet,
+    ORC, plain CSV/JSON/text). Non-splittable scans — ``wholetext``
+    corpora, gzipped files — yield one partition per FILE regardless of
+    size, so large few-file inputs look "big enough" here and stay
+    under-parallel; such sources must size their own parallelism at read
+    time (``load_corpus_dir`` does: it repartitions when the listing has
+    fewer files than the cluster has cores).
     """
     memo = _fan_cache.setdefault(df, {})
     if min_partitions in memo:
         return memo[min_partitions]
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    conf_val = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     try:
-        max_pb = _size_bytes(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        max_pb = int(
+            spark.sparkContext._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(conf_val)
         )
-    except ValueError:
-        max_pb = 128 * 2**20
+    except Exception:
+        try:
+            max_pb = _size_bytes(conf_val)
+        except ValueError:
+            max_pb = 128 * 2**20
     plan_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     out = df if plan_bytes >= target * max_pb else df.repartition(target)
     memo[min_partitions] = out
@@ -183,8 +199,9 @@ def load_corpus_dir(spark: SparkSession, path: str) -> DataFrame:
     """
     # NB: must be the keyword arg — `.option("wholetext", ...)` is clobbered
     # by the python `.text()` wrapper's own wholetext=False default.
-    return (
-        spark.read.text(path, wholetext=True)
+    base = spark.read.text(path, wholetext=True)
+    out = (
+        base
         .select(
             F.regexp_extract(
                 F.input_file_name(), r"([^/]+?)(?:\.[^/]*)?$", 1
@@ -195,6 +212,17 @@ def load_corpus_dir(spark: SparkSession, path: str) -> DataFrame:
             ),
         )
     )
+    # wholetext is NOT byte-range splittable: one partition per file, so
+    # fan_out's byte-size heuristic cannot see under-parallelism here. A
+    # directory with fewer files than cores repartitions at the source
+    # (inputFiles() is a driver-side listing, no job) — AFTER the doc_id
+    # projection, because input_file_name() is only defined in the scan
+    # stage and returns '' past an exchange. At real corpus scale
+    # (files >> cores) this branch never fires.
+    parallelism = spark.sparkContext.defaultParallelism
+    if len(base.inputFiles()) < parallelism:
+        out = out.repartition(parallelism)
+    return out
 
 
 def read_csv(

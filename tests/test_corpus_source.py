@@ -42,3 +42,24 @@ def test_load_corpus_dir_end_to_end(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert math.isclose(got[k], want[k], rel_tol=1e-12)
+
+
+def test_corpus_dir_fans_out_few_large_files(spark, tmp_path):
+    """wholetext is one-partition-per-file; a directory with fewer files
+    than cores must repartition at the source (fan_out's byte heuristic
+    cannot see it)."""
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        load_corpus_dir,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "one.txt").write_text("alpha beta gamma delta")
+    (d / "two.txt").write_text("beta gamma delta epsilon")
+    corpus = load_corpus_dir(spark, str(d))
+    parallelism = spark.sparkContext.defaultParallelism
+    # plan-level check: a repartition exchange exists when files < cores
+    plan = corpus._jdf.queryExecution().optimizedPlan().toString()
+    if 2 < parallelism:
+        assert "Repartition" in plan or "RoundRobinPartitioning" in plan, plan
+    assert {r.doc_id for r in corpus.collect()} == {"one", "two"}

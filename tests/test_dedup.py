@@ -365,3 +365,27 @@ def test_cluster_rounds_logarithmic_on_star_of_chains(spark):
     assert len(labels) == chains * length + 1
     diameter = 2 * length
     assert stats["rounds"] <= math.ceil(math.log2(diameter)) + 1, stats
+
+
+def test_cluster_raises_when_rounds_exhausted(spark):
+    """Non-convergence must raise, not silently emit duplicate doc_id
+    rows with conflicting cluster ids (the final join assumes a star)."""
+    import pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(docs, pairs=pairs, max_iter=1)
+    # and enough rounds converges fine on the same chain
+    out = duplicate_clusters(docs, pairs=pairs, max_iter=20)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert {r.cluster_id for r in rows} == {0}

@@ -412,3 +412,38 @@ def test_gapfill_property_matches_python_oracle(spark, events):
                 run = tv
             want[(k, m)] = (n, tv, run)
     assert got == want
+
+
+def test_footer_span_probe_matches_agg(spark):
+    """The parquet-footer span fast path must agree with the aggregate
+    probe on the fixture (and the auto entry must still route global)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        _parquet_footer_span,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    bounds = _parquet_footer_span(ev, "ts")
+    lo_a, hi_a = ev.agg(F.min("ts"), F.max("ts")).first()
+    if bounds is None:
+        # statistics unavailable for this physical type: fallback path
+        # is the agg itself — nothing further to pin
+        return
+    lo_f, hi_f = bounds
+    # footer bounds may be micro-truncated on nanos fixtures; the probe
+    # only routes plans, so minute-level agreement is the contract
+    assert abs((lo_f - lo_a).total_seconds()) < 60
+    assert abs((hi_f - hi_a).total_seconds()) < 60
+
+
+def test_footer_span_probe_declines_non_parquet(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        _parquet_footer_span,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0)], "event_type string, value double"
+    )
+    assert _parquet_footer_span(df, "ts") is None
