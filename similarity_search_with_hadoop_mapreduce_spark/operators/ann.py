@@ -396,6 +396,177 @@ def ivf_probe_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization — the compressed-index ANN topology
+# ---------------------------------------------------------------------------
+
+
+def _pydot(a: list[float], b: list[float]) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[float], float]]]:
+    """Per-subspace Lloyd-trained PQ codebooks: the embedding splits into
+    ``m`` contiguous ``sub_dim``-wide subvectors and each subspace trains
+    its own deterministic :func:`kmeans_codebook` (same init/assign/update
+    rules, so the registry oracle replays every subspace in SQL exactly
+    like the IVF book). Returns ``m`` codebooks of ``k_sub`` centroids.
+
+    Requires centroid ids 0..k_sub-1 (the first-ids init on a dense-id
+    corpus) — :func:`pq_topk` indexes its lookup tables by code."""
+    books = []
+    for mi in range(m):
+        sub = embeddings.select(
+            F.col(id_col).alias(id_col),
+            F.slice("embedding", mi * sub_dim + 1, sub_dim).alias("embedding"),
+        )
+        book = kmeans_codebook(
+            sub, n_centroids=k_sub, iters=iters, id_col=id_col
+        )
+        if [cid for cid, _, _ in book] != list(range(len(book))):
+            raise ValueError(
+                "pq_codebooks requires dense vector ids 0..k_sub-1 for the "
+                f"first-ids init; got {[c for c, _, _ in book]}"
+            )
+        books.append(book)
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[tuple[int, list[float], float]]],
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Compress every vector to ``(vec_id, code ARRAY<INT>, nrm)`` — the
+    PQ index: ``code[mi]`` is the max-cosine centroid of subspace ``mi``
+    (round-6, ties to the smallest id — identical comparator to the IVF
+    assignment, SQL-replayable), ``nrm`` the FULL-vector norm kept for
+    cosine reconstruction. m×log2(k) bits replace the raw vector: at 64
+    dims × float32 → 4 codes of 3 bits + one float norm, a ~60× shrink.
+
+    Map-only, zero shuffles; two staged projections keep the slices and
+    sub-norms evaluated once each (interpreted HOF folds get no codegen
+    subexpression elimination — the same staging rule as the text
+    metrics)."""
+    m = len(books)
+    staged = fan_out(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+        *[
+            F.slice("embedding", mi * sub_dim + 1, sub_dim).alias(f"_s{mi}")
+            for mi in range(m)
+        ],
+    )
+    staged2 = staged.select(
+        "vec_id",
+        "nrm",
+        *[F.col(f"_s{mi}") for mi in range(m)],
+        *[l2_norm(F.col(f"_s{mi}")).alias(f"_sn{mi}") for mi in range(m)],
+    )
+    code_cols = []
+    for mi, book in enumerate(books):
+        cands = [
+            "named_struct("
+            f"'c_cos', round(coalesce({_dot_sql(f'_s{mi}', v)}"
+            f" / nullif(_sn{mi} * {cn!r}D, 0.0D), 0.0D), 6), "
+            f"'neg_id', {-cid}, 'centroid_id', {cid})"
+            for cid, v, cn in book
+        ]
+        best = (
+            F.expr(f"greatest({', '.join(cands)})")
+            if len(cands) > 1
+            else F.expr(cands[0])
+        )
+        code_cols.append(best["centroid_id"].alias(f"_c{mi}"))
+    coded = staged2.select("vec_id", "nrm", *code_cols)
+    return coded.select(
+        "vec_id",
+        F.array(*[F.col(f"_c{mi}") for mi in range(m)]).alias("code"),
+        "nrm",
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 8,
+    iters: int = 2,
+    books: list | None = None,
+    codes: DataFrame | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    the PQ index: ``score ≈ cosine = Σ_mi LUT_mi[code_mi] / (|x|·|q|)``
+    where ``LUT_mi[j] = ⟨q_mi, centroid_{mi,j}⟩`` — m×k_sub dot products
+    computed ONCE driver-side per query and inlined as literal arrays, so
+    scoring a vector is m array lookups + one divide instead of a
+    ``dim``-element fold. This is the memory-bound billion-scale serving
+    topology (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): the scan touches only the compressed
+    (vec_id, code, nrm) table, never the raw vectors.
+
+    Returns ``(vec_id, code_packed, pq_score)``; ``code_packed`` is the
+    base-k_sub packing of the code word (pins the encoding itself in the
+    value-hash gate). Plan: map-only scoring + TakeOrderedAndProject.
+    """
+    if books is None:
+        books = pq_codebooks(
+            embeddings, m=m, sub_dim=sub_dim, k_sub=k_sub, iters=iters,
+            id_col=id_col,
+        )
+    if codes is None:
+        codes = pq_encode(embeddings, books, sub_dim=sub_dim, id_col=id_col)
+    rows = (
+        embeddings.filter(F.col(id_col) == F.lit(query_vec_id))
+        .select("embedding")
+        .collect()
+    )
+    if not rows:
+        raise KeyError(f"query vector {query_vec_id!r} not found in {id_col}")
+    q = [float(x) for x in rows[0]["embedding"]]
+    qn = math.sqrt(_pydot(q, q))
+    terms = []
+    for mi, book in enumerate(books):
+        sub_q = q[mi * sub_dim : (mi + 1) * sub_dim]
+        lut = [_pydot(v, sub_q) for _cid, v, _cn in book]
+        arr = "array(" + ",".join(f"{x!r}D" for x in lut) + ")"
+        terms.append(f"element_at({arr}, code[{mi}] + 1)")
+    score = F.expr(
+        f"round(coalesce(({' + '.join(terms)})"
+        f" / nullif(nrm * {qn!r}D, 0.0D), 0.0D), 6)"
+    )
+    packed = F.expr(
+        " + ".join(
+            f"CAST(code[{mi}] AS BIGINT) * {k_sub ** (m - 1 - mi)}"
+            for mi in range(m)
+        )
+    )
+    return (
+        codes.filter(F.col("vec_id") != F.lit(query_vec_id))
+        .select(
+            "vec_id",
+            packed.alias("code_packed"),
+            score.alias("pq_score"),
+        )
+        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ivf_recall_multi(
     embeddings: DataFrame,
     n_queries: int = 10,

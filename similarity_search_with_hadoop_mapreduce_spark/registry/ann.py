@@ -112,34 +112,43 @@ def _trained_book(spark: SparkSession, sf_dir: str) -> list:
     return book
 
 
-def _kmeans_cents_cte(iters: int = _ITERS) -> str:
+def _kmeans_cents_cte(
+    iters: int = _ITERS,
+    dim: int = _DIM,
+    src: str = "n",
+    prefix: str = "",
+    n_centroids: int = _N_CENTROIDS,
+) -> str:
     """Unrolled deterministic Lloyd iterations ending in
-    ``cents(centroid_id, c_emb DOUBLE[], c_nrm)`` — the SQL replay of
-    :func:`operators.ann.kmeans_codebook` (init = first N ids; assignment
-    = round-6 max cosine with id tiebreak; update = mean of
+    ``{prefix}cents(centroid_id, c_emb DOUBLE[], c_nrm)`` — the SQL replay
+    of :func:`operators.ann.kmeans_codebook` (init = first N ids;
+    assignment = round-6 max cosine with id tiebreak; update = mean of
     floor(component*1e6) BIGINTs, exact in any order; empty clusters keep
-    their centroid)."""
+    their centroid). ``src`` must provide (vec_id, embedding, nrm);
+    ``prefix`` namespaces the CTEs so product-quantization oracles can
+    instantiate one replay per subspace."""
+    p = prefix
     dot_nc = (
-        f"list_sum(list_transform(range(1, {_DIM} + 1), "
+        f"list_sum(list_transform(range(1, {dim} + 1), "
         "i -> CAST(nv.embedding[i] AS DOUBLE) * c.c_emb[i]))"
     )
     parts = [
-        f"""c0 AS (
+        f"""{p}c0 AS (
   SELECT vec_id AS centroid_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
-  FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+  FROM {src} WHERE vec_id < {n_centroids}
 )"""
     ]
     for t in range(iters):
         parts.append(
-            f"""cn{t} AS (
+            f"""{p}cn{t} AS (
   SELECT centroid_id, c_emb,
          sqrt(list_sum(list_transform(c_emb, x -> x * x))) AS c_nrm
-  FROM c{t}
+  FROM {p}c{t}
 )"""
         )
         parts.append(
-            f"""asg{t} AS (
+            f"""{p}asg{t} AS (
   SELECT vec_id, centroid_id FROM (
     SELECT nv.vec_id, c.centroid_id,
            row_number() OVER (
@@ -147,36 +156,36 @@ def _kmeans_cents_cte(iters: int = _ITERS) -> str:
              ORDER BY round(coalesce({dot_nc}
                         / nullif(nv.nrm * c.c_nrm, 0.0), 0.0), 6) DESC,
                       c.centroid_id) AS rn
-    FROM n nv CROSS JOIN cn{t} c
+    FROM {src} nv CROSS JOIN {p}cn{t} c
   ) WHERE rn = 1
 )"""
         )
         parts.append(
-            f"""cm{t} AS (
+            f"""{p}cm{t} AS (
   SELECT a.centroid_id, d.i AS dim,
          CAST(sum(CAST(floor(CAST(nv.embedding[d.i] AS DOUBLE) * 1000000.0)
                        AS BIGINT)) AS DOUBLE)
            / CAST(count(*) AS DOUBLE) / 1000000.0 AS comp
-  FROM asg{t} a
-  JOIN n nv USING (vec_id)
-  CROSS JOIN (SELECT unnest(range(1, {_DIM} + 1)) AS i) d
+  FROM {p}asg{t} a
+  JOIN {src} nv USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, {dim} + 1)) AS i) d
   GROUP BY 1, 2
 )"""
         )
         parts.append(
-            f"""c{t + 1} AS (
+            f"""{p}c{t + 1} AS (
   SELECT c.centroid_id, coalesce(nc.c_emb, c.c_emb) AS c_emb
-  FROM c{t} c LEFT JOIN (
+  FROM {p}c{t} c LEFT JOIN (
     SELECT centroid_id, list(comp ORDER BY dim) AS c_emb
-    FROM cm{t} GROUP BY centroid_id
+    FROM {p}cm{t} GROUP BY centroid_id
   ) nc USING (centroid_id)
 )"""
         )
     parts.append(
-        f"""cents AS (
+        f"""{p}cents AS (
   SELECT centroid_id, c_emb,
          sqrt(list_sum(list_transform(c_emb, x -> x * x))) AS c_nrm
-  FROM c{iters}
+  FROM {p}c{iters}
 )"""
     )
     return ",\n".join(parts)
@@ -352,6 +361,127 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _ivf_index(spark, sf_dir)
     q, qn, probe_ids = _ivf_probe(spark, sf_dir, 0)
     return A.ivf_probe_topk(assigned, q, qn, probe_ids, 0, k=_K)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_W = _DIM // _PQ_M  # sub-dimension
+_PQ_K = 8  # centroids per subspace
+
+
+def _pq_oracle() -> str:
+    """ann_pq_topk oracle: per-subspace Lloyd replay (m instances of the
+    same CTE the IVF oracle uses, namespaced), per-subspace code
+    assignment, then ADC scoring — the SQL twin of
+    :func:`operators.ann.pq_topk` end to end, training included."""
+    parts = [f"n AS (SELECT vec_id, embedding, {_NORM} AS nrm FROM embeddings)"]
+    for mi in range(_PQ_M):
+        lo, hi = mi * _PQ_W + 1, (mi + 1) * _PQ_W
+        sub_norm = (
+            f"sqrt(list_sum(list_transform(embedding[{lo}:{hi}], "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+        parts.append(
+            f"sub{mi} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding, "
+            f"{sub_norm} AS nrm FROM n)"
+        )
+        parts.append(
+            _kmeans_cents_cte(
+                _ITERS, dim=_PQ_W, src=f"sub{mi}", prefix=f"p{mi}_",
+                n_centroids=_PQ_K,
+            )
+        )
+        dot_sub = (
+            f"list_sum(list_transform(range(1, {_PQ_W} + 1), "
+            "i -> CAST(nv.embedding[i] AS DOUBLE) * c.c_emb[i]))"
+        )
+        parts.append(
+            f"""p{mi}_code AS (
+  SELECT vec_id, centroid_id AS c FROM (
+    SELECT nv.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY nv.vec_id
+             ORDER BY round(coalesce({dot_sub}
+                        / nullif(nv.nrm * c.c_nrm, 0.0), 0.0), 6) DESC,
+                      c.centroid_id) AS rn
+    FROM sub{mi} nv CROSS JOIN p{mi}_cents c
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        "q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)"
+    )
+    terms = []
+    joins = []
+    packs = []
+    for mi in range(_PQ_M):
+        terms.append(
+            f"list_sum(list_transform(range(1, {_PQ_W} + 1), "
+            f"i -> CAST(q.q_emb[{mi * _PQ_W} + i] AS DOUBLE) * cc{mi}.c_emb[i]))"
+        )
+        joins.append(
+            f"JOIN p{mi}_code pc{mi} USING (vec_id) "
+            f"JOIN p{mi}_cents cc{mi} ON cc{mi}.centroid_id = pc{mi}.c"
+        )
+        packs.append(f"CAST(pc{mi}.c AS BIGINT) * {_PQ_K ** (_PQ_M - 1 - mi)}")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT nv.vec_id,
+       {' + '.join(packs)} AS code_packed,
+       round(coalesce(({' + '.join(terms)})
+             / nullif(nv.nrm * q.q_nrm, 0.0), 0.0), 6) AS pq_score
+FROM n nv
+{' '.join(joins)}, q
+WHERE nv.vec_id != 0
+ORDER BY pq_score DESC, nv.vec_id
+LIMIT {_K}
+"""
+    )
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """(books, persisted codes) per corpus — the PQ index build, cached
+    like the IVF assignment (fingerprint-keyed)."""
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        table_fingerprint,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = _IVF_SERVE_CACHE.setdefault(emb, {})
+    key = ("pq", table_fingerprint(sf_dir, "embeddings"))
+    if key not in d:
+        books = A.pq_codebooks(
+            emb, m=_PQ_M, sub_dim=_PQ_W, k_sub=_PQ_K, iters=_ITERS
+        )
+        codes = A.pq_encode(emb, books, sub_dim=_PQ_W).persist()
+        d[key] = (books, codes)
+    return d[key]
+
+
+@register("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-10 by asymmetric distance computation:
+    4 subspaces × 8 Lloyd-trained centroids (training SQL-replayed by the
+    oracle, per subspace), codes + full norm as the stored index, m table
+    lookups per scored vector. The compressed-index topology for
+    memory-bound billion-vector serving; code_packed pins the encoding
+    itself in the value hash."""
+    books, codes = _pq_index(spark, sf_dir)
+    return A.pq_topk(
+        table(spark, sf_dir, "embeddings"),
+        0,
+        k=_K,
+        m=_PQ_M,
+        sub_dim=_PQ_W,
+        k_sub=_PQ_K,
+        books=books,
+        codes=codes,
+    )
 
 
 _DOT_NQ = (

@@ -219,13 +219,20 @@ def _register_ann_ivf_suite() -> None:
             "'recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
             "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
         ),
+        (
+            "ann_pq_topk",
+            "'pq' AS shape, vec_id, code_packed AS centroid_id, "
+            "pq_score AS v",
+        ),
     ]
 
     @register("ann_ivf_suite", oracle=_union_oracle(parts))
     def ann_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Tagged union of the IVF probe's top-10 (vec, inverted list,
-        cosine) and its recall@10 against exact brute force (members:
-        ann_ivf_topk, ann_ivf_recall)."""
+        """Tagged union of the trained-quantizer index family: the IVF
+        probe's top-10 (vec, inverted list, cosine), its recall@10
+        against exact brute force, and the product-quantization ADC
+        top-10 with its packed code word (members: ann_ivf_topk,
+        ann_ivf_recall, ann_pq_topk)."""
         topk = _q("ann_ivf_topk")(spark, sf_dir).select(
             F.lit("topk").alias("shape"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -238,7 +245,13 @@ def _register_ann_ivf_suite() -> None:
             F.col("n_queries").cast("bigint").alias("centroid_id"),
             F.col("recall_at_k").alias("v"),
         )
-        return _union_spark([topk, rec])
+        pq = _q("ann_pq_topk")(spark, sf_dir).select(
+            F.lit("pq").alias("shape"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("code_packed").cast("bigint").alias("centroid_id"),
+            F.col("pq_score").alias("v"),
+        )
+        return _union_spark([topk, rec, pq])
 
 
 # ---------------------------------------------------------------------------

@@ -150,3 +150,63 @@ def test_kmeans_codebook_deterministic_and_improves_recall(spark):
         df, n_queries=8, k=5, n_centroids=4, nprobe=4, book=b1
     ).collect()[0]
     assert full.recall_at_k == 1.0
+
+
+def test_pq_encode_codes_valid_and_deterministic(spark):
+    df, _ = _emb_df(spark, n=60, dim=8)
+    books = A.pq_codebooks(df, m=2, sub_dim=4, k_sub=4, iters=1)
+    codes = A.pq_encode(df, books, sub_dim=4).collect()
+    assert len(codes) == 60
+    for r in codes:
+        assert len(r.code) == 2
+        assert all(0 <= c < 4 for c in r.code)
+        assert r.nrm > 0
+    again = A.pq_encode(df, books, sub_dim=4).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
+
+
+def test_pq_topk_matches_python_adc(spark):
+    """pq_topk's ADC ranking must equal a Python recomputation from the
+    same books and codes (scores rounded to 6dp, ties to smaller id)."""
+    df, vecs = _emb_df(spark, n=40, dim=8)
+    m, w, k_sub = 2, 4, 4
+    books = A.pq_codebooks(df, m=m, sub_dim=w, k_sub=k_sub, iters=1)
+    codes = {r.vec_id: (list(r.code), r.nrm)
+             for r in A.pq_encode(df, books, sub_dim=w).collect()}
+    got = A.pq_topk(df, 0, k=5, m=m, sub_dim=w, k_sub=k_sub, books=books).collect()
+
+    q = [float(x) for x in vecs[0]]
+    qn = math.sqrt(sum(x * x for x in q))
+    want = []
+    for vid, (code, nrm) in codes.items():
+        if vid == 0:
+            continue
+        s = 0.0
+        for mi in range(m):
+            sub_q = q[mi * w:(mi + 1) * w]
+            cv = books[mi][code[mi]][1]
+            s += sum(a * b for a, b in zip(cv, sub_q))
+        denom = nrm * qn
+        score = round(s / denom, 6) if denom else 0.0
+        packed = code[0] * k_sub + code[1]
+        want.append((score, vid, packed))
+    want.sort(key=lambda t: (-t[0], t[1]))
+    assert [(r.vec_id, r.code_packed, r.pq_score) for r in got] == [
+        (vid, packed, score) for score, vid, packed in want[:5]
+    ]
+
+
+def test_pq_identical_vector_gets_top_score(spark):
+    """A duplicate of the query vector shares its codes and norm, so its
+    ADC score is the maximum achievable for that code word — it must
+    rank at the top."""
+    from pyspark.sql import functions as F
+
+    df, vecs = _emb_df(spark, n=30, dim=8)
+    dup = df.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    both = df.unionByName(dup)
+    books = A.pq_codebooks(both, m=2, sub_dim=4, k_sub=4, iters=1)
+    got = A.pq_topk(both, 0, k=1, m=2, sub_dim=4, k_sub=4, books=books).collect()
+    assert got[0].vec_id == 1000
