@@ -447,6 +447,7 @@ def pq_encode(
     books: list[list[tuple[int, list[float], float]]],
     sub_dim: int = 16,
     id_col: str = "vec_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Compress every vector to ``(vec_id, code ARRAY<INT>, nrm)`` — the
     PQ index: ``code[mi]`` is the max-cosine centroid of subspace ``mi``
@@ -462,6 +463,7 @@ def pq_encode(
     m = len(books)
     staged = fan_out(embeddings).select(
         F.col(id_col).alias("vec_id"),
+        *keep,
         l2_norm(F.col("embedding")).alias("nrm"),
         *[
             F.slice("embedding", mi * sub_dim + 1, sub_dim).alias(f"_s{mi}")
@@ -470,6 +472,7 @@ def pq_encode(
     )
     staged2 = staged.select(
         "vec_id",
+        *keep,
         "nrm",
         *[F.col(f"_s{mi}") for mi in range(m)],
         *[l2_norm(F.col(f"_s{mi}")).alias(f"_sn{mi}") for mi in range(m)],
@@ -489,9 +492,10 @@ def pq_encode(
             else F.expr(cands[0])
         )
         code_cols.append(best["centroid_id"].alias(f"_c{mi}"))
-    coded = staged2.select("vec_id", "nrm", *code_cols)
+    coded = staged2.select("vec_id", *keep, "nrm", *code_cols)
     return coded.select(
         "vec_id",
+        *keep,
         F.array(*[F.col(f"_c{mi}") for mi in range(m)]).alias("code"),
         "nrm",
     )
@@ -559,6 +563,100 @@ def pq_topk(
         codes.filter(F.col("vec_id") != F.lit(query_vec_id))
         .select(
             "vec_id",
+            packed.alias("code_packed"),
+            score.alias("pq_score"),
+        )
+        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivfpq_index(
+    embeddings: DataFrame,
+    coarse_book: list[tuple[int, list[float], float]],
+    pq_books: list[list[tuple[int, list[float], float]]],
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The IVF-PQ stored index: ``(vec_id, centroid_id, code, nrm)`` —
+    coarse assignment for partition pruning plus the PQ code word for
+    compressed scoring, built in ONE map-only pass (the assignment rides
+    through the encode projection; no join). At 100 TB this table is
+    written partitioned by ``centroid_id`` and is all a query ever
+    reads."""
+    assigned = assign_ivf_centroids(
+        embeddings, len(coarse_book), id_col=id_col, book=coarse_book
+    )
+    return pq_encode(
+        assigned, pq_books, sub_dim=sub_dim, id_col="vec_id",
+        keep=("centroid_id",),
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 8,
+    iters: int = 2,
+    coarse_book: list | None = None,
+    pq_books: list | None = None,
+    index: DataFrame | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale serving topology — the coarse
+    quantizer prunes the scan to ``nprobe`` inverted lists (storage
+    partitions at scale) and the PQ code word prices each surviving
+    vector with m lookup-table reads (ADC). This variant scores raw-space
+    codes (IVFFlat-style PQ, no residual re-encoding): one code book
+    serves every inverted list, which keeps the oracle replayable and the
+    index one map-only pass; residual PQ is the accuracy refinement a
+    production tuner would add per-list.
+
+    Returns ``(vec_id, centroid_id, code_packed, pq_score)``."""
+    if coarse_book is None:
+        coarse_book = kmeans_codebook(
+            embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col
+        )
+    if pq_books is None:
+        pq_books = pq_codebooks(
+            embeddings, m=m, sub_dim=sub_dim, k_sub=k_sub, iters=iters,
+            id_col=id_col,
+        )
+    if index is None:
+        index = ivfpq_index(
+            embeddings, coarse_book, pq_books, sub_dim=sub_dim, id_col=id_col
+        )
+    q, qn, probe_ids, _ = _ivf_probe_state(
+        embeddings, query_vec_id, n_centroids, nprobe, id_col,
+        book=coarse_book,
+    )
+    terms = []
+    for mi, book in enumerate(pq_books):
+        sub_q = q[mi * sub_dim : (mi + 1) * sub_dim]
+        lut = [_pydot(v, sub_q) for _cid, v, _cn in book]
+        arr = "array(" + ",".join(f"{x!r}D" for x in lut) + ")"
+        terms.append(f"element_at({arr}, code[{mi}] + 1)")
+    score = F.expr(
+        f"round(coalesce(({' + '.join(terms)})"
+        f" / nullif(nrm * {qn!r}D, 0.0D), 0.0D), 6)"
+    )
+    packed = F.expr(
+        " + ".join(
+            f"CAST(code[{mi}] AS BIGINT) * {k_sub ** (m - 1 - mi)}"
+            for mi in range(m)
+        )
+    )
+    return (
+        index.filter(F.col("centroid_id").isin(probe_ids))
+        .filter(F.col("vec_id") != F.lit(query_vec_id))
+        .select(
+            "vec_id",
+            "centroid_id",
             packed.alias("code_packed"),
             score.alias("pq_score"),
         )

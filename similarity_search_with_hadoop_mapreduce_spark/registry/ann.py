@@ -372,12 +372,11 @@ _PQ_W = _DIM // _PQ_M  # sub-dimension
 _PQ_K = 8  # centroids per subspace
 
 
-def _pq_oracle() -> str:
-    """ann_pq_topk oracle: per-subspace Lloyd replay (m instances of the
-    same CTE the IVF oracle uses, namespaced), per-subspace code
-    assignment, then ADC scoring — the SQL twin of
-    :func:`operators.ann.pq_topk` end to end, training included."""
-    parts = [f"n AS (SELECT vec_id, embedding, {_NORM} AS nrm FROM embeddings)"]
+def _pq_subspace_parts() -> list[str]:
+    """CTE parts for the PQ subspaces: ``sub{mi}`` slices, namespaced
+    Lloyd replays ``p{mi}_cents``, and assignments ``p{mi}_code`` —
+    shared by the PQ and IVF-PQ oracles. Requires ``n`` upstream."""
+    parts = []
     for mi in range(_PQ_M):
         lo, hi = mi * _PQ_W + 1, (mi + 1) * _PQ_W
         sub_norm = (
@@ -411,12 +410,16 @@ def _pq_oracle() -> str:
   ) WHERE rn = 1
 )"""
         )
-    parts.append(
-        "q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)"
-    )
-    terms = []
-    joins = []
-    packs = []
+    return parts
+
+
+def _adc_fragments() -> tuple[str, str, str]:
+    """(terms, joins, packed) SQL fragments for ADC scoring over the
+    ``p{mi}_code``/``p{mi}_cents`` CTEs — shared by the PQ and IVF-PQ
+    oracles. ``terms`` sums the per-subspace query·centroid dots,
+    ``joins`` attaches each subspace's code and centroid row, ``packed``
+    base-k packs the code word."""
+    terms, joins, packs = [], [], []
     for mi in range(_PQ_M):
         terms.append(
             f"list_sum(list_transform(range(1, {_PQ_W} + 1), "
@@ -427,18 +430,71 @@ def _pq_oracle() -> str:
             f"JOIN p{mi}_cents cc{mi} ON cc{mi}.centroid_id = pc{mi}.c"
         )
         packs.append(f"CAST(pc{mi}.c AS BIGINT) * {_PQ_K ** (_PQ_M - 1 - mi)}")
+    return " + ".join(terms), " ".join(joins), " + ".join(packs)
+
+
+def _pq_oracle() -> str:
+    """ann_pq_topk oracle: per-subspace Lloyd replay (m instances of the
+    same CTE the IVF oracle uses, namespaced), per-subspace code
+    assignment, then ADC scoring — the SQL twin of
+    :func:`operators.ann.pq_topk` end to end, training included."""
+    parts = [f"n AS (SELECT vec_id, embedding, {_NORM} AS nrm FROM embeddings)"]
+    parts.extend(_pq_subspace_parts())
+    parts.append(
+        "q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)"
+    )
+    terms, joins, packed = _adc_fragments()
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
 SELECT nv.vec_id,
-       {' + '.join(packs)} AS code_packed,
-       round(coalesce(({' + '.join(terms)})
+       {packed} AS code_packed,
+       round(coalesce(({terms})
              / nullif(nv.nrm * q.q_nrm, 0.0), 0.0), 6) AS pq_score
 FROM n nv
-{' '.join(joins)}, q
+{joins}, q
 WHERE nv.vec_id != 0
 ORDER BY pq_score DESC, nv.vec_id
+LIMIT {_K}
+"""
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """ann_ivfpq_topk oracle: coarse Lloyd replay + assignment (the IVF
+    oracle's CTEs) prunes to the query's nprobe inverted lists; the PQ
+    subspace replays + ADC fragments price the survivors — the SQL twin
+    of :func:`operators.ann.ivfpq_topk`, both trainings included."""
+    parts = [f"n AS (SELECT vec_id, embedding, {_NORM} AS nrm FROM embeddings)"]
+    parts.append(_kmeans_cents_cte())
+    parts.append(_ASSIGNED_CTE)
+    parts.extend(_pq_subspace_parts())
+    parts.append(
+        "q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)"
+    )
+    parts.append(
+        f"""probed AS (
+  SELECT c.centroid_id FROM cents c, q
+  ORDER BY round({_DOT_CQ} / (c.c_nrm * q.q_nrm), 6) DESC, c.centroid_id
+  LIMIT {_NPROBE}
+)"""
+    )
+    terms, joins, packed = _adc_fragments()
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.vec_id,
+       CAST(a.centroid_id AS BIGINT) AS centroid_id,
+       {packed} AS code_packed,
+       round(coalesce(({terms})
+             / nullif(a.nrm * q.q_nrm, 0.0), 0.0), 6) AS pq_score
+FROM assigned a
+JOIN probed USING (centroid_id)
+{joins}, q
+WHERE a.vec_id != 0
+ORDER BY pq_score DESC, a.vec_id
 LIMIT {_K}
 """
     )
@@ -461,6 +517,48 @@ def _pq_index(spark: SparkSession, sf_dir: str):
         codes = A.pq_encode(emb, books, sub_dim=_PQ_W).persist()
         d[key] = (books, codes)
     return d[key]
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """(coarse book, pq books, persisted (vec_id, centroid_id, code,
+    nrm) index) per corpus — the IVF-PQ build, fingerprint-keyed."""
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        table_fingerprint,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = _IVF_SERVE_CACHE.setdefault(emb, {})
+    key = ("ivfpq", table_fingerprint(sf_dir, "embeddings"))
+    if key not in d:
+        coarse = _trained_book(spark, sf_dir)
+        pq_books, _codes = _pq_index(spark, sf_dir)
+        index = A.ivfpq_index(emb, coarse, pq_books, sub_dim=_PQ_W).persist()
+        d[key] = (coarse, pq_books, index)
+    return d[key]
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10: coarse quantizer prunes to the query's 2 nearest
+    inverted lists, PQ codes price the survivors via lookup tables —
+    the composed billion-scale topology (scan partitions = probed lists,
+    bytes per vector = m codes + one norm). Both trainings are
+    SQL-replayed by the oracle; centroid_id and code_packed ride in the
+    output so pruning and encoding are both value-hash-pinned."""
+    coarse, pq_books, index = _ivfpq_index(spark, sf_dir)
+    return A.ivfpq_topk(
+        table(spark, sf_dir, "embeddings"),
+        0,
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE,
+        m=_PQ_M,
+        sub_dim=_PQ_W,
+        k_sub=_PQ_K,
+        coarse_book=coarse,
+        pq_books=pq_books,
+        index=index,
+    )
 
 
 @register("ann_pq_topk", oracle=_pq_oracle())

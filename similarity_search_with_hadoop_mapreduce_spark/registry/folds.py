@@ -224,15 +224,23 @@ def _register_ann_ivf_suite() -> None:
             "'pq' AS shape, vec_id, code_packed AS centroid_id, "
             "pq_score AS v",
         ),
+        (
+            # centroid and code word share the slot: code_packed < 8^4
+            "ann_ivfpq_topk",
+            "'ivfpq' AS shape, vec_id, "
+            "centroid_id * 4096 + code_packed AS centroid_id, "
+            "pq_score AS v",
+        ),
     ]
 
     @register("ann_ivf_suite", oracle=_union_oracle(parts))
     def ann_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Tagged union of the trained-quantizer index family: the IVF
         probe's top-10 (vec, inverted list, cosine), its recall@10
-        against exact brute force, and the product-quantization ADC
-        top-10 with its packed code word (members: ann_ivf_topk,
-        ann_ivf_recall, ann_pq_topk)."""
+        against exact brute force, the product-quantization ADC top-10
+        with its packed code word, and the composed IVF-PQ top-10
+        (members: ann_ivf_topk, ann_ivf_recall, ann_pq_topk,
+        ann_ivfpq_topk)."""
         topk = _q("ann_ivf_topk")(spark, sf_dir).select(
             F.lit("topk").alias("shape"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -251,7 +259,14 @@ def _register_ann_ivf_suite() -> None:
             F.col("code_packed").cast("bigint").alias("centroid_id"),
             F.col("pq_score").alias("v"),
         )
-        return _union_spark([topk, rec, pq])
+        ivfpq = _q("ann_ivfpq_topk")(spark, sf_dir).select(
+            F.lit("ivfpq").alias("shape"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            (F.col("centroid_id").cast("bigint") * 4096
+             + F.col("code_packed").cast("bigint")).alias("centroid_id"),
+            F.col("pq_score").alias("v"),
+        )
+        return _union_spark([topk, rec, pq, ivfpq])
 
 
 # ---------------------------------------------------------------------------

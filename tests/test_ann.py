@@ -210,3 +210,27 @@ def test_pq_identical_vector_gets_top_score(spark):
     books = A.pq_codebooks(both, m=2, sub_dim=4, k_sub=4, iters=1)
     got = A.pq_topk(both, 0, k=1, m=2, sub_dim=4, k_sub=4, books=books).collect()
     assert got[0].vec_id == 1000
+
+
+def test_ivfpq_topk_is_pq_restricted_to_probed_lists(spark):
+    """IVF-PQ = PQ scoring restricted to the probed inverted lists: every
+    result must (a) come from a probed centroid and (b) carry exactly the
+    score the unrestricted PQ ADC assigns that vector."""
+    df, _ = _emb_df(spark, n=60, dim=8)
+    m, w, k_sub, nc, nprobe = 2, 4, 4, 4, 2
+    coarse = A.kmeans_codebook(df, n_centroids=nc, iters=1)
+    pq_books = A.pq_codebooks(df, m=m, sub_dim=w, k_sub=k_sub, iters=1)
+    got = A.ivfpq_topk(
+        df, 0, k=5, n_centroids=nc, nprobe=nprobe, m=m, sub_dim=w,
+        k_sub=k_sub, coarse_book=coarse, pq_books=pq_books,
+    ).collect()
+    assert len(got) == 5
+    _q, _qn, probe_ids, _ = A._ivf_probe_state(df, 0, nc, nprobe, "vec_id", book=coarse)
+    assert all(r.centroid_id in probe_ids for r in got)
+    full_pq = {
+        r.vec_id: (r.code_packed, r.pq_score)
+        for r in A.pq_topk(df, 0, k=60, m=m, sub_dim=w, k_sub=k_sub,
+                           books=pq_books).collect()
+    }
+    for r in got:
+        assert full_pq[r.vec_id] == (r.code_packed, r.pq_score)
