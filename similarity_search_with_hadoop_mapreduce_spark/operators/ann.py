@@ -543,22 +543,7 @@ def pq_topk(
         raise KeyError(f"query vector {query_vec_id!r} not found in {id_col}")
     q = [float(x) for x in rows[0]["embedding"]]
     qn = math.sqrt(_pydot(q, q))
-    terms = []
-    for mi, book in enumerate(books):
-        sub_q = q[mi * sub_dim : (mi + 1) * sub_dim]
-        lut = [_pydot(v, sub_q) for _cid, v, _cn in book]
-        arr = "array(" + ",".join(f"{x!r}D" for x in lut) + ")"
-        terms.append(f"element_at({arr}, code[{mi}] + 1)")
-    score = F.expr(
-        f"round(coalesce(({' + '.join(terms)})"
-        f" / nullif(nrm * {qn!r}D, 0.0D), 0.0D), 6)"
-    )
-    packed = F.expr(
-        " + ".join(
-            f"CAST(code[{mi}] AS BIGINT) * {k_sub ** (m - 1 - mi)}"
-            for mi in range(m)
-        )
-    )
+    score, packed = _adc_exprs(books, q, qn, sub_dim, k_sub)
     return (
         codes.filter(F.col("vec_id") != F.lit(query_vec_id))
         .select(
@@ -635,6 +620,29 @@ def ivfpq_topk(
         embeddings, query_vec_id, n_centroids, nprobe, id_col,
         book=coarse_book,
     )
+    score, packed = _adc_exprs(pq_books, q, qn, sub_dim, k_sub)
+    return (
+        index.filter(F.col("centroid_id").isin(probe_ids))
+        .filter(F.col("vec_id") != F.lit(query_vec_id))
+        .select(
+            "vec_id",
+            "centroid_id",
+            packed.alias("code_packed"),
+            score.alias("pq_score"),
+        )
+        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _adc_exprs(
+    pq_books: list, q: list[float], qn: float, sub_dim: int, k_sub: int
+) -> tuple:
+    """(score, code_packed) Columns for ADC scoring a ``(code, nrm)``
+    relation: lookup tables are computed here, driver-side, and inlined
+    as literal arrays (O(m·k_sub) doubles — coordinator state, like the
+    IVF codebook)."""
+    m = len(pq_books)
     terms = []
     for mi, book in enumerate(pq_books):
         sub_q = q[mi * sub_dim : (mi + 1) * sub_dim]
@@ -651,18 +659,7 @@ def ivfpq_topk(
             for mi in range(m)
         )
     )
-    return (
-        index.filter(F.col("centroid_id").isin(probe_ids))
-        .filter(F.col("vec_id") != F.lit(query_vec_id))
-        .select(
-            "vec_id",
-            "centroid_id",
-            packed.alias("code_packed"),
-            score.alias("pq_score"),
-        )
-        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return score, packed
 
 
 def ivf_recall_multi(
@@ -868,6 +865,72 @@ def ivf_topk_from_layout(
         .filter(F.col(id_col) != F.lit(query_vec_id))
         .select(F.col(id_col).alias("vec_id"), "centroid_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def write_ivfpq_layout(
+    embeddings: DataFrame,
+    path: str,
+    coarse_book: list[tuple[int, list[float], float]],
+    pq_books: list[list[tuple[int, list[float], float]]],
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the IVF-PQ index in storage layout: parquet partitioned by
+    ``centroid_id``, each inverted-list directory holding only the
+    compressed ``(vec_id, code, nrm)`` payload — raw embeddings never
+    leave the build job, so the at-rest index is ~60× smaller than the
+    corpus AND partition-pruned per query. Books are required (not
+    retrained) so probes rank exactly the centroids the layout encodes."""
+    ivfpq_index(
+        embeddings, coarse_book, pq_books, sub_dim=sub_dim, id_col=id_col
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivfpq_topk_from_layout(
+    spark,
+    layout_path: str,
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    sub_dim: int = 16,
+    k_sub: int = 8,
+    coarse_book: list | None = None,
+    pq_books: list | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ top-k against the stored layout written by
+    :func:`write_ivfpq_layout`: ``centroid_id IN (probes)`` is a
+    *partition* filter on the layout's directory key, so the scan lists
+    and reads only ``nprobe`` inverted-list directories of compressed
+    codes — zero I/O for unprobed lists, ~4 bytes/vector for probed ones
+    (assert via PartitionFilters in the plan). Pass the books the layout
+    was written with; result-equal to :func:`ivfpq_topk` on the same
+    books (pytest-pinned)."""
+    if pq_books is None:
+        raise ValueError(
+            "ivfpq_topk_from_layout requires the pq_books the layout was "
+            "encoded with (codes are meaningless under a different book)"
+        )
+    q, qn, probe_ids, _ = _ivf_probe_state(
+        embeddings, query_vec_id, n_centroids, nprobe, id_col,
+        book=coarse_book,
+    )
+    score, packed = _adc_exprs(pq_books, q, qn, sub_dim, k_sub)
+    stored = spark.read.parquet(layout_path)
+    return (
+        stored.filter(F.col("centroid_id").isin(probe_ids))
+        .filter(F.col("vec_id") != F.lit(query_vec_id))
+        .select(
+            "vec_id",
+            "centroid_id",
+            packed.alias("code_packed"),
+            score.alias("pq_score"),
+        )
+        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
         .limit(k)
     )
 

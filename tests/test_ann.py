@@ -234,3 +234,41 @@ def test_ivfpq_topk_is_pq_restricted_to_probed_lists(spark):
     }
     for r in got:
         assert full_pq[r.vec_id] == (r.code_packed, r.pq_score)
+
+
+def test_ivfpq_layout_probe_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """The stored IVF-PQ layout must return exactly the inline ivfpq_topk
+    result while scanning only the probed inverted-list partitions of
+    compressed codes."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        ivfpq_topk,
+        ivfpq_topk_from_layout,
+        kmeans_codebook,
+        pq_codebooks,
+        write_ivfpq_layout,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.plans import explain_string
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coarse = kmeans_codebook(emb, n_centroids=8, iters=1)
+    pq_books = pq_codebooks(emb, m=4, sub_dim=16, k_sub=8, iters=1)
+    path = str(tmp_path / "ivfpq_layout")
+    write_ivfpq_layout(emb, path, coarse, pq_books)
+    probe = ivfpq_topk_from_layout(
+        spark, path, emb, 0, k=10, n_centroids=8, nprobe=2,
+        coarse_book=coarse, pq_books=pq_books,
+    )
+    inline = ivfpq_topk(
+        emb, 0, k=10, n_centroids=8, nprobe=2,
+        coarse_book=coarse, pq_books=pq_books,
+    )
+    key = lambda r: (r.vec_id, r.centroid_id, r.code_packed, r.pq_score)
+    assert [key(r) for r in probe.collect()] == [key(r) for r in inline.collect()]
+    plan = explain_string(probe, "formatted")
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0]
+    # the layout stores codes, not vectors: the probed scan must not
+    # read an embedding column at all
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("embedding" not in ln for ln in schemas)
