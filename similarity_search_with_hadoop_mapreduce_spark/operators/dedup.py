@@ -817,6 +817,71 @@ def embedding_dup_pairs(
     )
 
 
+def embedding_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the 100 TB path the
+    brute-force baseline (:func:`embedding_dup_pairs`) documents.
+
+    Candidates are pairs agreeing on ALL ``n_planes`` random-hyperplane
+    signs (the same bucketing the ANN query probe and
+    ``write_lsh_layout`` use), generated by an equi-join on the bucket
+    id — an ordinary AQE-splittable shuffle join, so a hot bucket splits
+    at runtime instead of materializing — then exact-cosine verified.
+    Candidate volume is Σ_b |bucket_b|² instead of n²: linear when the
+    hash spreads the corpus, and exactly the hot-bucket-bounded problem
+    the text-LSH machinery already handles when it doesn't. Recall is
+    the standard single-band LSH trade: a true pair split by any
+    hyperplane is missed; lower ``n_planes`` (or multi-band, as the
+    MinHash family does) buys recall with bucket size.
+
+    Returns ``(vec_a, vec_b, bucket, cosine)`` — the shared bucket rides
+    along so the bucketing itself is value-checkable.
+    """
+    from similarity_search_with_hadoop_mapreduce_spark.functions.vector import (
+        dot,
+        l2_norm,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        hyperplane_signs,
+        lsh_bucket,
+    )
+
+    planes = hyperplane_signs(n_planes, dim)
+    base = fan_out(embeddings).select(
+        F.col(id_col).alias("vid"),
+        F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
+    )
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("e").alias("e_a"),
+        F.col("nrm").alias("n_a"), "bucket",
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("e").alias("e_b"),
+        F.col("nrm").alias("n_b"), F.col("bucket").alias("_bb"),
+    )
+    cos = F.round(
+        F.coalesce(
+            dot(F.col("e_a"), F.col("e_b"))
+            / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("_bb"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "bucket", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def build_dedup_index(
     existing: DataFrame,
     prefix: str = "dedup_index",

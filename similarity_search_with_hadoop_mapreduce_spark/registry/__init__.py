@@ -65,7 +65,7 @@ CURATED_NAMES: tuple[str, ...] = (
     "dedup_incremental",
     "dedup_simhash_suite",
     "dedup_clusters",
-    "dedup_embedding_cosine",
+    "dedup_embedding_suite",
     # — similarity search / ANN —
     "ann_cosine_topk",
     "ann_lsh_bucketed_topk",

@@ -44,17 +44,27 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.cosine_topk(table(spark, sf_dir, "embeddings"), 0, k=_K)
 
 
-def _lsh_oracle() -> str:
-    planes = A.hyperplane_signs(_PLANES, _DIM)
+def lsh_bucket_sql(
+    n_planes: int = _PLANES, dim: int = _DIM, col: str = "embedding"
+) -> str:
+    """DuckDB SQL for the random-hyperplane bucket id of ``col`` — the
+    oracle twin of :func:`operators.ann.lsh_bucket` (same ±1 hyperplane
+    literals, generated from md5 parity in Python on both sides). Shared
+    by the ANN LSH oracle and the embedding-dedup LSH oracle."""
+    planes = A.hyperplane_signs(n_planes, dim)
     bucket_terms = []
     for p, w in enumerate(planes):
         lit = "[" + ", ".join(str(x) for x in w) + "]"
         proj = (
-            f"list_sum(list_transform(range(1, {_DIM} + 1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]))"
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({col}[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]))"
         )
         bucket_terms.append(f"(CASE WHEN {proj} > 0 THEN {2**p} ELSE 0 END)")
-    bucket = " + ".join(bucket_terms)
+    return " + ".join(bucket_terms)
+
+
+def _lsh_oracle() -> str:
+    bucket = lsh_bucket_sql()
     return f"""
 WITH b AS (
   SELECT vec_id, embedding, {_NORM} AS nrm,

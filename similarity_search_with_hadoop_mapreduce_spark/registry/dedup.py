@@ -406,7 +406,48 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.4 — the fixture embeddings are
     near-isotropic, max pairwise cosine ~0.51, so a production 0.9-style
     threshold would be vacuous), exact all-pairs baseline;
-    LSH-bucketed candidates (operators/ann.py) are the 100 TB path."""
+    ``dedup_embedding_lsh`` is the bucketed 100 TB path."""
     return D.embedding_dup_pairs(
         table(spark, sf_dir, "embeddings"), threshold=_COS_T
+    )
+
+
+_COS_LSH_T = 0.25  # see the entry docstring for why lower than _COS_T
+
+
+def _embedding_lsh_oracle() -> str:
+    from similarity_search_with_hadoop_mapreduce_spark.registry.ann import (
+        lsh_bucket_sql,
+    )
+
+    dot_ab = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_EMB_NORM} AS nrm,
+         CAST({lsh_bucket_sql()} AS INTEGER) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       CAST(a.bucket AS INTEGER) AS bucket,
+       round({dot_ab} / (a.nrm * c.nrm), 6) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round({dot_ab} / (a.nrm * c.nrm), 6) >= {_COS_LSH_T}
+"""
+
+
+@register("dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed scale path for embedding dedup: candidates are pairs
+    agreeing on all 4 random-hyperplane signs (the same bucketing the
+    ANN probes and stored LSH layout use), exact-cosine verified — the
+    equi-join on bucket keeps candidate volume Σ|bucket|² instead of n²
+    and is AQE-skew-splittable. Threshold 0.25: at 0.4 the fixture's
+    bucketed candidates yield very few pairs (same-bucket vectors share
+    a halfspace, but the corpus is near-isotropic); 0.25 keeps a
+    meaningful result set on both engines."""
+    return D.embedding_dup_pairs_lsh(
+        table(spark, sf_dir, "embeddings"), threshold=_COS_LSH_T
     )

@@ -203,6 +203,48 @@ def _register_simhash_suite() -> None:
 
 
 # ---------------------------------------------------------------------------
+# dedup_embedding_suite — folds the exact baseline + the LSH scale path
+# ---------------------------------------------------------------------------
+
+
+def _register_dedup_embedding_suite() -> None:
+    parts = [
+        (
+            "dedup_embedding_cosine",
+            "'exact' AS shape, vec_a, vec_b, "
+            "CAST(NULL AS BIGINT) AS bucket, cosine",
+        ),
+        (
+            "dedup_embedding_lsh",
+            "'lsh' AS shape, vec_a, vec_b, "
+            "CAST(bucket AS BIGINT) AS bucket, cosine",
+        ),
+    ]
+
+    @register("dedup_embedding_suite", oracle=_union_oracle(parts))
+    def dedup_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tagged union of embedding near-dup pair generation: the exact
+        all-pairs baseline and the LSH-bucketed scale path with its
+        bucket ids (members: dedup_embedding_cosine,
+        dedup_embedding_lsh)."""
+        exact = _q("dedup_embedding_cosine")(spark, sf_dir).select(
+            F.lit("exact").alias("shape"),
+            F.col("vec_a").cast("bigint").alias("vec_a"),
+            F.col("vec_b").cast("bigint").alias("vec_b"),
+            _null("bucket", "bigint"),
+            F.col("cosine"),
+        )
+        lsh = _q("dedup_embedding_lsh")(spark, sf_dir).select(
+            F.lit("lsh").alias("shape"),
+            F.col("vec_a").cast("bigint").alias("vec_a"),
+            F.col("vec_b").cast("bigint").alias("vec_b"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("cosine"),
+        )
+        return _union_spark([exact, lsh])
+
+
+# ---------------------------------------------------------------------------
 # ann_ivf_suite — folds ann_ivf_topk + ann_ivf_recall
 # ---------------------------------------------------------------------------
 
@@ -1659,6 +1701,7 @@ def _register_tpch_subquery_suite() -> None:
 # ---------------------------------------------------------------------------
 
 _register_simhash_suite()
+_register_dedup_embedding_suite()
 _register_ann_ivf_suite()
 _register_text_doc_metrics()
 _register_text_corpus_stats()

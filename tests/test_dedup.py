@@ -389,3 +389,33 @@ def test_cluster_raises_when_rounds_exhausted(spark):
     rows = out.collect()
     assert len(rows) == 40
     assert {r.cluster_id for r in rows} == {0}
+
+
+def test_embedding_lsh_pairs_subset_of_brute_force(spark):
+    """LSH-bucketed embedding pairs = the brute-force pairs restricted to
+    bucket-mates: a subset at the same threshold, with every reported
+    pair's cosine identical to the exact computation, and a duplicated
+    vector (same bucket by construction) always found."""
+    import numpy as np
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 64)).astype("float32")
+    vecs[7] = vecs[3]  # exact duplicate pair (3, 7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    t = 0.3
+    exact = {(r.vec_a, r.vec_b): r.cosine
+             for r in embedding_dup_pairs(df, threshold=t).collect()}
+    lsh = {(r.vec_a, r.vec_b): r.cosine
+           for r in embedding_dup_pairs_lsh(df, threshold=t).collect()}
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert exact[pair] == cos
+    assert (3, 7) in lsh and lsh[(3, 7)] == 1.0

@@ -30,6 +30,8 @@ FOLDED = {
     "intersection_size": "sim_doc_profile",
     "dedup_simhash": "dedup_simhash_suite",
     "dedup_simhash_pairs": "dedup_simhash_suite",
+    "dedup_embedding_cosine": "dedup_embedding_suite",
+    "dedup_embedding_lsh": "dedup_embedding_suite",
     "ann_ivf_topk": "ann_ivf_suite",
     "ann_ivf_recall": "ann_ivf_suite",
     "ann_pq_topk": "ann_ivf_suite",
