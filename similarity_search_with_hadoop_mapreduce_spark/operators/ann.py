@@ -44,6 +44,16 @@ def _round6(x: float) -> float:
     )
 
 
+def _pydot(a: list[float], b: list[float]) -> float:
+    """Sequential left-fold dot product — the Python twin of the JVM
+    ``aggregate(zip_with(...))`` fold, shared by every coordinator-side
+    scoring path so fold semantics have exactly one definition."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
 def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 hyperplane weights: sign of md5 parity of
     ``"{plane}:{dim}"``. Pure public hashing — reproducible in SQL or any
@@ -316,20 +326,10 @@ def _ivf_probe_state(
             book.append((r["cid"], v, math.sqrt(n)))
     if q is None:
         raise KeyError(f"query vector {query_vec_id!r} not found in {id_col}")
-    qn = 0.0
-    for x in q:
-        qn += x * x
-    qn = math.sqrt(qn)
-
-    def _dot(a: list[float], b: list[float]) -> float:
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
+    qn = math.sqrt(_pydot(q, q))
     ranked = sorted(
         (
-            (_round6(_dot(v, q) / (cn * qn)) if cn * qn != 0.0 else 0.0, cid)
+            (_round6(_pydot(v, q) / (cn * qn)) if cn * qn != 0.0 else 0.0, cid)
             for cid, v, cn in book
         ),
         key=lambda t: (-t[0], t[1]),
@@ -401,13 +401,6 @@ def ivf_probe_topk(
 # ---------------------------------------------------------------------------
 
 
-def _pydot(a: list[float], b: list[float]) -> float:
-    s = 0.0
-    for x, y in zip(a, b):
-        s += x * y
-    return s
-
-
 def pq_codebooks(
     embeddings: DataFrame,
     m: int = 4,
@@ -437,6 +430,11 @@ def pq_codebooks(
             raise ValueError(
                 "pq_codebooks requires dense vector ids 0..k_sub-1 for the "
                 f"first-ids init; got {[c for c, _, _ in book]}"
+            )
+        if book and len(book[0][1]) != sub_dim:
+            raise ValueError(
+                f"subspace {mi} sliced to {len(book[0][1])} dims, expected "
+                f"{sub_dim}: m*sub_dim overruns the embedding dimension"
             )
         books.append(book)
     return books
@@ -512,6 +510,7 @@ def pq_topk(
     books: list | None = None,
     codes: DataFrame | None = None,
     id_col: str = "vec_id",
+    query_state: tuple[list[float], float] | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     the PQ index: ``score ≈ cosine = Σ_mi LUT_mi[code_mi] / (|x|·|q|)``
@@ -534,15 +533,26 @@ def pq_topk(
         )
     if codes is None:
         codes = pq_encode(embeddings, books, sub_dim=sub_dim, id_col=id_col)
-    rows = (
-        embeddings.filter(F.col(id_col) == F.lit(query_vec_id))
-        .select("embedding")
-        .collect()
-    )
-    if not rows:
-        raise KeyError(f"query vector {query_vec_id!r} not found in {id_col}")
-    q = [float(x) for x in rows[0]["embedding"]]
-    qn = math.sqrt(_pydot(q, q))
+    if query_state is not None:
+        q, qn = query_state
+    else:
+        rows = (
+            embeddings.filter(F.col(id_col) == F.lit(query_vec_id))
+            .select("embedding")
+            .collect()
+        )
+        if not rows:
+            raise KeyError(
+                f"query vector {query_vec_id!r} not found in {id_col}"
+            )
+        q = [float(x) for x in rows[0]["embedding"]]
+        qn = math.sqrt(_pydot(q, q))
+    if len(q) != m * sub_dim:
+        raise ValueError(
+            f"m*sub_dim = {m * sub_dim} must cover the full embedding "
+            f"dimension ({len(q)}): uncovered dims would silently deflate "
+            "every ADC score (the norm is full-vector)"
+        )
     score, packed = _adc_exprs(books, q, qn, sub_dim, k_sub)
     return (
         codes.filter(F.col("vec_id") != F.lit(query_vec_id))
@@ -592,6 +602,7 @@ def ivfpq_topk(
     pq_books: list | None = None,
     index: DataFrame | None = None,
     id_col: str = "vec_id",
+    probe_state: tuple[list[float], float, list[int]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed billion-scale serving topology — the coarse
     quantizer prunes the scan to ``nprobe`` inverted lists (storage
@@ -616,10 +627,18 @@ def ivfpq_topk(
         index = ivfpq_index(
             embeddings, coarse_book, pq_books, sub_dim=sub_dim, id_col=id_col
         )
-    q, qn, probe_ids, _ = _ivf_probe_state(
-        embeddings, query_vec_id, n_centroids, nprobe, id_col,
-        book=coarse_book,
-    )
+    if probe_state is not None:
+        q, qn, probe_ids = probe_state
+    else:
+        q, qn, probe_ids, _ = _ivf_probe_state(
+            embeddings, query_vec_id, n_centroids, nprobe, id_col,
+            book=coarse_book,
+        )
+    if len(q) != m * sub_dim:
+        raise ValueError(
+            f"m*sub_dim = {m * sub_dim} must cover the full embedding "
+            f"dimension ({len(q)})"
+        )
     score, packed = _adc_exprs(pq_books, q, qn, sub_dim, k_sub)
     return (
         index.filter(F.col("centroid_id").isin(probe_ids))
@@ -690,19 +709,10 @@ def ivf_recall_multi(
         .collect()
     )
 
-    def _pydot(a: list[float], b: list[float]) -> float:
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
     q_rows, probe_rows = [], []
     for r in sorted(rows, key=lambda r: r["qid"]):
         qv = [float(x) for x in r["embedding"]]
-        qn = 0.0
-        for x in qv:
-            qn += x * x
-        qn = math.sqrt(qn)
+        qn = math.sqrt(_pydot(qv, qv))
         ranked = sorted(
             (
                 (_round6(_pydot(v, qv) / (cn * qn)) if cn * qn != 0.0 else 0.0, cid)
@@ -914,6 +924,12 @@ def ivfpq_topk_from_layout(
         raise ValueError(
             "ivfpq_topk_from_layout requires the pq_books the layout was "
             "encoded with (codes are meaningless under a different book)"
+        )
+    if coarse_book is None:
+        raise ValueError(
+            "ivfpq_topk_from_layout requires the coarse_book the layout "
+            "was partitioned with (an untrained fallback would probe the "
+            "wrong inverted lists, silently degrading results)"
         )
     q, qn, probe_ids, _ = _ivf_probe_state(
         embeddings, query_vec_id, n_centroids, nprobe, id_col,

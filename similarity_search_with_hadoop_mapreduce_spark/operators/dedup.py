@@ -772,37 +772,55 @@ def duplicate_clusters(
     ).select("doc_id", F.coalesce("_c", "doc_id").alias("cluster_id"))
 
 
-def embedding_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.8, id_col: str = "vec_id"
-) -> DataFrame:
-    """Embedding-cosine near-dup pairs, brute-force all-pairs.
-
-    Correctness baseline (exact): O(n²) pairs — fine up to ~10⁴ vectors
-    per partition-side; at corpus scale use the LSH-bucketed candidate
-    generation in operators/ann.py and verify only bucket-mates.
-    Scores are rounded to 6 decimals to absorb engine fold differences.
-    """
-    # Norms are computed once per vector BEFORE the pair join — inside the
-    # join they would be re-folded once per PAIR (O(n²) folds instead of
-    # O(n); measured ~3x on the all-pairs scan). Per-pair work is then a
-    # single dot fold + scalar ops.
+def _embedding_pair_sides(
+    embeddings: DataFrame, id_col: str, planes: list | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(a, b) sides for an embedding pair join, norms precomputed per
+    VECTOR before the join — inside it they would re-fold once per PAIR
+    (O(n²) folds instead of O(n); measured ~3x on the all-pairs scan).
+    With ``planes``, each side also carries the LSH bucket (``bucket`` /
+    ``_bb``) for the bucketed candidate join."""
     from similarity_search_with_hadoop_mapreduce_spark.functions.vector import (
-        dot,
         l2_norm,
     )
 
-    base = fan_out(embeddings).select(
+    cols = [
         F.col(id_col).alias("vid"),
         F.col("embedding").alias("e"),
         l2_norm(F.col("embedding")).alias("nrm"),
+    ]
+    if planes is not None:
+        from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+            lsh_bucket,
+        )
+
+        cols.append(lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+    base = fan_out(embeddings).select(*cols)
+    a_cols = [
+        F.col("vid").alias("vec_a"),
+        F.col("e").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    ]
+    b_cols = [
+        F.col("vid").alias("vec_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    ]
+    if planes is not None:
+        a_cols.append(F.col("bucket"))
+        b_cols.append(F.col("bucket").alias("_bb"))
+    return base.select(*a_cols), base.select(*b_cols)
+
+
+def _pair_cosine():
+    """Rounded cosine of an ``(e_a, n_a) × (e_b, n_b)`` pair row — the
+    single per-pair dot fold both pair generators share (round-6 absorbs
+    engine fold differences; zero norms score 0.0)."""
+    from similarity_search_with_hadoop_mapreduce_spark.functions.vector import (
+        dot,
     )
-    a = base.select(
-        F.col("vid").alias("vec_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a")
-    )
-    b = base.select(
-        F.col("vid").alias("vec_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b")
-    )
-    cos = F.round(
+
+    return F.round(
         F.coalesce(
             dot(F.col("e_a"), F.col("e_b"))
             / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0)),
@@ -810,9 +828,21 @@ def embedding_dup_pairs(
         ),
         6,
     )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.8, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute-force all-pairs.
+
+    Correctness baseline (exact): O(n²) pairs — fine up to ~10⁴ vectors
+    per partition-side; at corpus scale :func:`embedding_dup_pairs_lsh`
+    generates candidates from bucket-mates only.
+    """
+    a, b = _embedding_pair_sides(embeddings, id_col)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .select("vec_a", "vec_b", _pair_cosine().alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -842,42 +872,16 @@ def embedding_dup_pairs_lsh(
     Returns ``(vec_a, vec_b, bucket, cosine)`` — the shared bucket rides
     along so the bucketing itself is value-checkable.
     """
-    from similarity_search_with_hadoop_mapreduce_spark.functions.vector import (
-        dot,
-        l2_norm,
-    )
     from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
         hyperplane_signs,
-        lsh_bucket,
     )
 
     planes = hyperplane_signs(n_planes, dim)
-    base = fan_out(embeddings).select(
-        F.col(id_col).alias("vid"),
-        F.col("embedding").alias("e"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
-    )
-    a = base.select(
-        F.col("vid").alias("vec_a"), F.col("e").alias("e_a"),
-        F.col("nrm").alias("n_a"), "bucket",
-    )
-    b = base.select(
-        F.col("vid").alias("vec_b"), F.col("e").alias("e_b"),
-        F.col("nrm").alias("n_b"), F.col("bucket").alias("_bb"),
-    )
-    cos = F.round(
-        F.coalesce(
-            dot(F.col("e_a"), F.col("e_b"))
-            / F.nullif(F.col("n_a") * F.col("n_b"), F.lit(0.0)),
-            F.lit(0.0),
-        ),
-        6,
-    )
+    a, b = _embedding_pair_sides(embeddings, id_col, planes=planes)
     return (
         a.join(b, (F.col("bucket") == F.col("_bb"))
                & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", "bucket", cos.alias("cosine"))
+        .select("vec_a", "vec_b", "bucket", _pair_cosine().alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -568,6 +568,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_book=coarse,
         pq_books=pq_books,
         index=index,
+        # the cached probe state is exactly what _ivf_probe_state would
+        # re-collect: same trained coarse book, same nprobe ranking
+        probe_state=_ivf_probe(spark, sf_dir, 0),
     )
 
 
@@ -580,6 +583,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory-bound billion-vector serving; code_packed pins the encoding
     itself in the value hash."""
     books, codes = _pq_index(spark, sf_dir)
+    q, qn, _probes = _ivf_probe(spark, sf_dir, 0)  # cached query vector+norm
     return A.pq_topk(
         table(spark, sf_dir, "embeddings"),
         0,
@@ -589,6 +593,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_sub=_PQ_K,
         books=books,
         codes=codes,
+        query_state=(q, qn),
     )
 
 
