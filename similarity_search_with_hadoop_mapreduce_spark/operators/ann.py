@@ -566,6 +566,101 @@ def pq_topk(
     )
 
 
+def pq_recall_multi(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 8,
+    iters: int = 2,
+    books: list | None = None,
+    codes: DataFrame | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Mean recall@k of PQ ADC ranking against the exact brute-force
+    top-k, averaged over the first ``n_queries`` vectors — the number a
+    deployment tunes m / k_sub / training iterations against (the
+    quantization-error analog of :func:`ivf_recall_multi`'s probe
+    recall).
+
+    One DAG for all queries: the query table carries each query's
+    driver-computed lookup tables as array columns (O(n_queries·m·k_sub)
+    doubles, broadcast), the ADC and exact candidate sets are ranked
+    with one window each partitioned by query id, and the result reduces
+    to a single row."""
+    from pyspark.sql import Window
+
+    if books is None:
+        books = pq_codebooks(
+            embeddings, m=m, sub_dim=sub_dim, k_sub=k_sub, iters=iters,
+            id_col=id_col,
+        )
+    if codes is None:
+        codes = pq_encode(embeddings, books, sub_dim=sub_dim, id_col=id_col)
+    rows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), "embedding")
+        .collect()
+    )
+    q_rows = []
+    for r in sorted(rows, key=lambda r: r["qid"]):
+        qv = [float(x) for x in r["embedding"]]
+        qn = math.sqrt(_pydot(qv, qv))
+        luts = [
+            [_pydot(v, qv[mi * sub_dim : (mi + 1) * sub_dim]) for _c, v, _n in book]
+            for mi, book in enumerate(books)
+        ]
+        q_rows.append((int(r["qid"]), qv, qn, *luts))
+    spark = embeddings.sparkSession
+    lut_cols = ", ".join(f"lut{mi} ARRAY<DOUBLE>" for mi in range(m))
+    q_df = F.broadcast(
+        spark.createDataFrame(
+            q_rows, f"qid BIGINT, q_emb ARRAY<DOUBLE>, q_nrm DOUBLE, {lut_cols}"
+        )
+    )
+    adc_terms = " + ".join(
+        f"element_at(lut{mi}, code[{mi}] + 1)" for mi in range(m)
+    )
+    adc_score = F.expr(
+        f"round(coalesce(({adc_terms}) / nullif(nrm * q_nrm, 0.0D), 0.0D), 6)"
+    )
+    cos = F.round(
+        F.coalesce(
+            dot(F.col("embedding"), F.col("q_emb"))
+            / F.nullif(l2_norm(F.col("embedding")) * F.col("q_nrm"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    adc = (
+        codes.join(q_df)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", adc_score.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        fan_out(embeddings)
+        .select(F.col(id_col).alias("vec_id"), "embedding")
+        .join(q_df)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    return adc.join(exact, ["qid", "vec_id"]).agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(k * n_queries))).alias(
+            "recall_at_k"
+        ),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(n_queries).cast("int").alias("n_queries"),
+    )
+
+
 def ivfpq_index(
     embeddings: DataFrame,
     coarse_book: list[tuple[int, list[float], float]],

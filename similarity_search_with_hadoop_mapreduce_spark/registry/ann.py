@@ -597,6 +597,92 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_recall_oracle() -> str:
+    """ann_pq_recall oracle: subspace training replays + per-query ADC
+    ranking vs exact ranking, reduced to the mean recall@k — the SQL
+    twin of :func:`operators.ann.pq_recall_multi`."""
+    dot_nq = (
+        f"list_sum(list_transform(range(1, {_DIM} + 1), "
+        "i -> CAST(nv.embedding[i] AS DOUBLE) * q.q_emb[i]))"
+    )
+    terms, joins, _packed = _adc_fragments()
+    parts = [f"n AS (SELECT vec_id, embedding, {_NORM} AS nrm FROM embeddings)"]
+    parts.extend(_pq_subspace_parts())
+    parts.append(
+        f"""qs AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb,
+         nrm AS q_nrm
+  FROM n WHERE vec_id < {_N_QUERIES}
+)"""
+    )
+    parts.append(
+        f"""pq_scored AS (
+  SELECT q.qid, nv.vec_id,
+         round(coalesce(({terms})
+               / nullif(nv.nrm * q.q_nrm, 0.0), 0.0), 6) AS s
+  FROM n nv
+  {joins}
+  CROSS JOIN qs q
+  WHERE nv.vec_id != q.qid
+)"""
+    )
+    parts.append(
+        f"""adc AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+    FROM pq_scored
+  ) WHERE rn <= {_K}
+)"""
+    )
+    parts.append(
+        f"""exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, nv.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(coalesce({dot_nq}
+                        / nullif(nv.nrm * q.q_nrm, 0.0), 0.0), 6) DESC,
+                      nv.vec_id) AS rn
+    FROM n nv CROSS JOIN qs q
+    WHERE nv.vec_id != q.qid
+  ) WHERE rn <= {_K}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST((SELECT count(*) FROM adc JOIN exact USING (qid, vec_id)) AS DOUBLE)
+         / {_K * _N_QUERIES} AS recall_at_k,
+       CAST({_K} AS INTEGER) AS k,
+       CAST({_N_QUERIES} AS INTEGER) AS n_queries
+"""
+    )
+
+
+@register("ann_pq_recall", oracle=_pq_recall_oracle())
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality metric for the PQ family: mean recall@10 of ADC
+    ranking against exact brute force over the first 10 query vectors —
+    the quantization-error number a deployment tunes m / k_sub /
+    training iterations against (the probe-recall analog lives in
+    ann_ivf_recall). The oracle replays all four subspace trainings,
+    the encoding, both rankings, and the reduction in SQL."""
+    books, codes = _pq_index(spark, sf_dir)
+    return A.pq_recall_multi(
+        table(spark, sf_dir, "embeddings"),
+        n_queries=_N_QUERIES,
+        k=_K,
+        m=_PQ_M,
+        sub_dim=_PQ_W,
+        k_sub=_PQ_K,
+        books=books,
+        codes=codes,
+    )
+
+
 _DOT_NQ = (
     f"list_sum(list_transform(range(1, {_DIM} + 1), "
     "i -> CAST(n.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))"

@@ -273,6 +273,11 @@ def _register_ann_ivf_suite() -> None:
             "centroid_id * 4096 + code_packed AS centroid_id, "
             "pq_score AS v",
         ),
+        (
+            "ann_pq_recall",
+            "'pq_recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
+            "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
+        ),
     ]
 
     @register("ann_ivf_suite", oracle=_union_oracle(parts))
@@ -308,7 +313,13 @@ def _register_ann_ivf_suite() -> None:
              + F.col("code_packed").cast("bigint")).alias("centroid_id"),
             F.col("pq_score").alias("v"),
         )
-        return _union_spark([topk, rec, pq, ivfpq])
+        pq_rec = _q("ann_pq_recall")(spark, sf_dir).select(
+            F.lit("pq_recall").alias("shape"),
+            F.col("k").cast("bigint").alias("vec_id"),
+            F.col("n_queries").cast("bigint").alias("centroid_id"),
+            F.col("recall_at_k").alias("v"),
+        )
+        return _union_spark([topk, rec, pq, ivfpq, pq_rec])
 
 
 # ---------------------------------------------------------------------------
