@@ -200,16 +200,22 @@ def main() -> None:
     # a data cost — measured up to 5x on the LSH pipeline's first run); the
     # min is the steady-state number a resident service would see.
     # task_compute is taken from the min-wall iteration of each query.
-    def timed_min_of_3(work: dict) -> tuple[dict, dict]:
-        # Prepared-plan protocol: each query's DataFrame is built once,
-        # untimed — Spark caches the analyzed/optimized/physical plan in
-        # the object, so iterations time execution, like a serving engine
-        # with a plan cache (or a prepared statement). Every job still
-        # runs in full per iteration. DuckDB's side re-plans inside its
-        # timed loop, but its planner costs ~1-5 ms/query vs Spark's
-        # 100-300 ms of Py4J expression construction + analysis — the
-        # residual asymmetry is bounded by ~0.1 s across the suite,
-        # Spark-unfavorable planning cost being the thing excluded.
+    def timed_min_of_3(
+        work: dict, include_build: bool = False
+    ) -> tuple[dict, dict]:
+        # Prepared-plan protocol (include_build=False): each query's
+        # DataFrame is built once, untimed — Spark caches the
+        # analyzed/optimized/physical plan in the object, so iterations
+        # time execution, like a serving engine with a plan cache (or a
+        # prepared statement). Every job still runs in full per
+        # iteration. DuckDB's side re-plans inside its timed loop, but
+        # its planner costs ~1-5 ms/query vs Spark's 100-300 ms of Py4J
+        # expression construction + analysis. Because the gate flips
+        # depending on whether that planning cost counts (ADVICE r3),
+        # BOTH definitions are emitted: include_build=True rebuilds the
+        # DataFrame inside the timed window each iteration
+        # (build+execute, cold-plan client), and the JSON carries both
+        # series so the 2x comparison is auditable under either.
         dfs = {name: fn(spark, SF_DIR) for name, fn in work.items()}
         timings: dict[str, float] = {}
         compute: dict[str, float] = {}
@@ -217,6 +223,8 @@ def main() -> None:
             for name, df in dfs.items():
                 c0 = total_task_ms()
                 t0 = time.perf_counter()
+                if include_build:
+                    df = work[name](spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 3)
                 cms = round(max(0, total_task_ms() - c0) / 1000.0, 3)
@@ -229,10 +237,16 @@ def main() -> None:
     # oracle SQL computes, so the 2x comparison is engine vs engine on an
     # identical workload (ADVICE r2 symmetry fix).
     timings, compute = timed_min_of_3({n: QUERIES[n] for n in HEADLINE})
+    # Same suite with plan construction + analysis INSIDE the timed
+    # window — the cold-plan definition of the gate (ADVICE r3).
+    timings_be, _compute_be = timed_min_of_3(
+        {n: QUERIES[n] for n in HEADLINE}, include_build=True
+    )
     # Informational: xxhash64 production mode for the hash families.
     prod_timings, _prod_compute = timed_min_of_3(prod_impls)
 
     total = round(sum(timings.values()), 3)
+    total_be = round(sum(timings_be.values()), 3)
     print(
         json.dumps(
             {
@@ -240,6 +254,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_build_exec": total_be,
+                "queries_build_exec": timings_be,
                 "task_compute": compute,
                 "production_queries": prod_timings,
                 "sf": float(sf),

@@ -150,6 +150,18 @@ def _codebook(
     return book
 
 
+def _lit_f(x: float) -> str:
+    """SQL literal for one double, finiteness-guarded. Every driver-side
+    float that reaches generated SQL goes through here (or the array
+    variants below): a NaN/inf — e.g. from a NaN embedding propagating
+    through a Lloyd mean — would otherwise render as ``nanD`` and fail
+    parsing with an opaque error, or silently propagate inf (ADVICE r3).
+    """
+    if not math.isfinite(x):
+        raise ValueError(f"literal scalar must be finite, got {x!r}")
+    return f"{x!r}D"
+
+
 def _dot_sql(col: str, v: list[float]) -> str:
     """SQL text for the sequential-fold dot product of ``col`` with a
     literal vector — textually identical fold semantics to
@@ -276,7 +288,7 @@ def assign_ivf_centroids(
     cands = [
         "named_struct("
         f"'c_cos', round(coalesce({_dot_sql('embedding', v)}"
-        f" / nullif(_nrm * {cn!r}D, 0.0D), 0.0D), 6), "
+        f" / nullif(_nrm * {_lit_f(cn)}, 0.0D), 0.0D), 6), "
         f"'neg_id', {-cid}, 'centroid_id', {cid})"
         for cid, v, cn in book
     ]
@@ -480,7 +492,7 @@ def pq_encode(
         cands = [
             "named_struct("
             f"'c_cos', round(coalesce({_dot_sql(f'_s{mi}', v)}"
-            f" / nullif(_sn{mi} * {cn!r}D, 0.0D), 0.0D), 6), "
+            f" / nullif(_sn{mi} * {_lit_f(cn)}, 0.0D), 0.0D), 6), "
             f"'neg_id', {-cid}, 'centroid_id', {cid})"
             for cid, v, cn in book
         ]
@@ -527,6 +539,14 @@ def pq_topk(
     value-hash gate). Plan: map-only scoring + TakeOrderedAndProject.
     """
     if books is None:
+        if codes is not None:
+            # mirror ivfpq_topk_from_layout's guard: freshly trained books
+            # would index ADC lookup tables by code words from a possibly
+            # different book — silently wrong scores (ADVICE r3)
+            raise ValueError(
+                "codes provided without the books they were encoded with "
+                "(codes are meaningless under a different book); pass both"
+            )
         books = pq_codebooks(
             embeddings, m=m, sub_dim=sub_dim, k_sub=k_sub, iters=iters,
             id_col=id_col,
@@ -592,6 +612,14 @@ def pq_recall_multi(
     from pyspark.sql import Window
 
     if books is None:
+        if codes is not None:
+            # mirror ivfpq_topk_from_layout's guard: freshly trained books
+            # would index ADC lookup tables by code words from a possibly
+            # different book — silently wrong scores (ADVICE r3)
+            raise ValueError(
+                "codes provided without the books they were encoded with "
+                "(codes are meaningless under a different book); pass both"
+            )
         books = pq_codebooks(
             embeddings, m=m, sub_dim=sub_dim, k_sub=k_sub, iters=iters,
             id_col=id_col,
@@ -709,6 +737,12 @@ def ivfpq_topk(
     production tuner would add per-list.
 
     Returns ``(vec_id, centroid_id, code_packed, pq_score)``."""
+    if index is not None and (pq_books is None or coarse_book is None):
+        raise ValueError(
+            "index provided without the books it was built with (codes "
+            "are meaningless under a different book; probes under a "
+            "different coarse book scan the wrong lists); pass both"
+        )
     if coarse_book is None:
         coarse_book = kmeans_codebook(
             embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col
@@ -761,11 +795,11 @@ def _adc_exprs(
     for mi, book in enumerate(pq_books):
         sub_q = q[mi * sub_dim : (mi + 1) * sub_dim]
         lut = [_pydot(v, sub_q) for _cid, v, _cn in book]
-        arr = "array(" + ",".join(f"{x!r}D" for x in lut) + ")"
+        arr = "array(" + ",".join(_lit_f(x) for x in lut) + ")"
         terms.append(f"element_at({arr}, code[{mi}] + 1)")
     score = F.expr(
         f"round(coalesce(({' + '.join(terms)})"
-        f" / nullif(nrm * {qn!r}D, 0.0D), 0.0D), 6)"
+        f" / nullif(nrm * {_lit_f(qn)}, 0.0D), 0.0D), 6)"
     )
     packed = F.expr(
         " + ".join(

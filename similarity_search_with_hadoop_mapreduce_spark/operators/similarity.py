@@ -53,7 +53,9 @@ from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
 # point-lookup aggregate over only the query rows — a per-batch statistic
 # a serving deployment computes once when the query battery is registered,
 # not on every scoring pass. load_table returns one cached DataFrame per
-# (session, table), so identity keying matches that reuse.
+# (session, table, parquet fingerprint), so identity keying matches that
+# reuse and an in-place fixture rewrite starts a fresh memo (the
+# ADVICE-r2 invalidation rule, enforced once in load_table).
 _qterms_cache: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
     weakref.WeakKeyDictionary()
 )

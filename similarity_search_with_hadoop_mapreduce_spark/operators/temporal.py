@@ -41,8 +41,11 @@ from pyspark.sql import functions as F
 # (lo, hi)}. The probe is a catalog-style min/max statistic (parquet
 # footer metadata, no row scan); caching it per loaded table mirrors what
 # ANALYZE TABLE persists and removes a per-call job launch. load_table
-# returns one cached DataFrame object per (session, table), so identity
-# keying matches exactly the reuse a catalog would see.
+# returns one cached DataFrame object per (session, table, parquet
+# fingerprint), so identity keying matches exactly the reuse a catalog
+# would see — and an in-place fixture rewrite yields a fresh DataFrame
+# object, which starts a fresh memo here (the ADVICE-r2 invalidation
+# rule, enforced once in load_table rather than per-memo).
 _span_cache: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
     weakref.WeakKeyDictionary()
 )

@@ -61,7 +61,7 @@ CURATED_NAMES: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_suite",
     "dedup_incremental",
     "dedup_simhash_suite",
     "dedup_clusters",

@@ -311,15 +311,18 @@ LIMIT {_K}
 
 import weakref as _weakref
 
-# Prebuilt-index cache: embeddings DataFrame identity -> {"assigned":
+# Prebuilt-index cache: SparkSession -> {("assigned", sf_dir, fp):
 # persisted assignment df, ("probe", qid): (q, qn, probe_ids)}. An IVF
 # deployment materializes the assignment at index-build time (centroid_id
 # IS the inverted list / storage partition key) and receives query
 # vectors from the client; re-deriving either per query would be like
 # rebuilding a B-tree per lookup. load_table returns one cached DataFrame
-# per (session, table), so identity keying scopes this to the session,
-# and the fingerprint-keyed _trained_book keeps the book itself fresh.
-_IVF_SERVE_CACHE: "_weakref.WeakKeyDictionary[DataFrame, dict]" = (
+# per (session, table); the cache keys weakly on the SESSION (a stopped
+# session releases its plans) with (sf_dir, fingerprint) ending every
+# entry key, so an in-place fixture rewrite deterministically hits
+# _evict_stale and unpersists superseded entries (ADVICE r3) instead of
+# leaking executor storage memory for the process lifetime.
+_IVF_SERVE_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
     _weakref.WeakKeyDictionary()
 )
 
@@ -330,15 +333,31 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    d = _IVF_SERVE_CACHE.setdefault(emb, {})
+    d = _IVF_SERVE_CACHE.setdefault(spark, {})
     # fingerprint in the key, like _trained_book/_doc_count: an in-place
     # parquet rewrite must rebuild the index, not serve the persisted one
-    key = ("assigned", table_fingerprint(sf_dir, "embeddings"))
+    fp = table_fingerprint(sf_dir, "embeddings")
+    key = ("assigned", sf_dir, fp)
     if key not in d:
+        _evict_stale(d, sf_dir, fp)
         d[key] = A.assign_ivf_centroids(
             emb, _N_CENTROIDS, book=_trained_book(spark, sf_dir)
         ).persist()
     return d[key]
+
+
+def _evict_stale(d: dict, sf_dir: str, fp: tuple) -> None:
+    """Evict (and unpersist) cache entries whose fingerprint no longer
+    matches the table's current one. Without this, an in-place fixture
+    rewrite builds a fresh persisted assignment but the superseded one
+    keeps holding executor storage memory for the process lifetime
+    (ADVICE r3). Every entry key ends (..., sf_dir, fingerprint) by
+    construction; only the rewritten sf_dir's entries are touched."""
+    for k in [k for k in d if k[-2] == sf_dir and k[-1] != fp]:
+        v = d.pop(k)
+        for item in v if isinstance(v, tuple) else (v,):
+            if isinstance(item, DataFrame):
+                item.unpersist()
 
 
 def _ivf_probe(spark: SparkSession, sf_dir: str, qid) -> tuple:
@@ -347,9 +366,11 @@ def _ivf_probe(spark: SparkSession, sf_dir: str, qid) -> tuple:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    d = _IVF_SERVE_CACHE.setdefault(emb, {})
-    key = ("probe", qid, table_fingerprint(sf_dir, "embeddings"))
+    d = _IVF_SERVE_CACHE.setdefault(spark, {})
+    fp = table_fingerprint(sf_dir, "embeddings")
+    key = ("probe", qid, sf_dir, fp)
     if key not in d:
+        _evict_stale(d, sf_dir, fp)
         q, qn, probe_ids, _ = A._ivf_probe_state(
             emb, qid, _N_CENTROIDS, _NPROBE, "vec_id",
             book=_trained_book(spark, sf_dir),
@@ -518,9 +539,11 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    d = _IVF_SERVE_CACHE.setdefault(emb, {})
-    key = ("pq", table_fingerprint(sf_dir, "embeddings"))
+    d = _IVF_SERVE_CACHE.setdefault(spark, {})
+    fp = table_fingerprint(sf_dir, "embeddings")
+    key = ("pq", sf_dir, fp)
     if key not in d:
+        _evict_stale(d, sf_dir, fp)
         books = A.pq_codebooks(
             emb, m=_PQ_M, sub_dim=_PQ_W, k_sub=_PQ_K, iters=_ITERS
         )
@@ -537,9 +560,11 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    d = _IVF_SERVE_CACHE.setdefault(emb, {})
-    key = ("ivfpq", table_fingerprint(sf_dir, "embeddings"))
+    d = _IVF_SERVE_CACHE.setdefault(spark, {})
+    fp = table_fingerprint(sf_dir, "embeddings")
+    key = ("ivfpq", sf_dir, fp)
     if key not in d:
+        _evict_stale(d, sf_dir, fp)
         coarse = _trained_book(spark, sf_dir)
         pq_books, _codes = _pq_index(spark, sf_dir)
         index = A.ivfpq_index(emb, coarse, pq_books, sub_dim=_PQ_W).persist()

@@ -124,7 +124,11 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_oracle() -> str:
+def _minhash_lsh_oracle(cap: int | None = None) -> str:
+    """The LSH pair oracle; with ``cap`` set, models the bounded-bucket
+    star contract: buckets of 2..cap members produce all pairs, over-cap
+    buckets produce only (min-doc_id representative, member) star pairs
+    — the SQL twin of :func:`operators.dedup._bounded_buckets`."""
     sig_cols = ",\n         ".join(_mh_exprs())
     band_selects = "\n  UNION ALL\n  ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(
@@ -135,6 +139,27 @@ def _minhash_lsh_oracle() -> str:
         )
         for b in range(_BANDS)
     )
+    if cap is None:
+        cand = """cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+)"""
+    else:
+        cand = f"""sized AS (
+  SELECT doc_id, band, bh,
+         count(*) OVER (PARTITION BY band, bh) AS n,
+         min(doc_id) OVER (PARTITION BY band, bh) AS rep
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id AND a.n BETWEEN 2 AND {cap}
+  UNION
+  SELECT rep AS doc_a, doc_id AS doc_b
+  FROM sized WHERE n > {cap} AND doc_id != rep
+)"""
     return (
         "WITH "
         + SHINGLES_CTE
@@ -149,11 +174,7 @@ sig AS (
 bands AS (
   {band_selects}
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-  WHERE a.doc_id < b.doc_id
-)
+{cand}
 SELECT c.doc_a, c.doc_b,
        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
          / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
@@ -182,6 +203,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_JACCARD_T,
         base_hash="md5",
         max_bucket=None,
+    )
+
+
+_STAR_CAP = 2  # fixture buckets reach 3-4 members, so the cap is ACTIVE
+
+
+@register("dedup_minhash_lsh_capped", oracle=_minhash_lsh_oracle(cap=_STAR_CAP))
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-bucket STAR contract under an active cap: buckets over
+    ``_STAR_CAP`` members degrade to (min-id representative, member) star
+    pairs — O(B) instead of O(B^2), cluster connectivity preserved — and
+    the oracle replays exactly that (windowed size + rep in SQL). The cap
+    is chosen to FIRE on the fixture (buckets of 3-4 exist at every sf),
+    so this entry value-pins the overflow path itself, not just the
+    uncapped plan."""
+    return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        k=_K,
+        bands=_BANDS,
+        threshold=_JACCARD_T,
+        base_hash="md5",
+        max_bucket=_STAR_CAP,
+        overflow="star",
     )
 
 

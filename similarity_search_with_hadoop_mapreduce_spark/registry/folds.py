@@ -203,6 +203,47 @@ def _register_simhash_suite() -> None:
 
 
 # ---------------------------------------------------------------------------
+# dedup_minhash_lsh_suite — folds the uncapped plan + the ACTIVE-cap star
+# overflow contract (cap=2 fires on fixture buckets of 3-4 members), so
+# one curated row value-pins both the all-pairs path and the
+# representative-star degradation of _bounded_buckets.
+# ---------------------------------------------------------------------------
+
+
+def _register_minhash_lsh_suite() -> None:
+    parts = [
+        (
+            "dedup_minhash_lsh",
+            "'uncapped' AS shape, doc_a AS a, doc_b AS b, jaccard AS v",
+        ),
+        (
+            "dedup_minhash_lsh_capped",
+            "'star_capped' AS shape, doc_a AS a, doc_b AS b, jaccard AS v",
+        ),
+    ]
+
+    @register("dedup_minhash_lsh_suite", oracle=_union_oracle(parts))
+    def dedup_minhash_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tagged union of MinHash-LSH near-dup pairs, uncapped vs
+        star-capped (members: dedup_minhash_lsh,
+        dedup_minhash_lsh_capped — the second runs max_bucket=2 so the
+        hot-bucket star path is exercised and value-pinned)."""
+        un = _q("dedup_minhash_lsh")(spark, sf_dir).select(
+            F.lit("uncapped").alias("shape"),
+            F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("b"),
+            F.col("jaccard").alias("v"),
+        )
+        st = _q("dedup_minhash_lsh_capped")(spark, sf_dir).select(
+            F.lit("star_capped").alias("shape"),
+            F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("b"),
+            F.col("jaccard").alias("v"),
+        )
+        return _union_spark([un, st])
+
+
+# ---------------------------------------------------------------------------
 # dedup_embedding_suite — folds the exact baseline + the LSH scale path
 # ---------------------------------------------------------------------------
 
@@ -1712,6 +1753,7 @@ def _register_tpch_subquery_suite() -> None:
 # ---------------------------------------------------------------------------
 
 _register_simhash_suite()
+_register_minhash_lsh_suite()
 _register_dedup_embedding_suite()
 _register_ann_ivf_suite()
 _register_text_doc_metrics()

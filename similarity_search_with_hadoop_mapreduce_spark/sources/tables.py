@@ -83,9 +83,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     cache = _table_cache.setdefault(spark, {})
-    key = (sf_dir, name)
+    # fingerprint in the key (an os.stat, ~µs): an in-place fixture rewrite
+    # yields a FRESH DataFrame object, which cascades invalidation to every
+    # identity-keyed plan-routing memo downstream (_fan_cache, temporal's
+    # _span_cache, similarity's _qterms_cache) — one invalidation policy
+    # for the whole catalog instead of per-memo fingerprints (ADVICE r3).
+    key = (sf_dir, name, table_fingerprint(sf_dir, name))
     if key in cache:
         return cache[key]
+    for k in [k for k in cache if k[:2] == key[:2]]:
+        del cache[k]  # superseded vintage of the same table
     if name == "events":
         if events_ts_type(sf_dir).startswith("timestamp[us"):
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(

@@ -245,52 +245,115 @@ def test_base_hash_modes_share_verified_semantics(spark):
         assert all(got[p] == 1.0 for p in exact_pairs), mode
 
 
-def test_lsh_hot_bucket_bounded_with_overflow(spark):
-    """Mass-duplicate corpus: the hot bucket is diverted to overflow, no
-    aggregated row ever exceeds the cap, and the small groups still pair."""
-    n = 5000
-    docs = spark.createDataFrame(
+def _mass_dup_docs(spark, n, extra=()):
+    return spark.createDataFrame(
         [(i, "mass duplicated body text repeated verbatim in every doc")
          for i in range(n)]
-        + [(n + 1, CORPUS[1]), (n + 2, CORPUS[1]), (n + 3, CORPUS[4])],
+        + list(extra),
         "doc_id long, text string",
     )
+
+
+def test_lsh_hot_bucket_star_overflow(spark):
+    """Mass-duplicate corpus, star mode (default): each hot-bucket member
+    pairs with the bucket's min-id representative (O(B) star pairs, not
+    O(B^2)), no aggregated row exceeds the cap, small groups unaffected,
+    and the census piggybacks on the action — no eager job at build."""
+    n = 5000
+    docs = _mass_dup_docs(
+        spark, n, [(n + 1, CORPUS[1]), (n + 2, CORPUS[1]), (n + 3, CORPUS[4])]
+    )
+    sc = spark.sparkContext
+    jobs_before = len(sc._jsc.sc().statusTracker().getJobIdsForGroup(None))
     stats = {}
-    got = {
-        (r.doc_a, r.doc_b)
-        for r in D.minhash_lsh_pairs(
-            docs, threshold=0.3, max_bucket=100, stats=stats
-        ).collect()
-    }
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.3, max_bucket=100, stats=stats)
+    # building the plan with stats must NOT launch a census job (r3 did)
+    assert len(sc._jsc.sc().statusTracker().getJobIdsForGroup(None)) == jobs_before
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert (n + 1, n + 2) in got          # small bucket unaffected
-    assert not any(a < n and b < n for a, b in got)  # hot bucket emits nothing
-    assert stats["overflow_buckets"] == 4  # the mass-dup bucket, once per band
-    assert stats["overflow_docs"] == 4 * n
+    hot = {(a, b) for a, b in got if a < n and b < n}
+    assert hot == {(0, j) for j in range(1, n)}  # exactly the rep star
+    census = D.overflow_census(stats)
+    assert census["overflow_buckets"] == 4  # the mass-dup bucket, once per band
+    assert census["overflow_docs"] == 4 * n
     # bounded BY CONSTRUCTION: no materialized bucket row exceeds the cap
     banded = D._banded_shingles(docs, k=16, bands=4)
     buckets = D._bounded_buckets(banded, "bh", ["doc_id", "s"], 100)
     assert buckets.agg(F.max(F.size("members"))).first()[0] <= 100
 
 
-def test_simhash_hot_bucket_bounded_with_overflow(spark):
+def test_lsh_hot_bucket_drop_overflow(spark):
+    """overflow='drop' keeps the round-3 contract: over-cap buckets emit
+    nothing; the census still rides the main action."""
+    n = 2000
+    docs = _mass_dup_docs(spark, n, [(n + 1, CORPUS[1]), (n + 2, CORPUS[1])])
+    stats = {}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.3, max_bucket=100, stats=stats, overflow="drop"
+        ).collect()
+    }
+    assert (n + 1, n + 2) in got
+    assert not any(a < n and b < n for a, b in got)
+    census = D.overflow_census(stats)
+    assert census["overflow_buckets"] == 4
+    assert census["overflow_docs"] == 4 * n
+
+
+def test_simhash_hot_bucket_star_overflow(spark):
     n = 3000
-    docs = spark.createDataFrame(
-        [(i, "mass duplicated body text repeated verbatim in every doc")
-         for i in range(n)]
-        + [(n + 1, CORPUS[1]), (n + 2, CORPUS[1])],
-        "doc_id long, text string",
-    )
+    docs = _mass_dup_docs(spark, n, [(n + 1, CORPUS[1]), (n + 2, CORPUS[1])])
     stats = {}
     got = {
         (r.doc_a, r.doc_b)
         for r in D.simhash_dup_pairs(docs, max_bucket=50, stats=stats).collect()
     }
     assert (n + 1, n + 2) in got
-    assert not any(a < n and b < n for a, b in got)
+    hot = {(a, b) for a, b in got if a < n and b < n}
+    assert hot == {(0, j) for j in range(1, n)}  # star around the rep
+    census = D.overflow_census(stats)
     # identical fingerprints -> one hot bucket per band (3 bands at hd<=2),
     # plus any band value the identical-pair fingerprint happens to share
-    assert stats["overflow_buckets"] >= 3
-    assert stats["overflow_docs"] >= 3 * n
+    assert census["overflow_buckets"] >= 3
+    assert census["overflow_docs"] >= 3 * n
+
+
+def test_star_overflow_cluster_recall(spark):
+    """THE point of star mode: on a mass-NEAR-duplicate corpus (no two
+    texts identical, so the exact layer upstream cannot catch it), the
+    capped star plan yields the SAME duplicate clusters as the uncapped
+    all-pairs plan — the cap costs pair-level recall but zero
+    cluster-level recall; drop mode loses the whole hot cluster."""
+    n = 400
+    base = "shared near duplicate body text repeated with a tiny suffix"
+    docs = spark.createDataFrame(
+        [(i, f"{base} variant") for i in range(n)]      # near-identical
+        + [(n + 1, CORPUS[4]), (n + 2, CORPUS[5])],     # unrelated
+        "doc_id long, text string",
+    )
+
+    def clusters(pairs_df):
+        return {
+            r.doc_id: r.cluster_id
+            for r in D.duplicate_clusters(docs, pairs=pairs_df).collect()
+        }
+
+    uncapped = clusters(
+        D.minhash_lsh_pairs(docs, threshold=0.3, max_bucket=None)
+    )
+    starred = clusters(
+        D.minhash_lsh_pairs(docs, threshold=0.3, max_bucket=20)
+    )
+    dropped = clusters(
+        D.minhash_lsh_pairs(
+            docs, threshold=0.3, max_bucket=20, overflow="drop"
+        )
+    )
+    assert uncapped[0] == uncapped[n - 1] == 0  # one hot cluster exists
+    assert starred == uncapped                  # star: full cluster recall
+    assert dropped != uncapped                  # drop: hot cluster shattered
+    assert dropped[n - 1] == n - 1              # ...members left singleton
 
 
 def test_lsh_cap_is_exact_below_threshold(spark):

@@ -61,6 +61,26 @@ def test_minhash_lsh_two_shuffles(spark):
     assert shuffle_exchange_count(D.minhash_lsh_pairs(_docs(spark))) == 2
 
 
+def test_minhash_lsh_star_mode_single_subtree(spark):
+    """Star overflow (the default) must not add a shuffle NOR a second
+    execution of the banded hash DAG: the rep rides the same WindowExec
+    (min_by shares bucket_n's window spec), the (band, key, sub) regroup
+    is satisfied by the window's hash partitioning, and the census is a
+    CollectMetrics node inside the one subtree — so the plan has exactly
+    one scan, one Window, and the same two exchanges as drop mode."""
+    stats = {}
+    df = D.minhash_lsh_pairs(_docs(spark), max_bucket=10, stats=stats)
+    assert shuffle_exchange_count(df) == 2
+    plan = explain_string(df)
+    # formatted explain names each node once in the tree ("Window (12)")
+    # and once in the detail section ("(12) Window")
+    assert plan.count("Window (") == 1
+    assert plan.count("Scan ExistingRDD (") == 1
+    assert "CollectMetrics" in plan
+    # census is lazy: no observation resolved, no job launched at build
+    assert set(stats) == {"observation", "overflow_mode"}
+
+
 def test_multi_query_one_pair_shuffle_and_broadcast_query_side(spark):
     from similarity_search_with_hadoop_mapreduce_spark.operators.similarity import (
         similarity_multi_query,

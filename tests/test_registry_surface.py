@@ -30,6 +30,8 @@ FOLDED = {
     "intersection_size": "sim_doc_profile",
     "dedup_simhash": "dedup_simhash_suite",
     "dedup_simhash_pairs": "dedup_simhash_suite",
+    "dedup_minhash_lsh": "dedup_minhash_lsh_suite",
+    "dedup_minhash_lsh_capped": "dedup_minhash_lsh_suite",
     "dedup_embedding_cosine": "dedup_embedding_suite",
     "dedup_embedding_lsh": "dedup_embedding_suite",
     "ann_ivf_topk": "ann_ivf_suite",
