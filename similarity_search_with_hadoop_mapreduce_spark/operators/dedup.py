@@ -958,6 +958,135 @@ def embedding_dup_pairs_lsh(
     )
 
 
+def embedding_dup_pairs_lsh_multiband(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    bands: int = 3,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-band random-hyperplane LSH near-dup pairs: candidates agree
+    on ALL ``rows_per_band`` plane signs of ANY of ``bands`` bands (OR of
+    ANDs — the same band structure the MinHash text family uses), so a
+    true pair split by one hyperplane still surfaces through another
+    band. Recall rises with ``bands`` at ``bands``× the candidate-join
+    cost; :func:`embedding_lsh_recall` quantifies the trade the way the
+    IVF/PQ families' recall@k entries do.
+
+    The plane family is the deterministic md5-parity one
+    (:func:`operators.ann.hyperplane_signs` over ``bands*rows_per_band``
+    planes); band b buckets on planes ``[b*r, (b+1)*r)``, so band 0
+    reproduces the single-band bucketing EXACTLY — multi-band candidates
+    are a strict superset by construction (pytest-pinned). Candidates
+    come from an ordinary AQE-splittable equi-join on (band, bucket) —
+    no collect_list, hot buckets split at runtime — then exact-cosine
+    verify; the per-band duplicate of a pair collapses in the final
+    distinct (same contract as the text MinHash family).
+
+    Returns ``(vec_a, vec_b, cosine)`` (no bucket column: a pair may
+    share several bands)."""
+    from similarity_search_with_hadoop_mapreduce_spark.functions.vector import (
+        l2_norm,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        hyperplane_signs,
+        lsh_bucket,
+    )
+
+    r = rows_per_band
+    planes = hyperplane_signs(bands * r, dim)
+    band_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket(F.col("embedding"), planes[b * r : (b + 1) * r]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    base = fan_out(embeddings).select(
+        F.col(id_col).alias("vid"),
+        F.col("embedding").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+        F.explode(band_buckets).alias("x"),
+    ).select("vid", "e", "nrm", "x.band", "x.bucket")
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("e").alias("e_a"),
+        F.col("nrm").alias("n_a"), "band", "bucket",
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("e").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+        F.col("band").alias("_band_b"), F.col("bucket").alias("_bb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band") == F.col("_band_b"))
+            & (F.col("bucket") == F.col("_bb"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", _pair_cosine().alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .distinct()  # a pair can agree in several bands
+    )
+
+
+def embedding_lsh_recall(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    bands: int = 3,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pair-level recall of the LSH dedup plans against the exact
+    brute-force pair set at the same cosine threshold — the dedup
+    family's analog of the IVF/PQ recall@k entries (both LSH plans
+    verify with the exact cosine, so their pair sets are subsets of the
+    exact one and recall is a plain count ratio).
+
+    One row: ``(n_exact, n_single, n_multi, recall_single,
+    recall_multi)`` where single = one band of ``rows_per_band`` planes
+    (exactly :func:`embedding_dup_pairs_lsh` with
+    ``n_planes=rows_per_band``) and multi = ``bands`` such bands ORed
+    (:func:`embedding_dup_pairs_lsh_multiband` — a candidate superset
+    of single by construction, so ``recall_multi >= recall_single``
+    always; strictness on a split-pair fixture is pytest-pinned).
+
+    At 100 TB the exact side is the bottleneck (it is O(n²)); compute
+    the metric on a deterministic hash sample of the corpus (the same
+    :mod:`operators.sampling` machinery the ANN recall entries use)."""
+    exact = embedding_dup_pairs(embeddings, threshold, id_col)
+    single = embedding_dup_pairs_lsh(
+        embeddings, threshold, n_planes=rows_per_band, dim=dim, id_col=id_col
+    )
+    multi = embedding_dup_pairs_lsh_multiband(
+        embeddings, threshold, bands=bands, rows_per_band=rows_per_band,
+        dim=dim, id_col=id_col,
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_single = single.agg(F.count(F.lit(1)).alias("n_single"))
+    n_multi = multi.agg(F.count(F.lit(1)).alias("n_multi"))
+    return (
+        n_exact.join(n_single).join(n_multi)
+        .select(
+            "n_exact",
+            "n_single",
+            "n_multi",
+            F.round(
+                F.col("n_single") / F.nullif(F.col("n_exact"), F.lit(0)), 6
+            ).alias("recall_single"),
+            F.round(
+                F.col("n_multi") / F.nullif(F.col("n_exact"), F.lit(0)), 6
+            ).alias("recall_multi"),
+        )
+    )
+
+
 def build_dedup_index(
     existing: DataFrame,
     prefix: str = "dedup_index",

@@ -45,13 +45,19 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_bucket_sql(
-    n_planes: int = _PLANES, dim: int = _DIM, col: str = "embedding"
+    n_planes: int = _PLANES,
+    dim: int = _DIM,
+    col: str = "embedding",
+    planes: list | None = None,
 ) -> str:
     """DuckDB SQL for the random-hyperplane bucket id of ``col`` — the
     oracle twin of :func:`operators.ann.lsh_bucket` (same ±1 hyperplane
     literals, generated from md5 parity in Python on both sides). Shared
-    by the ANN LSH oracle and the embedding-dedup LSH oracle."""
-    planes = A.hyperplane_signs(n_planes, dim)
+    by the ANN LSH oracle and the embedding-dedup LSH oracles; pass
+    ``planes`` explicitly to bucket on a band's slice of a larger
+    family (the multi-band dedup oracle)."""
+    if planes is None:
+        planes = A.hyperplane_signs(n_planes, dim)
     bucket_terms = []
     for p, w in enumerate(planes):
         lit = "[" + ", ".join(str(x) for x in w) + "]"

@@ -260,14 +260,26 @@ def _register_dedup_embedding_suite() -> None:
             "'lsh' AS shape, vec_a, vec_b, "
             "CAST(bucket AS BIGINT) AS bucket, cosine",
         ),
+        (
+            "dedup_embedding_lsh_multiband",
+            "'lsh_multiband' AS shape, vec_a, vec_b, "
+            "CAST(NULL AS BIGINT) AS bucket, cosine",
+        ),
+        (
+            "dedup_embedding_recall",
+            "'recall' AS shape, n_single AS vec_a, n_multi AS vec_b, "
+            "n_exact AS bucket, recall_multi AS cosine",
+        ),
     ]
 
     @register("dedup_embedding_suite", oracle=_union_oracle(parts))
     def dedup_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Tagged union of embedding near-dup pair generation: the exact
-        all-pairs baseline and the LSH-bucketed scale path with its
-        bucket ids (members: dedup_embedding_cosine,
-        dedup_embedding_lsh)."""
+        all-pairs baseline, the single-band LSH scale path with its
+        bucket ids, the multi-band (OR of 3 bands x 4 planes) variant,
+        and the single-vs-multi recall metric row (members:
+        dedup_embedding_cosine, dedup_embedding_lsh,
+        dedup_embedding_lsh_multiband, dedup_embedding_recall)."""
         exact = _q("dedup_embedding_cosine")(spark, sf_dir).select(
             F.lit("exact").alias("shape"),
             F.col("vec_a").cast("bigint").alias("vec_a"),
@@ -282,7 +294,21 @@ def _register_dedup_embedding_suite() -> None:
             F.col("bucket").cast("bigint").alias("bucket"),
             F.col("cosine"),
         )
-        return _union_spark([exact, lsh])
+        mb = _q("dedup_embedding_lsh_multiband")(spark, sf_dir).select(
+            F.lit("lsh_multiband").alias("shape"),
+            F.col("vec_a").cast("bigint").alias("vec_a"),
+            F.col("vec_b").cast("bigint").alias("vec_b"),
+            _null("bucket", "bigint"),
+            F.col("cosine"),
+        )
+        rc = _q("dedup_embedding_recall")(spark, sf_dir).select(
+            F.lit("recall").alias("shape"),
+            F.col("n_single").cast("bigint").alias("vec_a"),
+            F.col("n_multi").cast("bigint").alias("vec_b"),
+            F.col("n_exact").cast("bigint").alias("bucket"),
+            F.col("recall_multi").alias("cosine"),
+        )
+        return _union_spark([exact, lsh, mb, rc])
 
 
 # ---------------------------------------------------------------------------

@@ -482,3 +482,38 @@ def test_embedding_lsh_pairs_subset_of_brute_force(spark):
     for pair, cos in lsh.items():
         assert exact[pair] == cos
     assert (3, 7) in lsh and lsh[(3, 7)] == 1.0
+
+
+def test_embedding_multiband_superset_and_recall(spark):
+    """Multi-band hyperplane LSH: band 0 reproduces the single-band
+    bucketing exactly, so multi-band pairs are a superset; on the
+    fixture corpus the extra bands recover pairs band 0 split, so
+    recall_multi is STRICTLY greater; and every recovered pair is
+    exact-cosine verified (subset of the brute-force pair set)."""
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    t = 0.25
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in D.embedding_dup_pairs(emb, threshold=t).collect()
+    }
+    single = {
+        (r.vec_a, r.vec_b)
+        for r in D.embedding_dup_pairs_lsh(emb, threshold=t, n_planes=4).collect()
+    }
+    multi = {
+        (r.vec_a, r.vec_b)
+        for r in D.embedding_dup_pairs_lsh_multiband(
+            emb, threshold=t, bands=3, rows_per_band=4
+        ).collect()
+    }
+    assert single <= multi <= exact
+    assert len(multi) > len(single)  # extra bands genuinely recover pairs
+    row = D.embedding_lsh_recall(
+        emb, threshold=t, bands=3, rows_per_band=4
+    ).collect()[0]
+    assert row.n_exact == len(exact)
+    assert row.n_single == len(single)
+    assert row.n_multi == len(multi)
+    assert row.recall_multi > row.recall_single

@@ -34,6 +34,8 @@ FOLDED = {
     "dedup_minhash_lsh_capped": "dedup_minhash_lsh_suite",
     "dedup_embedding_cosine": "dedup_embedding_suite",
     "dedup_embedding_lsh": "dedup_embedding_suite",
+    "dedup_embedding_lsh_multiband": "dedup_embedding_suite",
+    "dedup_embedding_recall": "dedup_embedding_suite",
     "ann_ivf_topk": "ann_ivf_suite",
     "ann_ivf_recall": "ann_ivf_suite",
     "ann_pq_topk": "ann_ivf_suite",
