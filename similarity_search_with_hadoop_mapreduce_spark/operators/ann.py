@@ -586,6 +586,30 @@ def pq_topk(
     )
 
 
+def _recall_sample_filter(id_col: str, sample_fraction: float | None):
+    """Deterministic hash-sample predicate for recall ground truth, or
+    None for the full corpus. At 100 TB the exact side of a recall
+    metric is the bottleneck (it brute-forces corpus x queries); both
+    the exact and the index side restrict to the SAME md5-hash sample
+    of vec_ids (the :mod:`operators.sampling` machinery), so the metric
+    stays a true subset ratio on the sampled sub-corpus and is an
+    unbiased estimate of full recall — pytest pins sampled ~= full on
+    the fixture. Engine-independent (pure md5 arithmetic), so an oracle
+    can replay the sample."""
+    if sample_fraction is None:
+        return None
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    buckets = 10000
+    return hash_bucket(F.col(id_col), buckets) < int(
+        round(sample_fraction * buckets)
+    )
+
+
 def pq_recall_multi(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -597,12 +621,15 @@ def pq_recall_multi(
     books: list | None = None,
     codes: DataFrame | None = None,
     id_col: str = "vec_id",
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Mean recall@k of PQ ADC ranking against the exact brute-force
     top-k, averaged over the first ``n_queries`` vectors — the number a
     deployment tunes m / k_sub / training iterations against (the
     quantization-error analog of :func:`ivf_recall_multi`'s probe
-    recall).
+    recall). ``sample_fraction`` restricts BOTH sides' candidate corpus
+    to a deterministic hash sample (see :func:`_recall_sample_filter`)
+    so the metric stays runnable when the corpus won't brute-force.
 
     One DAG for all queries: the query table carries each query's
     driver-computed lookup tables as array columns (O(n_queries·m·k_sub)
@@ -662,8 +689,13 @@ def pq_recall_multi(
         6,
     )
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    samp = _recall_sample_filter(id_col, sample_fraction)
+    codes_side = codes if samp is None else codes.filter(
+        _recall_sample_filter("vec_id", sample_fraction)
+    )
+    exact_base = embeddings if samp is None else embeddings.filter(samp)
     adc = (
-        codes.join(q_df)
+        codes_side.join(q_df)
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", adc_score.alias("c"))
         .withColumn("rn", F.row_number().over(w))
@@ -671,7 +703,7 @@ def pq_recall_multi(
         .select("qid", "vec_id")
     )
     exact = (
-        fan_out(embeddings)
+        fan_out(exact_base)
         .select(F.col(id_col).alias("vec_id"), "embedding")
         .join(q_df)
         .filter(F.col("vec_id") != F.col("qid"))
@@ -818,10 +850,14 @@ def ivf_recall_multi(
     nprobe: int = 2,
     id_col: str = "vec_id",
     book: list[tuple[int, list[float], float]] | None = None,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Mean recall@k of the IVF probe over the first ``n_queries`` vectors
     — the index-quality number a deployment tunes nprobe / centroid count
     / training against (a single query's recall is noise).
+    ``sample_fraction`` restricts BOTH sides' candidate corpus to a
+    deterministic hash sample (see :func:`_recall_sample_filter`) so the
+    metric stays runnable when the corpus won't brute-force.
 
     One DAG for all queries: the query table and the per-query probed
     centroid pairs are tiny driver-side artifacts (broadcast), the IVF and
@@ -869,9 +905,15 @@ def ivf_recall_multi(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
 
+    samp = _recall_sample_filter(id_col, sample_fraction)
     assigned = assign_ivf_centroids(
         embeddings, n_centroids, id_col=id_col, book=book
     ).withColumn("centroid_id", F.col("centroid_id").cast("bigint"))
+    if samp is not None:
+        assigned = assigned.filter(
+            _recall_sample_filter("vec_id", sample_fraction)
+        )
+        embeddings = embeddings.filter(samp)
     ivf = (
         assigned.join(probes, ["centroid_id"])
         .join(q_df, ["qid"])

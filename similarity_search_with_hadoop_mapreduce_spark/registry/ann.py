@@ -730,9 +730,23 @@ _DOT_CQ2 = (
 )
 
 
-@register(
-    "ann_ivf_recall",
-    oracle=f"""
+_VEC_BUCKET = (
+    "((('0x' || substr(md5(CAST(nv.vec_id AS VARCHAR)), 1, 15))::BIGINT "
+    "& 2147483647) % 10000)"
+)
+
+
+def _ivf_recall_oracle(sample_permille: int | None = None) -> str:
+    """The IVF recall@k oracle; with ``sample_permille`` set, both the
+    probe side and the exact side restrict candidates to the md5
+    hash-sample ``bucket(vec_id) < sample_permille`` (out of 10000) —
+    the SQL twin of ``operators.ann._recall_sample_filter``."""
+    samp = (
+        ""
+        if sample_permille is None
+        else f" AND {_VEC_BUCKET} < {sample_permille}"
+    )
+    return f"""
 WITH n AS (SELECT vec_id, embedding, {_NORM} AS nrm FROM embeddings),
 {_kmeans_cents_cte()},
 assigned AS (
@@ -775,7 +789,7 @@ ivf AS (
     JOIN n nv ON nv.vec_id = a.vec_id
     JOIN probed p ON p.centroid_id = a.centroid_id
     JOIN qs q ON q.qid = p.qid
-    WHERE nv.vec_id != q.qid
+    WHERE nv.vec_id != q.qid{samp}
   ) WHERE rn <= {_K}
 ),
 exact AS (
@@ -787,14 +801,19 @@ exact AS (
                         / nullif(nv.nrm * q.q_nrm, 0.0), 0.0), 6) DESC,
                       nv.vec_id) AS rn
     FROM n nv CROSS JOIN qs q
-    WHERE nv.vec_id != q.qid
+    WHERE nv.vec_id != q.qid{samp}
   ) WHERE rn <= {_K}
 )
 SELECT CAST((SELECT count(*) FROM ivf JOIN exact USING (qid, vec_id)) AS DOUBLE)
          / {_K * _N_QUERIES} AS recall_at_k,
        CAST({_K} AS INTEGER) AS k,
        CAST({_N_QUERIES} AS INTEGER) AS n_queries
-""",
+"""
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=_ivf_recall_oracle(),
 )
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality metric: MEAN recall@10 of the trained-codebook IVF
@@ -813,4 +832,24 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=_N_CENTROIDS,
         nprobe=_NPROBE,
         book=_trained_book(spark, sf_dir),
+    )
+
+
+@register("ann_ivf_recall_sampled", oracle=_ivf_recall_oracle(5000))
+def ann_ivf_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_recall with the 100-TB ground-truth mode active: both the
+    probe side and the exact side restrict candidates to a deterministic
+    md5 hash-sample of half the corpus (the exact side of a recall
+    metric is O(corpus x queries) — at scale it runs on a sample or not
+    at all). The oracle replays the same sample predicate, so the
+    sampled metric itself is value-pinned; sampled ~= full is pinned in
+    tests/test_ann.py."""
+    return A.ivf_recall_multi(
+        table(spark, sf_dir, "embeddings"),
+        n_queries=_N_QUERIES,
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE,
+        book=_trained_book(spark, sf_dir),
+        sample_fraction=0.5,
     )

@@ -345,6 +345,11 @@ def _register_ann_ivf_suite() -> None:
             "'pq_recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
             "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
         ),
+        (
+            "ann_ivf_recall_sampled",
+            "'recall_sampled' AS shape, CAST(k AS BIGINT) AS vec_id, "
+            "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
+        ),
     ]
 
     @register("ann_ivf_suite", oracle=_union_oracle(parts))
@@ -354,7 +359,9 @@ def _register_ann_ivf_suite() -> None:
         against exact brute force, the product-quantization ADC top-10
         with its packed code word, and the composed IVF-PQ top-10
         (members: ann_ivf_topk, ann_ivf_recall, ann_pq_topk,
-        ann_ivfpq_topk)."""
+        ann_ivfpq_topk, ann_pq_recall, ann_ivf_recall_sampled — the
+        last runs the hash-sampled ground-truth mode a 100-TB corpus
+        needs, sample replayed by its oracle)."""
         topk = _q("ann_ivf_topk")(spark, sf_dir).select(
             F.lit("topk").alias("shape"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -386,7 +393,13 @@ def _register_ann_ivf_suite() -> None:
             F.col("n_queries").cast("bigint").alias("centroid_id"),
             F.col("recall_at_k").alias("v"),
         )
-        return _union_spark([topk, rec, pq, ivfpq, pq_rec])
+        rec_s = _q("ann_ivf_recall_sampled")(spark, sf_dir).select(
+            F.lit("recall_sampled").alias("shape"),
+            F.col("k").cast("bigint").alias("vec_id"),
+            F.col("n_queries").cast("bigint").alias("centroid_id"),
+            F.col("recall_at_k").alias("v"),
+        )
+        return _union_spark([topk, rec, pq, ivfpq, pq_rec, rec_s])
 
 
 # ---------------------------------------------------------------------------

@@ -272,3 +272,34 @@ def test_ivfpq_layout_probe_matches_inline_and_prunes_partitions(spark, tmp_path
     # read an embedding column at all
     schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert schemas and all("embedding" not in ln for ln in schemas)
+
+
+def test_recall_sampled_ground_truth_close_to_full(spark):
+    """The hash-sampled recall mode (the 100-TB way to keep the metric
+    runnable — the exact side is O(corpus x queries)): sampled and full
+    recall must agree within tolerance on the fixture, the sample must
+    actually shrink the exact side, and the predicate is deterministic
+    (same sample both runs)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators import ann as A
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    book = A.kmeans_codebook(emb, n_centroids=8, iters=2)
+    full = A.ivf_recall_multi(emb, book=book).collect()[0].recall_at_k
+    s1 = A.ivf_recall_multi(emb, book=book, sample_fraction=0.5).collect()[0]
+    s2 = A.ivf_recall_multi(emb, book=book, sample_fraction=0.5).collect()[0]
+    assert s1.recall_at_k == s2.recall_at_k  # deterministic sample
+    assert abs(s1.recall_at_k - full) <= 0.2
+    books = A.pq_codebooks(emb, m=4, sub_dim=16, k_sub=8, iters=2)
+    pq_full = A.pq_recall_multi(emb, books=books).collect()[0].recall_at_k
+    pq_s = A.pq_recall_multi(
+        emb, books=books, sample_fraction=0.5
+    ).collect()[0].recall_at_k
+    assert abs(pq_s - pq_full) <= 0.2
+    # the sampled corpus is a genuine subset (~half)
+    n = emb.count()
+    ns = emb.filter(A._recall_sample_filter("vec_id", 0.5)).count()
+    assert 0.3 * n < ns < 0.7 * n
+    import pytest
+
+    with pytest.raises(ValueError, match="sample_fraction"):
+        A.ivf_recall_multi(emb, book=book, sample_fraction=1.5)

@@ -38,6 +38,7 @@ FOLDED = {
     "dedup_embedding_recall": "dedup_embedding_suite",
     "ann_ivf_topk": "ann_ivf_suite",
     "ann_ivf_recall": "ann_ivf_suite",
+    "ann_ivf_recall_sampled": "ann_ivf_suite",
     "ann_pq_topk": "ann_ivf_suite",
     "ann_ivfpq_topk": "ann_ivf_suite",
     "ann_pq_recall": "ann_ivf_suite",
