@@ -816,12 +816,20 @@ def ivfpq_topk(
 
 
 def _adc_exprs(
-    pq_books: list, q: list[float], qn: float, sub_dim: int, k_sub: int
+    pq_books: list,
+    q: list[float],
+    qn: float,
+    sub_dim: int,
+    k_sub: int,
+    bias_sql: str | None = None,
 ) -> tuple:
     """(score, code_packed) Columns for ADC scoring a ``(code, nrm)``
     relation: lookup tables are computed here, driver-side, and inlined
     as literal arrays (O(m·k_sub) doubles — coordinator state, like the
-    IVF codebook)."""
+    IVF codebook). ``bias_sql`` adds a per-row SQL term inside the sum —
+    the residual variant passes the coarse centroid·query dot, since a
+    residual code reconstructs ``x ≈ c + r̂`` and so
+    ``x·q ≈ c·q + Σ LUT``."""
     m = len(pq_books)
     terms = []
     for mi, book in enumerate(pq_books):
@@ -829,6 +837,8 @@ def _adc_exprs(
         lut = [_pydot(v, sub_q) for _cid, v, _cn in book]
         arr = "array(" + ",".join(_lit_f(x) for x in lut) + ")"
         terms.append(f"element_at({arr}, code[{mi}] + 1)")
+    if bias_sql is not None:
+        terms = [bias_sql] + terms
     score = F.expr(
         f"round(coalesce(({' + '.join(terms)})"
         f" / nullif(nrm * {_lit_f(qn)}, 0.0D), 0.0D), 6)"
@@ -840,6 +850,313 @@ def _adc_exprs(
         )
     )
     return score, packed
+
+
+def _cents_array_sql(book: list[tuple[int, list[float], float]]) -> str:
+    """Literal array-of-arrays of the codebook's centroid vectors,
+    indexable by ``centroid_id + 1`` — requires dense ids 0..n-1 (the
+    first-ids init guarantees this; guarded)."""
+    if [cid for cid, _, _ in book] != list(range(len(book))):
+        raise ValueError(
+            f"dense centroid ids 0..{len(book) - 1} required, got "
+            f"{[c for c, _, _ in book]}"
+        )
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_lit_f(x) for x in v) + ")" for _c, v, _n in book
+        )
+        + ")"
+    )
+
+
+def ivf_residuals(
+    embeddings: DataFrame,
+    coarse_book: list[tuple[int, list[float], float]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector coarse residual ``r = x − c(x)`` with the raw-vector
+    norm carried: ``(vec_id, embedding=residual, centroid_id, nrm_x)``.
+
+    Map-only: the coarse assignment inlines the codebook (no join), and
+    the residual subtracts the assigned centroid via one
+    ``element_at(literal centroids, centroid_id + 1)`` lookup. This is
+    the residual-encoding front half of IVFADC (Jégou et al. 2011): the
+    product quantizer trains on and encodes residuals, which are
+    smaller-magnitude and better centered than raw vectors, so the same
+    code budget spends on finer quantization cells."""
+    assigned = assign_ivf_centroids(
+        embeddings, len(coarse_book), id_col=id_col, book=coarse_book
+    )
+    cents = _cents_array_sql(coarse_book)
+    residual = F.expr(
+        f"zip_with(embedding, element_at({cents}, centroid_id + 1), "
+        "(x, c) -> CAST(x AS DOUBLE) - c)"
+    )
+    return assigned.select(
+        "vec_id",
+        "centroid_id",
+        l2_norm(F.col("embedding")).alias("nrm_x"),
+        residual.alias("embedding"),
+    )
+
+
+def residual_pq_codebooks(
+    embeddings: DataFrame,
+    coarse_book: list[tuple[int, list[float], float]],
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[float], float]]]:
+    """PQ codebooks trained on coarse RESIDUALS — same deterministic
+    per-subspace Lloyd as :func:`pq_codebooks` (the oracle replays it
+    from the residual relation), trained once globally across lists
+    (IVFADC's shared residual quantizer, not per-list books)."""
+    return pq_codebooks(
+        ivf_residuals(embeddings, coarse_book, id_col=id_col),
+        m=m, sub_dim=sub_dim, k_sub=k_sub, iters=iters, id_col="vec_id",
+    )
+
+
+def ivfpq_residual_index(
+    embeddings: DataFrame,
+    coarse_book: list[tuple[int, list[float], float]],
+    pq_books: list[list[tuple[int, list[float], float]]],
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual IVF-PQ stored index: ``(vec_id, centroid_id, code,
+    nrm)`` where ``code`` quantizes the residual ``x − c(x)`` under
+    residual-trained books and ``nrm`` is the RAW vector norm (cosine
+    reconstruction needs |x|, not |r|). Same one-pass map-only build and
+    the same ~60x footprint as the raw-space index."""
+    res = ivf_residuals(embeddings, coarse_book, id_col=id_col)
+    return pq_encode(
+        res, pq_books, sub_dim=sub_dim, id_col="vec_id",
+        keep=("centroid_id", "nrm_x"),
+    ).select("vec_id", "centroid_id", "code", F.col("nrm_x").alias("nrm"))
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 8,
+    iters: int = 2,
+    coarse_book: list | None = None,
+    pq_books: list | None = None,
+    index: DataFrame | None = None,
+    id_col: str = "vec_id",
+    probe_state: tuple[list[float], float, list[int]] | None = None,
+) -> DataFrame:
+    """Residual IVF-PQ top-k — IVFADC proper: probed lists are scored
+    ``(c·q + Σ LUT_mi[code_mi]) / (|x|·|q|)`` where the lookup tables
+    index residual-space centroids and ``c·q`` is the probed list's
+    coarse dot (one driver-side double per probed list, inlined). The
+    accuracy refinement over :func:`ivfpq_topk`'s raw-space codes:
+    residuals are smaller-magnitude, so quantization cells are finer at
+    the same code budget (recall gain pinned by
+    :func:`ivfpq_recall_multi` in tests and the registry).
+
+    Returns ``(vec_id, centroid_id, code_packed, pq_score)``."""
+    if index is not None and (pq_books is None or coarse_book is None):
+        raise ValueError(
+            "index provided without the books it was built with (codes "
+            "are meaningless under a different book; probes under a "
+            "different coarse book scan the wrong lists); pass both"
+        )
+    if coarse_book is None:
+        coarse_book = kmeans_codebook(
+            embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col
+        )
+    if pq_books is None:
+        pq_books = residual_pq_codebooks(
+            embeddings, coarse_book, m=m, sub_dim=sub_dim, k_sub=k_sub,
+            iters=iters, id_col=id_col,
+        )
+    if index is None:
+        index = ivfpq_residual_index(
+            embeddings, coarse_book, pq_books, sub_dim=sub_dim, id_col=id_col
+        )
+    if probe_state is not None:
+        q, qn, probe_ids = probe_state
+    else:
+        q, qn, probe_ids, _ = _ivf_probe_state(
+            embeddings, query_vec_id, n_centroids, nprobe, id_col,
+            book=coarse_book,
+        )
+    if len(q) != m * sub_dim:
+        raise ValueError(
+            f"m*sub_dim = {m * sub_dim} must cover the full embedding "
+            f"dimension ({len(q)})"
+        )
+    cq = [_pydot(v, q) for _c, v, _n in coarse_book]
+    cq_arr = "array(" + ",".join(_lit_f(x) for x in cq) + ")"
+    score, packed = _adc_exprs(
+        pq_books, q, qn, sub_dim, k_sub,
+        bias_sql=f"element_at({cq_arr}, centroid_id + 1)",
+    )
+    return (
+        index.filter(F.col("centroid_id").isin(probe_ids))
+        .filter(F.col("vec_id") != F.lit(query_vec_id))
+        .select(
+            "vec_id",
+            "centroid_id",
+            packed.alias("code_packed"),
+            score.alias("pq_score"),
+        )
+        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivfpq_recall_multi(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 8,
+    iters: int = 2,
+    residual: bool = False,
+    coarse_book: list | None = None,
+    pq_books: list | None = None,
+    index: DataFrame | None = None,
+    id_col: str = "vec_id",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Mean serving recall@k of the composed IVF-PQ rank (probe pruning
+    + ADC scoring, raw-space or residual) against the exact brute-force
+    top-k — the end-to-end number that folds probe loss AND quantization
+    loss, i.e. what a deployment actually serves. One DAG for the whole
+    query battery, same shape as :func:`pq_recall_multi`; the residual
+    variant's per-query coarse dots ride the query table as one more
+    broadcast array column."""
+    from pyspark.sql import Window
+
+    if index is not None and (pq_books is None or coarse_book is None):
+        raise ValueError(
+            "index provided without the books it was built with; pass both"
+        )
+    if coarse_book is None:
+        coarse_book = kmeans_codebook(
+            embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col
+        )
+    if pq_books is None:
+        pq_books = (
+            residual_pq_codebooks(
+                embeddings, coarse_book, m=m, sub_dim=sub_dim, k_sub=k_sub,
+                iters=iters, id_col=id_col,
+            )
+            if residual
+            else pq_codebooks(
+                embeddings, m=m, sub_dim=sub_dim, k_sub=k_sub, iters=iters,
+                id_col=id_col,
+            )
+        )
+    if index is None:
+        index = (
+            ivfpq_residual_index(
+                embeddings, coarse_book, pq_books, sub_dim=sub_dim,
+                id_col=id_col,
+            )
+            if residual
+            else ivfpq_index(
+                embeddings, coarse_book, pq_books, sub_dim=sub_dim,
+                id_col=id_col,
+            )
+        )
+    rows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), "embedding")
+        .collect()
+    )
+    q_rows, probe_rows = [], []
+    for r in sorted(rows, key=lambda r: r["qid"]):
+        qv = [float(x) for x in r["embedding"]]
+        qn = math.sqrt(_pydot(qv, qv))
+        ranked = sorted(
+            (
+                (_round6(_pydot(v, qv) / (cn * qn)) if cn * qn != 0.0 else 0.0, cid)
+                for cid, v, cn in coarse_book
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probe_rows.extend((int(r["qid"]), cid) for _, cid in ranked[:nprobe])
+        luts = [
+            [_pydot(v, qv[mi * sub_dim : (mi + 1) * sub_dim]) for _c, v, _n in book]
+            for mi, book in enumerate(pq_books)
+        ]
+        cq = [_pydot(v, qv) for _c, v, _n in coarse_book]
+        q_rows.append((int(r["qid"]), qv, qn, *luts, cq))
+    spark = embeddings.sparkSession
+    lut_cols = ", ".join(f"lut{mi} ARRAY<DOUBLE>" for mi in range(m))
+    q_df = F.broadcast(
+        spark.createDataFrame(
+            q_rows,
+            f"qid BIGINT, q_emb ARRAY<DOUBLE>, q_nrm DOUBLE, {lut_cols}, "
+            "cq ARRAY<DOUBLE>",
+        )
+    )
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "qid BIGINT, centroid_id INT")
+    )
+    adc_terms = " + ".join(
+        f"element_at(lut{mi}, code[{mi}] + 1)" for mi in range(m)
+    )
+    if residual:
+        adc_terms = f"element_at(cq, centroid_id + 1) + {adc_terms}"
+    adc_score = F.expr(
+        f"round(coalesce(({adc_terms}) / nullif(nrm * q_nrm, 0.0D), 0.0D), 6)"
+    )
+    cos = F.round(
+        F.coalesce(
+            dot(F.col("embedding"), F.col("q_emb"))
+            / F.nullif(l2_norm(F.col("embedding")) * F.col("q_nrm"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    samp = _recall_sample_filter(id_col, sample_fraction)
+    idx_side = index if samp is None else index.filter(
+        _recall_sample_filter("vec_id", sample_fraction)
+    )
+    exact_base = embeddings if samp is None else embeddings.filter(samp)
+    approx = (
+        idx_side.join(probes, ["centroid_id"])
+        .join(q_df, ["qid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", adc_score.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        fan_out(exact_base)
+        .select(F.col(id_col).alias("vec_id"), "embedding")
+        .join(q_df)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    return approx.join(exact, ["qid", "vec_id"]).agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(k * n_queries))).alias(
+            "recall_at_k"
+        ),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(n_queries).cast("int").alias("n_queries"),
+    )
 
 
 def ivf_recall_multi(

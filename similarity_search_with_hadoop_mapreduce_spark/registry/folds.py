@@ -350,6 +350,22 @@ def _register_ann_ivf_suite() -> None:
             "'recall_sampled' AS shape, CAST(k AS BIGINT) AS vec_id, "
             "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
         ),
+        (
+            "ann_ivfpq_residual_topk",
+            "'ivfpq_res' AS shape, vec_id, "
+            "centroid_id * 4096 + code_packed AS centroid_id, "
+            "pq_score AS v",
+        ),
+        (
+            "ann_ivfpq_recall",
+            "'ivfpq_recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
+            "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
+        ),
+        (
+            "ann_ivfpq_residual_recall",
+            "'ivfpq_res_recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
+            "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
+        ),
     ]
 
     @register("ann_ivf_suite", oracle=_union_oracle(parts))
@@ -360,8 +376,10 @@ def _register_ann_ivf_suite() -> None:
         with its packed code word, and the composed IVF-PQ top-10
         (members: ann_ivf_topk, ann_ivf_recall, ann_pq_topk,
         ann_ivfpq_topk, ann_pq_recall, ann_ivf_recall_sampled — the
-        last runs the hash-sampled ground-truth mode a 100-TB corpus
-        needs, sample replayed by its oracle)."""
+        hash-sampled ground-truth mode a 100-TB corpus needs —
+        ann_ivfpq_residual_topk / ann_ivfpq_recall /
+        ann_ivfpq_residual_recall — IVFADC residual encoding and the
+        raw-vs-residual serving recall that pins its accuracy gain)."""
         topk = _q("ann_ivf_topk")(spark, sf_dir).select(
             F.lit("topk").alias("shape"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -399,7 +417,29 @@ def _register_ann_ivf_suite() -> None:
             F.col("n_queries").cast("bigint").alias("centroid_id"),
             F.col("recall_at_k").alias("v"),
         )
-        return _union_spark([topk, rec, pq, ivfpq, pq_rec, rec_s])
+        ivfpq_res = _q("ann_ivfpq_residual_topk")(spark, sf_dir).select(
+            F.lit("ivfpq_res").alias("shape"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            (F.col("centroid_id").cast("bigint") * 4096
+             + F.col("code_packed").cast("bigint")).alias("centroid_id"),
+            F.col("pq_score").alias("v"),
+        )
+        ipq_rec = _q("ann_ivfpq_recall")(spark, sf_dir).select(
+            F.lit("ivfpq_recall").alias("shape"),
+            F.col("k").cast("bigint").alias("vec_id"),
+            F.col("n_queries").cast("bigint").alias("centroid_id"),
+            F.col("recall_at_k").alias("v"),
+        )
+        ipq_res_rec = _q("ann_ivfpq_residual_recall")(spark, sf_dir).select(
+            F.lit("ivfpq_res_recall").alias("shape"),
+            F.col("k").cast("bigint").alias("vec_id"),
+            F.col("n_queries").cast("bigint").alias("centroid_id"),
+            F.col("recall_at_k").alias("v"),
+        )
+        return _union_spark(
+            [topk, rec, pq, ivfpq, pq_rec, rec_s, ivfpq_res, ipq_rec,
+             ipq_res_rec]
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.operators import ann as A
 
@@ -303,3 +304,56 @@ def test_recall_sampled_ground_truth_close_to_full(spark):
 
     with pytest.raises(ValueError, match="sample_fraction"):
         A.ivf_recall_multi(emb, book=book, sample_fraction=1.5)
+
+
+def test_residual_ivfpq_improves_recall_and_matches_python(spark):
+    """IVFADC residual encoding: (a) serving recall@k with residual
+    codes beats raw-space codes on the same probes (the accuracy gain
+    that justifies the refinement), and (b) the residual relation is
+    exactly x - c(x) under the assigned centroid."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators import ann as A
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    book = A.kmeans_codebook(emb, n_centroids=8, iters=2)
+    raw = A.ivfpq_recall_multi(
+        emb, coarse_book=book, residual=False
+    ).collect()[0].recall_at_k
+    res = A.ivfpq_recall_multi(
+        emb, coarse_book=book, residual=True
+    ).collect()[0].recall_at_k
+    assert res > raw, (res, raw)
+    # residual vectors: spot-check x - c(x) for a few rows
+    rows = (
+        A.ivf_residuals(emb, book)
+        .filter(F.col("vec_id") < 3)
+        .collect()
+    )
+    raw_rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    cents = {cid: v for cid, v, _n in book}
+    for r in rows:
+        expect = [
+            x - c for x, c in zip(raw_rows[r.vec_id], cents[r.centroid_id])
+        ]
+        got = [float(x) for x in r.embedding]
+        assert max(abs(a - b) for a, b in zip(got, expect)) < 1e-12
+
+
+def test_residual_index_guard_and_shape(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.operators import ann as A
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="index provided without"):
+        A.ivfpq_residual_topk(emb, 0, index=spark.range(1))
+    book = A.kmeans_codebook(emb, n_centroids=8, iters=1)
+    books = A.residual_pq_codebooks(emb, book, iters=1)
+    idx = A.ivfpq_residual_index(emb, book, books)
+    assert idx.columns == ["vec_id", "centroid_id", "code", "nrm"]
+    row = idx.filter(F.col("vec_id") == 42).collect()[0]
+    # nrm is the RAW vector norm, not the residual norm
+    import math
+    raw = [float(x) for x in emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]]
+    assert abs(row.nrm - math.sqrt(sum(x * x for x in raw))) < 1e-9

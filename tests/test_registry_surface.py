@@ -39,6 +39,9 @@ FOLDED = {
     "ann_ivf_topk": "ann_ivf_suite",
     "ann_ivf_recall": "ann_ivf_suite",
     "ann_ivf_recall_sampled": "ann_ivf_suite",
+    "ann_ivfpq_residual_topk": "ann_ivf_suite",
+    "ann_ivfpq_recall": "ann_ivf_suite",
+    "ann_ivfpq_residual_recall": "ann_ivf_suite",
     "ann_pq_topk": "ann_ivf_suite",
     "ann_ivfpq_topk": "ann_ivf_suite",
     "ann_pq_recall": "ann_ivf_suite",
