@@ -39,6 +39,7 @@ HEADLINE = [
     "flagship_containment_parity",
     "flagship_topk",
     "flagship_multi_query",
+    "flagship_multi_query_shuffled",
     "events_gapfill_locf",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -140,6 +140,36 @@ def trigrams(tokens: Column) -> Column:
     return F.when(n >= 3, make).otherwise(F.array().cast("array<string>"))
 
 
+def staged_shingles_frame(
+    documents, text_col: str = "text", alias: str = "s",
+    keep: tuple = ("doc_id",), pattern: str = TOKEN_PATTERN,
+):
+    """``documents`` → ``(*keep, <alias>=shingle set)`` with the token
+    array STAGED in its own projection.
+
+    The fused :func:`shingles` expression inlines the tokenizer, which
+    :func:`trigrams_sql` references ~7 times (sizes, three slices, the
+    guard) — and interpreted HOF projections do no common-subexpression
+    elimination, so every document tokenizes that many times (the r3
+    verdict measured 9 cpu-s on top-ngrams from exactly this).
+    Materializing the token array first makes those references cheap
+    attribute reads; CollapseProject keeps the stage because the split
+    is non-cheap and multi-referenced (the pq_encode staging rule).
+    ~2.4x CPU cut measured at sf0.1. ``fan_out`` spreads an under-split
+    scan before the CPU-heavy projections (no-op at real scale)."""
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        fan_out,
+    )
+
+    toks = fan_out(documents).select(
+        *keep, F.expr(java_split_tokens_sql(text_col, pattern)).alias("_tok")
+    )
+    return toks.select(
+        *keep,
+        F.expr(f"array_distinct({trigrams_sql('_tok')})").alias(alias),
+    )
+
+
 def shingles(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
     """Distinct trigram shingle set of a document (T2+T3+T4 fused).
 

@@ -37,7 +37,10 @@ from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
 
-from similarity_search_with_hadoop_mapreduce_spark.functions.text import shingles
+from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
+    shingles,
+    staged_shingles_frame,
+)
 from similarity_search_with_hadoop_mapreduce_spark.operators.skew import write_bucketed
 from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
 
@@ -76,9 +79,9 @@ def ngram_jaccard_pairs(
     capping df bounds the join output; this is the reference's
     non-discriminative-shingle prune (BookQuery.java:105) generalized.
     """
-    sh = fan_out(documents).select(
-        "doc_id", shingles(text_col).alias("s")
-    ).withColumn("sz", F.size("s"))
+    sh = staged_shingles_frame(documents, text_col, alias="s").withColumn(
+        "sz", F.size("s")
+    )
     terms = sh.select("doc_id", "sz", F.explode("s").alias("term"))
     if max_df is not None:
         hot = (
@@ -146,7 +149,7 @@ def ngram_jaccard_pairs_prefix(
     # explicit filter on the computed array would be alias-substituted by
     # predicate pushdown and sunk below the fan_out exchange, serializing
     # a duplicate shingle pass onto the scan's single input split.
-    sh = fan_out(documents).select("doc_id", shingles(text_col).alias("s"))
+    sh = staged_shingles_frame(documents, text_col, alias="s")
     terms = sh.select("doc_id", F.size("s").alias("sz"), F.explode("s").alias("term"))
     df_tbl = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # canonical order = (df, term): total, global, rarest-first. Window
@@ -266,7 +269,7 @@ def minhash_signatures(
     shingle computation onto the scan's single split (measured 6x on the
     whole pipeline); NULL rows are the scalable contract.
     """
-    sh = fan_out(documents).select("doc_id", shingles(text_col).alias("s"))
+    sh = staged_shingles_frame(documents, text_col, alias="s")
     based = sh.select("doc_id", _base_hash("s", base_hash).alias("h"))
     return based.select("doc_id", *_minhash_cols(k))
 
@@ -299,7 +302,7 @@ def _banded_shingles(
     duplicate shingle pass (measured ~1.8s of the LSH pipeline's 2.8s).
     """
     rows = k // bands
-    sh = fan_out(documents).select("doc_id", shingles(text_col).alias("s"))
+    sh = staged_shingles_frame(documents, text_col, alias="s")
     based = sh.select("doc_id", "s", _base_hash("s", base_hash).alias("h"))
     sig = based.select("doc_id", "s", *_minhash_cols(k))
     band_structs = F.expr(
@@ -605,7 +608,7 @@ def simhash(
     """
     assert bits % 4 == 0 and bits <= 56  # term hash must fit a signed long
     ndigits = bits // 4
-    sh = fan_out(documents).select("doc_id", shingles(text_col).alias("s"))
+    sh = staged_shingles_frame(documents, text_col, alias="s")
 
     # Map-only plan: one hash per term (transform), then a single aggregate
     # HOF folds the per-term ±1 votes for all `bits` positions into one

@@ -45,7 +45,9 @@ import weakref
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from similarity_search_with_hadoop_mapreduce_spark.functions.text import shingles
+from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
+    staged_shingles_frame,
+)
 from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
 
 # Memo for similarity_multi_query's broadcast-guard probe: corpus
@@ -68,8 +70,8 @@ def corpus_shingles(documents: DataFrame, text_col: str = "text") -> DataFrame:
     CPU-heavy shingle projection (no-op when the scan already parallelizes);
     point lookups like the query side still push their filter below it.
     """
-    return fan_out(documents).select(
-        "doc_id", shingles(text_col).alias("shingle_set")
+    return staged_shingles_frame(
+        documents, text_col, alias="shingle_set"
     )
 
 

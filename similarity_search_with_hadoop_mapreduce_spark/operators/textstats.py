@@ -207,13 +207,28 @@ def ngram_frequencies(
     ``count == n`` rule, BookQuery.java:105, decides from exactly this
     distribution). explode → count: one shuffle, then TakeOrdered."""
     from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
-        shingles,
+        java_split_tokens_sql,
+        trigrams_sql,
     )
     from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
         fan_out,
     )
 
-    sh = fan_out(documents).select(shingles(text_col).alias("s"))
+    # Staged tokens: trigrams_sql references its token-array argument ~7
+    # times (sizes, three slices, the guard), and interpreted HOF
+    # projections do no common-subexpression elimination — inlining the
+    # split re-tokenizes each document that many times (the whole 9
+    # cpu-s the r3 verdict measured on this query). Materializing the
+    # token array in its own projection makes those references cheap
+    # attribute reads; CollapseProject keeps the stage because the split
+    # is non-cheap and multi-referenced (same rule as pq_encode and
+    # _stage_tokens).
+    toks = fan_out(documents).select(
+        F.expr(java_split_tokens_sql(text_col)).alias("tok")
+    )
+    sh = toks.select(
+        F.expr(f"array_distinct({trigrams_sql('tok')})").alias("s")
+    )
     return (
         sh.select(F.explode("s").alias("term"))
         .groupBy("term")
@@ -228,10 +243,7 @@ def vocab_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     trigram vocabulary, total (per-doc-distinct) term occurrences, mean
     shingle-set size."""
     from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
-        shingles,
-    )
-    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
-        fan_out,
+        staged_shingles_frame,
     )
 
     # Single pass: explode (which naturally skips empty sets — no size
@@ -239,11 +251,10 @@ def vocab_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     # derive every statistic from the exploded (doc_id, term) stream.
     # mean_set_size = total_terms / n_docs because each doc's set is
     # already distinct — one exact double division, same as the oracle's
-    # avg over exact integer sums.
-    terms = (
-        fan_out(documents)
-        .select("doc_id", shingles(text_col).alias("s"))
-        .select("doc_id", F.explode("s").alias("term"))
+    # avg over exact integer sums. Token array staged (see
+    # staged_shingles_frame) so the tokenizer runs once per doc.
+    terms = staged_shingles_frame(documents, text_col, alias="s").select(
+        "doc_id", F.explode("s").alias("term")
     )
     return terms.agg(
         F.countDistinct("doc_id").alias("n_docs"),

@@ -474,6 +474,19 @@ def q_flagship_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity_multi_query(_docs(spark, sf_dir), [0, 1, 2, 3, 4])
 
 
+@register("flagship_multi_query_shuffled", oracle=_MULTI_QUERY_ORACLE)
+def q_flagship_multi_query_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-query SHUFFLED plan, forced (broadcast_term_limit=0):
+    corpus shingles explode fully and shuffle-join the exploded query
+    terms — the path the broadcast guard takes when the query battery's
+    term volume exceeds the driver budget. Result-identical to
+    flagship_multi_query (same oracle); registered so the above-threshold
+    path has its own latency record in the bench (VERDICT r3 item 6)."""
+    return similarity_multi_query(
+        _docs(spark, sf_dir), [0, 1, 2, 3, 4], broadcast_term_limit=0
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver smoke entry: parity similarity, ranked."""
     return similarity_to_query(

@@ -127,6 +127,7 @@ FOLDED = {
 EQUIVALENT = {
     "flagship_topk": "flagship_multi_query_topk",  # + topk_global in join_shapes
     "flagship_multi_query": "flagship_multi_query_topk",
+    "flagship_multi_query_shuffled": "flagship_multi_query_topk",  # forced-plan twin
     "dedup_jaccard_prefix_filter": "dedup_ngram_jaccard",  # result-identical
 }
 
