@@ -82,6 +82,24 @@ def trigrams_sql(tok: str) -> str:
     )
 
 
+def trigrams_attr_sql(col: str) -> str:
+    """Trigrams over a BARE COLUMN of tokens via sequence + element_at —
+    cheaper than the zip formulation (no slice/struct-array allocation)
+    but ONLY valid when ``col`` is a materialized attribute: with an
+    inline expression, the interpreted lambda would re-evaluate it per
+    index (O(n²) per document — see :func:`trigrams`). Used by
+    :func:`staged_shingles_frame`, which guarantees the staging;
+    result-equal to :func:`trigrams_sql` (pinned in
+    tests/test_text_functions.py)."""
+    return (
+        f"CASE WHEN size({col}) >= 3 THEN "
+        f"transform(sequence(1, size({col}) - 2), "
+        f"i -> concat_ws(' ', element_at({col}, i), "
+        f"element_at({col}, i + 1), element_at({col}, i + 2))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
 def shingles_sql(c: str, pattern: str = TOKEN_PATTERN) -> str:
     return f"array_distinct({trigrams_sql(java_split_tokens_sql(c, pattern))})"
 
@@ -166,7 +184,7 @@ def staged_shingles_frame(
     )
     return toks.select(
         *keep,
-        F.expr(f"array_distinct({trigrams_sql('_tok')})").alias(alias),
+        F.expr(f"array_distinct({trigrams_attr_sql('_tok')})").alias(alias),
     )
 
 

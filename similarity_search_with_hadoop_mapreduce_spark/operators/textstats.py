@@ -207,28 +207,13 @@ def ngram_frequencies(
     ``count == n`` rule, BookQuery.java:105, decides from exactly this
     distribution). explode → count: one shuffle, then TakeOrdered."""
     from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
-        java_split_tokens_sql,
-        trigrams_sql,
-    )
-    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
-        fan_out,
+        staged_shingles_frame,
     )
 
-    # Staged tokens: trigrams_sql references its token-array argument ~7
-    # times (sizes, three slices, the guard), and interpreted HOF
-    # projections do no common-subexpression elimination — inlining the
-    # split re-tokenizes each document that many times (the whole 9
-    # cpu-s the r3 verdict measured on this query). Materializing the
-    # token array in its own projection makes those references cheap
-    # attribute reads; CollapseProject keeps the stage because the split
-    # is non-cheap and multi-referenced (same rule as pq_encode and
-    # _stage_tokens).
-    toks = fan_out(documents).select(
-        F.expr(java_split_tokens_sql(text_col)).alias("tok")
-    )
-    sh = toks.select(
-        F.expr(f"array_distinct({trigrams_sql('tok')})").alias("s")
-    )
+    # Staged tokens (see staged_shingles_frame): the fused shingle
+    # expression re-tokenizes each document ~7x in interpreted HOF
+    # projections — the whole 9 cpu-s the r3 verdict measured here.
+    sh = staged_shingles_frame(documents, text_col, alias="s", keep=())
     return (
         sh.select(F.explode("s").alias("term"))
         .groupBy("term")

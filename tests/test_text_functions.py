@@ -129,3 +129,31 @@ def test_sql_twins_quote_hostile_args(spark):
         java_split_tokens(F.col("from"), pat).alias("t")
     ).collect()
     assert sql_side[0].t == col_side[0].t == ["a", "b", "c"]
+
+
+def test_trigrams_attr_sql_equals_zip_formulation(spark):
+    """The staged-attribute trigram construction (sequence + element_at,
+    used by staged_shingles_frame) must be value-identical to the zip
+    formulation on every edge case: <3 tokens, exactly 3, repeats,
+    empties from the Java split."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
+        java_split_tokens_sql,
+        trigrams_attr_sql,
+        trigrams_sql,
+    )
+
+    texts = [
+        "", "a", "a b", "a b c", "a b c d e", "x x x x",
+        "hello, world! hello world again", "!!! ...", "a  b\tc d",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        F.expr(java_split_tokens_sql("text")).alias("tok")
+    )
+    rows = df.select(
+        F.expr(trigrams_sql("tok")).alias("zip"),
+        F.expr(trigrams_attr_sql("tok")).alias("seq"),
+    ).collect()
+    for r in rows:
+        assert list(r.zip) == list(r.seq)
