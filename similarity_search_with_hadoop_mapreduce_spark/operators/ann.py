@@ -1367,6 +1367,76 @@ def ivf_topk_from_layout(
     )
 
 
+def write_ivfpq_residual_layout(
+    embeddings: DataFrame,
+    path: str,
+    coarse_book: list[tuple[int, list[float], float]],
+    pq_books: list[list[tuple[int, list[float], float]]],
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the RESIDUAL IVF-PQ index (IVFADC) in storage layout:
+    parquet partitioned by ``centroid_id``, each inverted-list directory
+    holding only ``(vec_id, code, nrm)`` where ``code`` quantizes the
+    residual and ``nrm`` is the raw-vector norm. Same ~60x footprint and
+    partition-pruned probes as the raw-space layout; pass the
+    residual-trained books the layout was encoded with."""
+    ivfpq_residual_index(
+        embeddings, coarse_book, pq_books, sub_dim=sub_dim, id_col=id_col
+    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivfpq_residual_topk_from_layout(
+    spark,
+    layout_path: str,
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    sub_dim: int = 16,
+    k_sub: int = 8,
+    coarse_book: list | None = None,
+    pq_books: list | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual IVF-PQ top-k against the stored layout written by
+    :func:`write_ivfpq_residual_layout`: partition-pruned probed scan of
+    compressed residual codes, scored with the coarse ``c·q`` bias —
+    result-equal to :func:`ivfpq_residual_topk` on the same books
+    (pytest-pinned). Both books are required (codes are meaningless
+    under a different book; probes under a different coarse book scan
+    the wrong lists)."""
+    if pq_books is None or coarse_book is None:
+        raise ValueError(
+            "ivfpq_residual_topk_from_layout requires the coarse_book and "
+            "pq_books the layout was built with"
+        )
+    q, qn, probe_ids, _ = _ivf_probe_state(
+        embeddings, query_vec_id, n_centroids, nprobe, id_col,
+        book=coarse_book,
+    )
+    cq = [_pydot(v, q) for _c, v, _n in coarse_book]
+    cq_arr = "array(" + ",".join(_lit_f(x) for x in cq) + ")"
+    score, packed = _adc_exprs(
+        pq_books, q, qn, sub_dim, k_sub,
+        bias_sql=f"element_at({cq_arr}, centroid_id + 1)",
+    )
+    stored = spark.read.parquet(layout_path)
+    return (
+        stored.filter(F.col("centroid_id").isin(probe_ids))
+        .filter(F.col("vec_id") != F.lit(query_vec_id))
+        .select(
+            "vec_id",
+            "centroid_id",
+            packed.alias("code_packed"),
+            score.alias("pq_score"),
+        )
+        .orderBy(F.desc("pq_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def write_ivfpq_layout(
     embeddings: DataFrame,
     path: str,

@@ -536,6 +536,14 @@ def incremental_dedup(
     precomputed (bucketed by digest / (band, bh)), and each batch only
     *probes* that index.
 
+    DEMO-ONLY VARIANT: this function re-derives the corpus's digests and
+    banded shingles on EVERY call — fine for a one-shot batch or a test,
+    wrong as a serving loop (the corpus-sized hash pass repeats per
+    batch). The production path is :func:`build_dedup_index` once +
+    :func:`incremental_dedup_probe` per batch, which reads the persisted
+    bucketed indexes and provably never re-shuffles the corpus side
+    (plan-asserted in tests/test_dedup.py).
+
     Two layers, one union:
 
     - ``exact``: incoming md5 digest joins the corpus digest index;

@@ -357,3 +357,39 @@ def test_residual_index_guard_and_shape(spark):
     import math
     raw = [float(x) for x in emb.filter(F.col("vec_id") == 42).collect()[0]["embedding"]]
     assert abs(row.nrm - math.sqrt(sum(x * x for x in raw))) < 1e-9
+
+
+def test_ivfpq_residual_layout_probe_matches_inline_and_prunes(spark, tmp_path):
+    """Residual layout lifecycle parity with the raw-space one: stored
+    probe result-equal to inline, partition-pruned, embedding-free."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        ivfpq_residual_topk,
+        ivfpq_residual_topk_from_layout,
+        kmeans_codebook,
+        residual_pq_codebooks,
+        write_ivfpq_residual_layout,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.plans import explain_string
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coarse = kmeans_codebook(emb, n_centroids=8, iters=1)
+    books = residual_pq_codebooks(emb, coarse, iters=1)
+    path = str(tmp_path / "ivfpq_res_layout")
+    write_ivfpq_residual_layout(emb, path, coarse, books)
+    probe = ivfpq_residual_topk_from_layout(
+        spark, path, emb, 0, k=10, n_centroids=8, nprobe=2,
+        coarse_book=coarse, pq_books=books,
+    )
+    inline = ivfpq_residual_topk(
+        emb, 0, k=10, n_centroids=8, nprobe=2,
+        coarse_book=coarse, pq_books=books,
+    )
+    key = lambda r: (r.vec_id, r.centroid_id, r.code_packed, r.pq_score)
+    assert [key(r) for r in probe.collect()] == [key(r) for r in inline.collect()]
+    plan = explain_string(probe, "formatted")
+    assert "PartitionFilters" in plan
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("embedding" not in ln for ln in schemas)
+    with pytest.raises(ValueError, match="requires the coarse_book"):
+        ivfpq_residual_topk_from_layout(spark, path, emb, 0)
