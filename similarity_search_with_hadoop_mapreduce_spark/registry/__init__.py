@@ -90,7 +90,7 @@ CURATED_NAMES: tuple[str, ...] = (
     "events_gapfill_locf",
     "events_gaps_and_islands",
     "sample_splits",
-    "curation_pipeline",
+    "curation_suite",
     # — relational surface (folded) —
     "window_suite",
     "join_shapes",

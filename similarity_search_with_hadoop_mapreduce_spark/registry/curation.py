@@ -96,6 +96,99 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _neardup_curation_oracle() -> str:
+    """Near-dup curation oracle: the star-capped MinHash pair oracle as a
+    subquery, recursive-CTE connected components (cluster id = min doc in
+    component, exactly the large-star/small-star fixpoint), keepers =
+    docs that are their own cluster id, composed with the stop-ratio
+    language filter."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators import (
+        textstats as T,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.registry.dedup import (
+        _STAR_CAP,
+        _minhash_lsh_oracle,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.registry.sim import (
+        TOKENS_CTE,
+    )
+
+    stops = "[" + ", ".join(f"'{s}'" for s in T.EN_STOPWORDS) + "]"
+    mh = _minhash_lsh_oracle(cap=_STAR_CAP)
+    return f"""
+WITH RECURSIVE
+mh_pairs AS (SELECT doc_a, doc_b FROM (
+{mh}
+) mh),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM mh_pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM mh_pairs
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b
+),
+clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+keepers AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+{TOKENS_CTE},
+lang AS (
+  SELECT doc_id,
+    CASE WHEN len(tok) > 0
+         THEN round(CAST(len(list_filter(tok, t -> list_contains({stops}, t))) AS DOUBLE)
+                    / CAST(len(tok) AS DOUBLE), 6)
+         ELSE 0.0 END AS stop_ratio
+  FROM tokens
+)
+SELECT l.doc_id, l.stop_ratio
+FROM lang l JOIN keepers USING (doc_id)
+WHERE l.stop_ratio >= 0.05
+"""
+
+
+@register("curation_pipeline_neardup", oracle=_neardup_curation_oracle())
+def curation_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup curation composition — the r4 star-capped machinery end
+    to end in one lazy DAG: MinHash-LSH candidate pairs under an ACTIVE
+    bucket cap (hot buckets degrade to representative stars, which is
+    exactly what makes the downstream clustering keep hot near-dup
+    groups intact), large-star/small-star connected components, keeper =
+    the doc that IS its cluster id (min-label fixpoint), semi-joined
+    with the language filter. The oracle replays every stage: banded
+    signatures, windowed cap + star pairs, recursive-CTE components,
+    and the stop-ratio language rule."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        language_id,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.registry.dedup import (
+        _BANDS,
+        _JACCARD_T,
+        _K,
+        _STAR_CAP,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=_K, bands=_BANDS, threshold=_JACCARD_T, base_hash="md5",
+        max_bucket=_STAR_CAP, overflow="star",
+    )
+    clusters = duplicate_clusters(docs, pairs=pairs)
+    keepers = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    lang = language_id(docs).select("doc_id", "stop_ratio", "predicted_lang")
+    return (
+        lang.filter(F.col("predicted_lang") == "en")
+        .join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "stop_ratio")
+    )
+
+
 @register(
     "curation_pipeline",
     oracle=None,  # built below after the imports resolve

@@ -1833,6 +1833,45 @@ def _register_tpch_subquery_suite() -> None:
 
 _register_simhash_suite()
 _register_minhash_lsh_suite()
+
+
+def _register_curation_suite() -> None:
+    parts = [
+        (
+            "curation_pipeline",
+            "'exact' AS shape, doc_id, CAST(n_tokens AS DOUBLE) AS a, "
+            "quality AS b",
+        ),
+        (
+            "curation_pipeline_neardup",
+            "'neardup' AS shape, doc_id, stop_ratio AS a, "
+            "CAST(NULL AS DOUBLE) AS b",
+        ),
+    ]
+
+    @register("curation_suite", oracle=_union_oracle(parts))
+    def curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tagged union of both end-to-end curation compositions: the
+        exact-dedup keeper pipeline and the r4 near-dup pipeline
+        (star-capped MinHash pairs -> connected components -> keeper
+        semi-join) (members: curation_pipeline,
+        curation_pipeline_neardup)."""
+        ex = _q("curation_pipeline")(spark, sf_dir).select(
+            F.lit("exact").alias("shape"),
+            F.col("doc_id"),
+            F.col("n_tokens").cast("double").alias("a"),
+            F.col("quality").alias("b"),
+        )
+        nd = _q("curation_pipeline_neardup")(spark, sf_dir).select(
+            F.lit("neardup").alias("shape"),
+            F.col("doc_id"),
+            F.col("stop_ratio").alias("a"),
+            _null("b", "double"),
+        )
+        return _union_spark([ex, nd])
+
+
+_register_curation_suite()
 _register_dedup_embedding_suite()
 _register_ann_ivf_suite()
 _register_text_doc_metrics()
