@@ -334,7 +334,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_pairs_oracle() -> str:
+def _simhash_pairs_oracle(cap: int | None = None) -> str:
+    """The SimHash pair oracle; with ``cap`` set, models the bounded-
+    bucket star contract exactly like the capped MinHash oracle."""
     n_bands = _MAX_HAMMING + 1
     width = _SIM_BITS // n_bands
     mask = (1 << width) - 1
@@ -342,20 +344,72 @@ def _simhash_pairs_oracle() -> str:
         f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS bv FROM fp"
         for b in range(n_bands)
     )
+    if cap is None:
+        cand = """cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+)"""
+    else:
+        cand = f"""sized AS (
+  SELECT doc_id, band, bv,
+         count(*) OVER (PARTITION BY band, bv) AS n,
+         min(doc_id) OVER (PARTITION BY band, bv) AS rep
+  FROM banded
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id AND a.n BETWEEN 2 AND {cap}
+  UNION
+  SELECT rep AS doc_a, doc_id AS doc_b
+  FROM sized WHERE n > {cap} AND doc_id != rep
+)"""
     return (
         "WITH "
         + _simhash_fp_sql()
         + f""",
 banded AS (
   {band_selects}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv
-WHERE a.doc_id < b.doc_id
-  AND bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+),
+{cand}
+SELECT DISTINCT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.doc_a
+JOIN fp fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {_MAX_HAMMING}
 """
     )
+
+
+_SIM_STAR_CAP = 10  # fixture band buckets reach ~30-60 members at sf0.01
+
+
+def _register_simhash_capped() -> None:
+    @register(
+        "dedup_simhash_pairs_capped",
+        oracle=_simhash_pairs_oracle(cap=_SIM_STAR_CAP),
+    )
+    def dedup_simhash_pairs_capped(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """SimHash banded pairs under an ACTIVE bucket cap (the 16-bit
+        fingerprint space is small, so band buckets run hot on any real
+        corpus): over-cap buckets degrade to representative star pairs,
+        value-pinned against the windowed SQL oracle — the SimHash twin
+        of dedup_minhash_lsh_capped."""
+        return D.simhash_dup_pairs(
+            table(spark, sf_dir, "documents"),
+            bits=_SIM_BITS,
+            max_hamming=_MAX_HAMMING,
+            base_hash="md5",
+            max_bucket=_SIM_STAR_CAP,
+            overflow="star",
+        )
+
+
+_register_simhash_capped()
 
 
 @register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())

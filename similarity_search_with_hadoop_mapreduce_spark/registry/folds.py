@@ -180,13 +180,19 @@ def _register_simhash_suite() -> None:
             "dedup_simhash_pairs",
             "'pair' AS shape, doc_a AS a, doc_b AS b, CAST(hamming AS BIGINT) AS v",
         ),
+        (
+            "dedup_simhash_pairs_capped",
+            "'pair_star_capped' AS shape, doc_a AS a, doc_b AS b, "
+            "CAST(hamming AS BIGINT) AS v",
+        ),
     ]
 
     @register("dedup_simhash_suite", oracle=_union_oracle(parts))
     def dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Tagged union of the per-doc 16-bit SimHash fingerprints and the
-        hamming<=2 banded near-dup pairs (members: dedup_simhash,
-        dedup_simhash_pairs — both value sets pinned in one entry)."""
+        """Tagged union of the per-doc 16-bit SimHash fingerprints, the
+        hamming<=2 banded near-dup pairs, and the same pairs under an
+        ACTIVE bucket cap (star overflow) (members: dedup_simhash,
+        dedup_simhash_pairs, dedup_simhash_pairs_capped)."""
         fp = _q("dedup_simhash")(spark, sf_dir).select(
             F.lit("fingerprint").alias("shape"),
             F.col("doc_id").alias("a"),
@@ -199,7 +205,13 @@ def _register_simhash_suite() -> None:
             F.col("doc_b").alias("b"),
             F.col("hamming").cast("bigint").alias("v"),
         )
-        return _union_spark([fp, pr])
+        st = _q("dedup_simhash_pairs_capped")(spark, sf_dir).select(
+            F.lit("pair_star_capped").alias("shape"),
+            F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("b"),
+            F.col("hamming").cast("bigint").alias("v"),
+        )
+        return _union_spark([fp, pr, st])
 
 
 # ---------------------------------------------------------------------------

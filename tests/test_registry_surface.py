@@ -30,6 +30,7 @@ FOLDED = {
     "intersection_size": "sim_doc_profile",
     "dedup_simhash": "dedup_simhash_suite",
     "dedup_simhash_pairs": "dedup_simhash_suite",
+    "dedup_simhash_pairs_capped": "dedup_simhash_suite",
     "curation_pipeline": "curation_suite",
     "curation_pipeline_neardup": "curation_suite",
     "dedup_minhash_lsh": "dedup_minhash_lsh_suite",
