@@ -1367,6 +1367,44 @@ def ivf_topk_from_layout(
     )
 
 
+def save_books(path: str, **books) -> None:
+    """Persist codebooks as a JSON artifact next to a stored layout —
+    the index-metadata half of the lifecycle (`write_*_layout` stores
+    the data half). A probe MUST rank with the books the layout was
+    built with (codes are meaningless under a different book), so a
+    deployment ships them together; JSON keeps the artifact
+    human-auditable and engine-independent. Accepts any mix of
+    ``coarse_book=[(cid, vec, norm), ...]`` and
+    ``pq_books=[[(cid, vec, norm), ...], ...]`` keyword entries."""
+    import json
+
+    def enc(b):
+        if b and isinstance(b[0], list):  # list of books (PQ)
+            return [enc(sub) for sub in b]
+        return [
+            {"cid": int(c), "vec": [float(x) for x in v], "norm": float(n)}
+            for c, v, n in b
+        ]
+
+    with open(path, "w") as f:
+        json.dump({k: enc(v) for k, v in books.items()}, f)
+
+
+def load_books(path: str) -> dict:
+    """Load codebooks saved by :func:`save_books`; tuples round-trip
+    exactly (JSON doubles are IEEE-754, same as the literals the probes
+    inline)."""
+    import json
+
+    def dec(b):
+        if b and isinstance(b[0], list):
+            return [dec(sub) for sub in b]
+        return [(e["cid"], e["vec"], e["norm"]) for e in b]
+
+    with open(path) as f:
+        return {k: dec(v) for k, v in json.load(f).items()}
+
+
 def write_ivfpq_residual_layout(
     embeddings: DataFrame,
     path: str,

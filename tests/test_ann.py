@@ -393,3 +393,37 @@ def test_ivfpq_residual_layout_probe_matches_inline_and_prunes(spark, tmp_path):
     assert schemas and all("embedding" not in ln for ln in schemas)
     with pytest.raises(ValueError, match="requires the coarse_book"):
         ivfpq_residual_topk_from_layout(spark, path, emb, 0)
+
+
+def test_books_json_roundtrip_serves_layout(tmp_path, spark):
+    """Codebooks persisted as the JSON metadata artifact round-trip
+    exactly and serve a stored layout identically to the in-memory
+    books — the full index lifecycle (build -> persist layout + books ->
+    reload -> probe) with no retraining."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        ivfpq_residual_topk_from_layout,
+        kmeans_codebook,
+        load_books,
+        residual_pq_codebooks,
+        save_books,
+        write_ivfpq_residual_layout,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coarse = kmeans_codebook(emb, n_centroids=8, iters=1)
+    books = residual_pq_codebooks(emb, coarse, iters=1)
+    meta = str(tmp_path / "books.json")
+    save_books(meta, coarse_book=coarse, pq_books=books)
+    loaded = load_books(meta)
+    assert loaded["coarse_book"] == coarse  # exact float round-trip
+    assert loaded["pq_books"] == books
+    layout = str(tmp_path / "layout")
+    write_ivfpq_residual_layout(emb, layout, coarse, books)
+    a = ivfpq_residual_topk_from_layout(
+        spark, layout, emb, 0, coarse_book=coarse, pq_books=books
+    ).collect()
+    b = ivfpq_residual_topk_from_layout(
+        spark, layout, emb, 0,
+        coarse_book=loaded["coarse_book"], pq_books=loaded["pq_books"],
+    ).collect()
+    assert a == b and len(a) == 10
