@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 _log = logging.getLogger(__name__)
 
 from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
-    shingles,
     staged_shingles_frame,
 )
 from similarity_search_with_hadoop_mapreduce_spark.operators.skew import write_bucketed
