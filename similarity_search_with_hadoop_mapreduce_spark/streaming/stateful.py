@@ -138,6 +138,62 @@ def streaming_dedup_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transformWithStateInPandas — the Spark 4 arbitrary-state API
 # ---------------------------------------------------------------------------
 
+def streaming_neardup_probe_demo(
+    spark: SparkSession,
+    incoming_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    prefix: str = "stream_dedup_index",
+    threshold: float = 0.5,
+) -> None:
+    """Continuous near-dup curation: a stream of incoming documents is
+    probed per micro-batch against the STORED dedup indexes written by
+    :func:`operators.dedup.build_dedup_index` — the streaming half of
+    the continuous-ingestion topology (the corpus was hashed once at
+    index-build time; each epoch only probes).
+
+    ``foreachBatch`` is the right operator here (not a stateful
+    streaming op): the dedup state IS the bucketed index tables, shared
+    with the batch path, and each epoch's probe is the same
+    :func:`incremental_dedup_probe` plan the batch path runs — the
+    corpus side never re-shuffles, only the (small) epoch exchanges.
+    Results land partitioned by epoch with dynamic overwrite, so a
+    crash-replayed epoch overwrites itself (idempotent, same contract
+    as the foreachBatch sink demo). ``availableNow`` drains the backlog
+    and stops. Batch-equivalence is pinned in tests/test_streaming.py.
+    """
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        incremental_dedup_probe,
+    )
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    schema = "doc_id BIGINT, text STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one epoch per incoming file
+        .parquet(incoming_dir)
+    )
+
+    def probe_epoch(batch_df, epoch_id: int) -> None:
+        (
+            incremental_dedup_probe(
+                spark, batch_df, prefix=prefix, threshold=threshold
+            )
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
+
+    (
+        stream.writeStream.foreachBatch(probe_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def tws_available() -> bool:
     """transformWithStateInPandas needs the protobuf wire format between
     the JVM and its Python driver worker; gate on the dependency instead

@@ -145,3 +145,40 @@ def test_tws_gate_or_matches_batch(spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
+    """The streaming near-dup probe (foreachBatch over the stored dedup
+    index) must flag exactly the duplicates the batch probe flags on the
+    same incoming set, regardless of how the stream slices epochs, and
+    replaying the drained stream must be a no-op (epoch-partitioned
+    dynamic overwrite)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_probe,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_neardup_probe_demo,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    incoming = docs.filter(F.col("doc_id") >= 400)
+    build_dedup_index(corpus, prefix="stream_dedup_index")
+    inc_dir = str(tmp_path / "incoming")
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    incoming.repartition(3).write.parquet(inc_dir)
+    out = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    streaming_neardup_probe_demo(spark, inc_dir, out, ckpt)
+    streamed = spark.read.parquet(out)
+    assert streamed.select("epoch").distinct().count() == 3
+    batch = incremental_dedup_probe(spark, incoming, prefix="stream_dedup_index")
+    key = lambda r: (r.doc_id, r.dup_of, r.kind, round(r.jaccard, 9))
+    want = sorted(map(key, batch.collect()))
+    have = sorted(map(key, streamed.drop("epoch").collect()))
+    assert want == have and want
+    # drained stream: re-run consumes nothing and changes nothing
+    streaming_neardup_probe_demo(spark, inc_dir, out, ckpt)
+    again = sorted(map(key, spark.read.parquet(out).drop("epoch").collect()))
+    assert again == want
