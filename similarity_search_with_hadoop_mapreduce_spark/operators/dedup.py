@@ -1120,11 +1120,23 @@ def build_dedup_index(
         F.col("doc_id").alias("dup_of"), F.md5(t).alias("digest")
     )
     write_bucketed(digests, f"{prefix}_digest", "digest", n_buckets=n_buckets)
-    bandtbl = _banded_shingles(existing, k=k, bands=bands, text_col=text_col).select(
-        F.col("doc_id").alias("dup_of"),
-        F.col("s").alias("s_e"),
-        F.col("band").alias("band_e"),
-        "bh",
+    # bucket_n/is_rep are computed at BUILD time (one window, same
+    # (band, bh) keying the bucketed write needs anyway) so the probe can
+    # apply the star contract to hot index buckets without re-counting:
+    # an over-cap (band, bh) exposes only its min-doc representative row
+    # to probe joins — the same degradation _bounded_buckets applies to
+    # corpus self-join pairs, here bounding the per-epoch join output.
+    w = Window.partitionBy("band", "bh")
+    bandtbl = (
+        _banded_shingles(existing, k=k, bands=bands, text_col=text_col)
+        .select(
+            F.col("doc_id").alias("dup_of"),
+            F.col("s").alias("s_e"),
+            F.col("band").alias("band_e"),
+            "bh",
+            F.count(F.lit(1)).over(w).alias("bucket_n"),
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_rep"),
+        )
     )
     write_bucketed(bandtbl, f"{prefix}_bands", "bh", n_buckets=n_buckets)
 
@@ -1137,6 +1149,7 @@ def incremental_dedup_probe(
     bands: int = 4,
     threshold: float = 0.5,
     text_col: str = "text",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Dedup an incoming batch against the *stored* indexes written by
     :func:`build_dedup_index` — same output contract as
@@ -1149,6 +1162,16 @@ def incremental_dedup_probe(
     cross-band ``bh`` collision is filtered, not joined), so the stored
     side's ``HashPartitioning`` satisfies the join's distribution and
     only the batch side exchanges.
+
+    ``max_bucket`` applies the star contract to HOT INDEX buckets (the
+    per-epoch analog of :func:`_bounded_buckets`): a (band, bh) bucket
+    with more than ``max_bucket`` corpus members exposes only its
+    min-doc representative row to the join — without it, every incoming
+    doc hitting a hot band joins the WHOLE bucket, O(|epoch| × |bucket|)
+    rows per band value. The sizes/reps were computed once at index
+    build; an over-cap match flags ``dup_of = representative``, still
+    exact-Jaccard verified, so "is this a near-dup of the corpus" is
+    preserved while the join output stays bounded. ``None`` disables.
     """
     e_dig = spark.table(f"{prefix}_digest")
     e_band = spark.table(f"{prefix}_bands")
@@ -1161,6 +1184,10 @@ def incremental_dedup_probe(
         F.lit(1.0).alias("jaccard"),
     )
     i_band = _banded_shingles(incoming, k=k, bands=bands, text_col=text_col)
+    if max_bucket is not None and "bucket_n" in e_band.columns:
+        e_band = e_band.filter(
+            (F.col("bucket_n") <= max_bucket) | F.col("is_rep")
+        )
     jac = F.size(F.array_intersect("s", "s_e")).cast("double") / F.size(
         F.array_union("s", "s_e")
     ).cast("double")

@@ -517,3 +517,38 @@ def test_embedding_multiband_superset_and_recall(spark):
     assert row.n_single == len(single)
     assert row.n_multi == len(multi)
     assert row.recall_multi > row.recall_single
+
+
+def test_incremental_probe_hot_index_bucket_star(spark):
+    """Hot INDEX buckets under the probe's star contract: an incoming
+    doc hitting an over-cap (band, bh) bucket joins only the bucket's
+    representative row (dup_of = min corpus doc id) instead of the whole
+    bucket — the per-epoch join output is bounded at build-time-computed
+    sizes; uncapped probing still returns the full match set."""
+    n = 200
+    corpus = spark.createDataFrame(
+        [(i, "hot near duplicated corpus body text repeated verbatim")
+         for i in range(n)]
+        + [(n + 1, CORPUS[4])],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        # near (not exact) duplicate of the hot content: digest differs,
+        # so only the band layer can see it
+        [(9000, "hot near duplicated corpus body text repeated verbatim today"),
+         (9001, CORPUS[5])],
+        "doc_id long, text string",
+    )
+    D.build_dedup_index(corpus, prefix="hot_probe_idx")
+    capped = D.incremental_dedup_probe(
+        spark, incoming, prefix="hot_probe_idx", threshold=0.5, max_bucket=10
+    ).collect()
+    assert {(r.doc_id, r.dup_of, r.kind) for r in capped} == {
+        (9000, 0, "near")  # only the hot bucket's representative
+    }
+    full = D.incremental_dedup_probe(
+        spark, incoming, prefix="hot_probe_idx", threshold=0.5,
+        max_bucket=None,
+    ).collect()
+    near_full = {(r.doc_id, r.dup_of) for r in full if r.kind == "near"}
+    assert near_full == {(9000, i) for i in range(n)}
