@@ -225,7 +225,13 @@ def main() -> None:
         # DataFrame inside the timed window each iteration
         # (build+execute, cold-plan client), and the JSON carries both
         # series so the 2x comparison is auditable under either.
-        dfs = {name: fn(spark, SF_DIR) for name, fn in work.items()}
+        # cold-plan mode rebuilds inside the timed window; prebuilding the
+        # whole suite would be dead work and pre-warm driver memos
+        dfs = (
+            {name: None for name in work}
+            if include_build
+            else {name: fn(spark, SF_DIR) for name, fn in work.items()}
+        )
         timings: dict[str, float] = {}
         compute: dict[str, float] = {}
         for _ in range(3):

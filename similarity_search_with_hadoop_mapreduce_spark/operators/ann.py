@@ -610,6 +610,77 @@ def _recall_sample_filter(id_col: str, sample_fraction: float | None):
     )
 
 
+def _query_battery(
+    embeddings: DataFrame, n_queries: int, id_col: str
+) -> list[tuple[int, list[float], float]]:
+    """Collect the first ``n_queries`` vectors driver-side as sorted
+    ``(qid, vector, norm)`` — the shared front half of every recall
+    metric (queries are coordinator state, like the reference's
+    driver-held query)."""
+    rows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), "embedding")
+        .collect()
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: r["qid"]):
+        qv = [float(x) for x in r["embedding"]]
+        out.append((int(r["qid"]), qv, math.sqrt(_pydot(qv, qv))))
+    return out
+
+
+def _recall_cos_expr():
+    """Round-6 cosine of (embedding, q_emb/q_nrm) — the exact-side score
+    every recall metric shares."""
+    return F.round(
+        F.coalesce(
+            dot(F.col("embedding"), F.col("q_emb"))
+            / F.nullif(l2_norm(F.col("embedding")) * F.col("q_nrm"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+
+
+def _exact_topk_per_query(
+    embeddings: DataFrame,
+    q_df,
+    w,
+    k: int,
+    id_col: str,
+    sample_fraction: float | None,
+) -> DataFrame:
+    """(qid, vec_id) exact brute-force top-k per query — the shared
+    ground-truth side (optionally hash-sampled; callers filter their
+    approximate side with the SAME predicate)."""
+    samp = _recall_sample_filter(id_col, sample_fraction)
+    base = embeddings if samp is None else embeddings.filter(samp)
+    return (
+        fan_out(base)
+        .select(F.col(id_col).alias("vec_id"), "embedding")
+        .join(q_df)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _recall_cos_expr().alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+
+
+def _recall_reduce(
+    approx: DataFrame, exact: DataFrame, k: int, n_queries: int
+) -> DataFrame:
+    """One-row ``(recall_at_k, k, n_queries)`` reduction shared by every
+    recall metric (both sides are (qid, vec_id) top-k sets)."""
+    return approx.join(exact, ["qid", "vec_id"]).agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(k * n_queries))).alias(
+            "recall_at_k"
+        ),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(n_queries).cast("int").alias("n_queries"),
+    )
+
+
 def pq_recall_multi(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -653,20 +724,13 @@ def pq_recall_multi(
         )
     if codes is None:
         codes = pq_encode(embeddings, books, sub_dim=sub_dim, id_col=id_col)
-    rows = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("qid"), "embedding")
-        .collect()
-    )
     q_rows = []
-    for r in sorted(rows, key=lambda r: r["qid"]):
-        qv = [float(x) for x in r["embedding"]]
-        qn = math.sqrt(_pydot(qv, qv))
+    for qid, qv, qn in _query_battery(embeddings, n_queries, id_col):
         luts = [
             [_pydot(v, qv[mi * sub_dim : (mi + 1) * sub_dim]) for _c, v, _n in book]
             for mi, book in enumerate(books)
         ]
-        q_rows.append((int(r["qid"]), qv, qn, *luts))
+        q_rows.append((qid, qv, qn, *luts))
     spark = embeddings.sparkSession
     lut_cols = ", ".join(f"lut{mi} ARRAY<DOUBLE>" for mi in range(m))
     q_df = F.broadcast(
@@ -680,20 +744,9 @@ def pq_recall_multi(
     adc_score = F.expr(
         f"round(coalesce(({adc_terms}) / nullif(nrm * q_nrm, 0.0D), 0.0D), 6)"
     )
-    cos = F.round(
-        F.coalesce(
-            dot(F.col("embedding"), F.col("q_emb"))
-            / F.nullif(l2_norm(F.col("embedding")) * F.col("q_nrm"), F.lit(0.0)),
-            F.lit(0.0),
-        ),
-        6,
-    )
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
-    samp = _recall_sample_filter(id_col, sample_fraction)
-    codes_side = codes if samp is None else codes.filter(
-        _recall_sample_filter("vec_id", sample_fraction)
-    )
-    exact_base = embeddings if samp is None else embeddings.filter(samp)
+    samp = _recall_sample_filter("vec_id", sample_fraction)
+    codes_side = codes if samp is None else codes.filter(samp)
     adc = (
         codes_side.join(q_df)
         .filter(F.col("vec_id") != F.col("qid"))
@@ -702,23 +755,10 @@ def pq_recall_multi(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id")
     )
-    exact = (
-        fan_out(exact_base)
-        .select(F.col(id_col).alias("vec_id"), "embedding")
-        .join(q_df)
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos.alias("c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "vec_id")
+    exact = _exact_topk_per_query(
+        embeddings, q_df, w, k, id_col, sample_fraction
     )
-    return adc.join(exact, ["qid", "vec_id"]).agg(
-        (F.count(F.lit(1)).cast("double") / F.lit(float(k * n_queries))).alias(
-            "recall_at_k"
-        ),
-        F.lit(k).cast("int").alias("k"),
-        F.lit(n_queries).cast("int").alias("n_queries"),
-    )
+    return _recall_reduce(adc, exact, k, n_queries)
 
 
 def ivfpq_index(
@@ -831,8 +871,21 @@ def _adc_exprs(
     residual code reconstructs ``x ≈ c + r̂`` and so
     ``x·q ≈ c·q + Σ LUT``."""
     m = len(pq_books)
+    # validate the BOOKS actually used, not just the caller's m/sub_dim
+    # parameters: books with a different geometry would zip-truncate the
+    # LUT dots and silently zero half the terms (review r4)
+    if m * sub_dim != len(q):
+        raise ValueError(
+            f"{m} books x sub_dim {sub_dim} must cover the query dimension "
+            f"({len(q)}); pass the m/sub_dim the books were trained with"
+        )
     terms = []
     for mi, book in enumerate(pq_books):
+        if book and len(book[0][1]) != sub_dim:
+            raise ValueError(
+                f"subspace {mi} book has {len(book[0][1])}-dim centroids, "
+                f"expected sub_dim={sub_dim} — books/geometry mismatch"
+            )
         sub_q = q[mi * sub_dim : (mi + 1) * sub_dim]
         lut = [_pydot(v, sub_q) for _cid, v, _cn in book]
         arr = "array(" + ",".join(_lit_f(x) for x in lut) + ")"
@@ -1074,15 +1127,8 @@ def ivfpq_recall_multi(
                 id_col=id_col,
             )
         )
-    rows = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("qid"), "embedding")
-        .collect()
-    )
     q_rows, probe_rows = [], []
-    for r in sorted(rows, key=lambda r: r["qid"]):
-        qv = [float(x) for x in r["embedding"]]
-        qn = math.sqrt(_pydot(qv, qv))
+    for qid, qv, qn in _query_battery(embeddings, n_queries, id_col):
         ranked = sorted(
             (
                 (_round6(_pydot(v, qv) / (cn * qn)) if cn * qn != 0.0 else 0.0, cid)
@@ -1090,13 +1136,13 @@ def ivfpq_recall_multi(
             ),
             key=lambda t: (-t[0], t[1]),
         )
-        probe_rows.extend((int(r["qid"]), cid) for _, cid in ranked[:nprobe])
+        probe_rows.extend((qid, cid) for _, cid in ranked[:nprobe])
         luts = [
             [_pydot(v, qv[mi * sub_dim : (mi + 1) * sub_dim]) for _c, v, _n in book]
             for mi, book in enumerate(pq_books)
         ]
         cq = [_pydot(v, qv) for _c, v, _n in coarse_book]
-        q_rows.append((int(r["qid"]), qv, qn, *luts, cq))
+        q_rows.append((qid, qv, qn, *luts, cq))
     spark = embeddings.sparkSession
     lut_cols = ", ".join(f"lut{mi} ARRAY<DOUBLE>" for mi in range(m))
     q_df = F.broadcast(
@@ -1117,20 +1163,9 @@ def ivfpq_recall_multi(
     adc_score = F.expr(
         f"round(coalesce(({adc_terms}) / nullif(nrm * q_nrm, 0.0D), 0.0D), 6)"
     )
-    cos = F.round(
-        F.coalesce(
-            dot(F.col("embedding"), F.col("q_emb"))
-            / F.nullif(l2_norm(F.col("embedding")) * F.col("q_nrm"), F.lit(0.0)),
-            F.lit(0.0),
-        ),
-        6,
-    )
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
-    samp = _recall_sample_filter(id_col, sample_fraction)
-    idx_side = index if samp is None else index.filter(
-        _recall_sample_filter("vec_id", sample_fraction)
-    )
-    exact_base = embeddings if samp is None else embeddings.filter(samp)
+    samp = _recall_sample_filter("vec_id", sample_fraction)
+    idx_side = index if samp is None else index.filter(samp)
     approx = (
         idx_side.join(probes, ["centroid_id"])
         .join(q_df, ["qid"])
@@ -1140,23 +1175,10 @@ def ivfpq_recall_multi(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id")
     )
-    exact = (
-        fan_out(exact_base)
-        .select(F.col(id_col).alias("vec_id"), "embedding")
-        .join(q_df)
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos.alias("c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "vec_id")
+    exact = _exact_topk_per_query(
+        embeddings, q_df, w, k, id_col, sample_fraction
     )
-    return approx.join(exact, ["qid", "vec_id"]).agg(
-        (F.count(F.lit(1)).cast("double") / F.lit(float(k * n_queries))).alias(
-            "recall_at_k"
-        ),
-        F.lit(k).cast("int").alias("k"),
-        F.lit(n_queries).cast("int").alias("n_queries"),
-    )
+    return _recall_reduce(approx, exact, k, n_queries)
 
 
 def ivf_recall_multi(
@@ -1185,16 +1207,8 @@ def ivf_recall_multi(
 
     if book is None:
         book = _codebook(embeddings, n_centroids, id_col)
-    rows = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("qid"), "embedding")
-        .collect()
-    )
-
     q_rows, probe_rows = [], []
-    for r in sorted(rows, key=lambda r: r["qid"]):
-        qv = [float(x) for x in r["embedding"]]
-        qn = math.sqrt(_pydot(qv, qv))
+    for qid, qv, qn in _query_battery(embeddings, n_queries, id_col):
         ranked = sorted(
             (
                 (_round6(_pydot(v, qv) / (cn * qn)) if cn * qn != 0.0 else 0.0, cid)
@@ -1202,8 +1216,8 @@ def ivf_recall_multi(
             ),
             key=lambda t: (-t[0], t[1]),
         )
-        q_rows.append((int(r["qid"]), qv, qn))
-        probe_rows.extend((int(r["qid"]), cid) for _, cid in ranked[:nprobe])
+        q_rows.append((qid, qv, qn))
+        probe_rows.extend((qid, cid) for _, cid in ranked[:nprobe])
 
     spark = embeddings.sparkSession
     q_df = F.broadcast(
@@ -1212,51 +1226,26 @@ def ivf_recall_multi(
     probes = F.broadcast(
         spark.createDataFrame(probe_rows, "qid BIGINT, centroid_id BIGINT")
     )
-    cos = F.round(
-        F.coalesce(
-            dot(F.col("embedding"), F.col("q_emb"))
-            / F.nullif(l2_norm(F.col("embedding")) * F.col("q_nrm"), F.lit(0.0)),
-            F.lit(0.0),
-        ),
-        6,
-    )
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
-
-    samp = _recall_sample_filter(id_col, sample_fraction)
+    samp = _recall_sample_filter("vec_id", sample_fraction)
     assigned = assign_ivf_centroids(
         embeddings, n_centroids, id_col=id_col, book=book
     ).withColumn("centroid_id", F.col("centroid_id").cast("bigint"))
     if samp is not None:
-        assigned = assigned.filter(
-            _recall_sample_filter("vec_id", sample_fraction)
-        )
-        embeddings = embeddings.filter(samp)
+        assigned = assigned.filter(samp)
     ivf = (
         assigned.join(probes, ["centroid_id"])
         .join(q_df, ["qid"])
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos.alias("c"))
+        .select("qid", "vec_id", _recall_cos_expr().alias("c"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id")
     )
-    exact = (
-        fan_out(embeddings)
-        .select(F.col(id_col).alias("vec_id"), "embedding")
-        .join(q_df)
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cos.alias("c"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "vec_id")
+    exact = _exact_topk_per_query(
+        embeddings, q_df, w, k, id_col, sample_fraction
     )
-    return ivf.join(exact, ["qid", "vec_id"]).agg(
-        (F.count(F.lit(1)).cast("double") / F.lit(float(k * n_queries))).alias(
-            "recall_at_k"
-        ),
-        F.lit(k).cast("int").alias("k"),
-        F.lit(n_queries).cast("int").alias("n_queries"),
-    )
+    return _recall_reduce(ivf, exact, k, n_queries)
 
 
 def lsh_bucketed_topk(
@@ -1387,7 +1376,10 @@ def save_books(path: str, **books) -> None:
         ]
 
     with open(path, "w") as f:
-        json.dump({k: enc(v) for k, v in books.items()}, f)
+        # allow_nan=False: a NaN/inf component (e.g. from a NaN embedding
+        # propagating through a Lloyd mean) must fail loudly HERE, not
+        # produce a non-standard token no strict parser reads (review r4)
+        json.dump({k: enc(v) for k, v in books.items()}, f, allow_nan=False)
 
 
 def load_books(path: str) -> dict:

@@ -378,7 +378,8 @@ def _bounded_buckets(
 
     Census (``stats``): when a dict is passed, ``stats['observation']``
     receives a :class:`pyspark.sql.Observation` whose metrics
-    (``overflow_buckets``, plus ``star_pairs`` or ``overflow_docs``)
+    (``overflow_docs`` and the exact reciprocal-weight ``bucket_weight``,
+    resolved to ``overflow_buckets`` by :func:`overflow_census`)
     are collected DURING the caller's action on the returned plan — no
     separate job, no re-execution of the banded subtree (the round-3
     eager census doubled the pipeline's most expensive stage; ADVICE
@@ -1052,6 +1053,7 @@ def embedding_lsh_recall(
     rows_per_band: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Pair-level recall of the LSH dedup plans against the exact
     brute-force pair set at the same cosine threshold — the dedup
@@ -1067,9 +1069,19 @@ def embedding_lsh_recall(
     of single by construction, so ``recall_multi >= recall_single``
     always; strictness on a split-pair fixture is pytest-pinned).
 
-    At 100 TB the exact side is the bottleneck (it is O(n²)); compute
-    the metric on a deterministic hash sample of the corpus (the same
-    :mod:`operators.sampling` machinery the ANN recall entries use)."""
+    At 100 TB the exact side is the bottleneck (it is O(n²) — the worst
+    of the recall family); ``sample_fraction`` restricts ALL THREE sides
+    to the same deterministic md5 hash sample of the corpus (the
+    machinery the ANN recall metrics share), keeping the ratio a true
+    subset comparison on the sampled sub-corpus."""
+    if sample_fraction is not None:
+        from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+            _recall_sample_filter,
+        )
+
+        embeddings = embeddings.filter(
+            _recall_sample_filter(id_col, sample_fraction)
+        )
     exact = embedding_dup_pairs(embeddings, threshold, id_col)
     single = embedding_dup_pairs_lsh(
         embeddings, threshold, n_planes=rows_per_band, dim=dim, id_col=id_col

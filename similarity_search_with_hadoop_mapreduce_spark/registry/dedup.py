@@ -124,6 +124,29 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_cand_sql(src_cte: str, key_col: str, cap: int) -> str:
+    """``sized`` + ``cand`` CTE text for the bounded-bucket STAR contract
+    — the single SQL twin of ``operators.dedup._bounded_buckets`` (2..cap
+    buckets all-pairs, over-cap buckets only (min-doc rep, member) star
+    pairs), shared by the MinHash (bh) and SimHash (bv) oracles so the
+    contract cannot drift between the two families."""
+    return f"""sized AS (
+  SELECT doc_id, band, {key_col},
+         count(*) OVER (PARTITION BY band, {key_col}) AS n,
+         min(doc_id) OVER (PARTITION BY band, {key_col}) AS rep
+  FROM {src_cte}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.{key_col} = b.{key_col}
+  WHERE a.doc_id < b.doc_id AND a.n BETWEEN 2 AND {cap}
+  UNION
+  SELECT rep AS doc_a, doc_id AS doc_b
+  FROM sized WHERE n > {cap} AND doc_id != rep
+)"""
+
+
 def _minhash_lsh_oracle(cap: int | None = None) -> str:
     """The LSH pair oracle; with ``cap`` set, models the bounded-bucket
     star contract: buckets of 2..cap members produce all pairs, over-cap
@@ -146,20 +169,7 @@ def _minhash_lsh_oracle(cap: int | None = None) -> str:
   WHERE a.doc_id < b.doc_id
 )"""
     else:
-        cand = f"""sized AS (
-  SELECT doc_id, band, bh,
-         count(*) OVER (PARTITION BY band, bh) AS n,
-         min(doc_id) OVER (PARTITION BY band, bh) AS rep
-  FROM bands
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sized a JOIN sized b ON a.band = b.band AND a.bh = b.bh
-  WHERE a.doc_id < b.doc_id AND a.n BETWEEN 2 AND {cap}
-  UNION
-  SELECT rep AS doc_a, doc_id AS doc_b
-  FROM sized WHERE n > {cap} AND doc_id != rep
-)"""
+        cand = _capped_cand_sql("bands", "bh", cap)
     return (
         "WITH "
         + SHINGLES_CTE
@@ -351,20 +361,7 @@ def _simhash_pairs_oracle(cap: int | None = None) -> str:
   WHERE a.doc_id < b.doc_id
 )"""
     else:
-        cand = f"""sized AS (
-  SELECT doc_id, band, bv,
-         count(*) OVER (PARTITION BY band, bv) AS n,
-         min(doc_id) OVER (PARTITION BY band, bv) AS rep
-  FROM banded
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sized a JOIN sized b ON a.band = b.band AND a.bv = b.bv
-  WHERE a.doc_id < b.doc_id AND a.n BETWEEN 2 AND {cap}
-  UNION
-  SELECT rep AS doc_a, doc_id AS doc_b
-  FROM sized WHERE n > {cap} AND doc_id != rep
-)"""
+        cand = _capped_cand_sql("banded", "bv", cap)
     return (
         "WITH "
         + _simhash_fp_sql()

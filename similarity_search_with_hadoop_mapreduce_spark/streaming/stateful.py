@@ -166,7 +166,6 @@ def streaming_neardup_probe_demo(
         incremental_dedup_probe,
     )
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     schema = "doc_id BIGINT, text STRING"
     stream = (
         spark.readStream.schema(schema)
@@ -181,6 +180,10 @@ def streaming_neardup_probe_demo(
             )
             .withColumn("epoch", F.lit(epoch_id))
             .write.mode("overwrite")
+            # writer-scoped (NOT spark.conf.set): a session-global
+            # dynamic overwrite would silently change every later
+            # partitioned overwrite in the caller's session (review r4)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")
             .parquet(out_dir)
         )

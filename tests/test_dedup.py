@@ -552,3 +552,18 @@ def test_incremental_probe_hot_index_bucket_star(spark):
     ).collect()
     near_full = {(r.doc_id, r.dup_of) for r in full if r.kind == "near"}
     assert near_full == {(9000, i) for i in range(n)}
+
+
+def test_embedding_lsh_recall_sampled_mode(spark):
+    """The hash-sampled mode restricts all three sides to the SAME
+    deterministic sub-corpus, so the counts stay a subset chain and the
+    metric is runnable when the O(n^2) exact side won't brute-force."""
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full = D.embedding_lsh_recall(emb, threshold=0.25).collect()[0]
+    s1 = D.embedding_lsh_recall(emb, threshold=0.25, sample_fraction=0.5).collect()[0]
+    s2 = D.embedding_lsh_recall(emb, threshold=0.25, sample_fraction=0.5).collect()[0]
+    assert tuple(s1) == tuple(s2)            # deterministic sample
+    assert s1.n_exact < full.n_exact         # genuinely smaller exact side
+    assert s1.n_single <= s1.n_multi <= s1.n_exact
