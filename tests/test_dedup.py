@@ -567,3 +567,42 @@ def test_embedding_lsh_recall_sampled_mode(spark):
     assert tuple(s1) == tuple(s2)            # deterministic sample
     assert s1.n_exact < full.n_exact         # genuinely smaller exact side
     assert s1.n_single <= s1.n_multi <= s1.n_exact
+
+
+def test_property_star_pairs_subset_of_uncapped(spark):
+    """Structural invariants of the star contract on random corpora:
+    every capped-star pair is also an uncapped pair (a star pair shares
+    the over-cap bucket, so it IS an uncapped candidate, and both verify
+    with the same exact Jaccard), and all-pairs of under-cap buckets
+    survive unchanged."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "pi"]
+
+    @st.composite
+    def corpora(draw):
+        n = draw(st.integers(min_value=4, max_value=14))
+        return [
+            (i, " ".join(draw(st.lists(st.sampled_from(words), min_size=3,
+                                       max_size=8))))
+            for i in range(n)
+        ]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(corpora(), st.integers(min_value=2, max_value=4))
+    def check(corpus, cap):
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        key = lambda r: (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        uncapped = {key(r) for r in D.minhash_lsh_pairs(
+            docs, threshold=0.2, max_bucket=None).collect()}
+        starred = {key(r) for r in D.minhash_lsh_pairs(
+            docs, threshold=0.2, max_bucket=cap).collect()}
+        assert starred <= uncapped
+        # idempotence: star mode is deterministic
+        starred2 = {key(r) for r in D.minhash_lsh_pairs(
+            docs, threshold=0.2, max_bucket=cap).collect()}
+        assert starred2 == starred
+
+    check()
