@@ -78,3 +78,23 @@ def stratified_sample(
         expr = F.when(cond, F.lit(r)) if expr is None else expr.when(cond, F.lit(r))
     rate = expr.otherwise(F.lit(default_rate)) if expr is not None else F.lit(default_rate)
     return df.filter(b < (rate * buckets).cast("long"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    id_col: str = "doc_id",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Keep each row with probability equal to its per-row weight in
+    [0, 1] — deterministically: row kept iff
+    ``hash_bucket(id) < weight * buckets``. Same engine-independent
+    md5 machinery as the split/stratified samplers, so the decision is
+    stable under repartitioning, retries, and reruns, and an oracle can
+    replay it; quality-weighted corpus downsampling is the canonical
+    use (weight = quality score)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(
+        hash_bucket(F.col(id_col), buckets).cast("double")
+        < w * F.lit(float(buckets))
+    )

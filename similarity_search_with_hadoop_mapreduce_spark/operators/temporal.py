@@ -487,3 +487,32 @@ def gapfill_locf_bucketed(
             ).alias("locf_value"),
         )
     )
+
+
+def ohlc_downsample(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC bar downsampling — the classic hypertable resample: per
+    (key, time bucket), the opening value (at the earliest row), high,
+    low, and closing value (at the latest row).
+
+    One aggregation exchange on (key, bucket); open/close use
+    ``min_by``/``max_by`` ordered by the (ts, id) STRUCT so same-
+    timestamp ties break deterministically on the row id — both engines
+    compare the struct lexicographically, so the oracle replays the tie
+    rule with ``arg_min/arg_max(value, (ts, id))``.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    return events.groupBy(F.col(key_col), b).agg(
+        F.min_by(F.col(value_col), order).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), order).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -96,6 +96,68 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _quality_weighted_oracle() -> str:
+    """Replay the quality score, then the deterministic weighted keep:
+    row kept iff md5-bucket(doc_id) < quality * 10000 — same double
+    arithmetic both engines."""
+    from similarity_search_with_hadoop_mapreduce_spark.registry.textstats import (
+        _STOPS_SQL,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.registry.sim import (
+        TOKENS_CTE,
+    )
+
+    return (
+        "WITH "
+        + TOKENS_CTE
+        + rf"""
+, feats AS (
+  SELECT d.doc_id,
+    CAST(len(tok) AS INTEGER) AS n_tokens,
+    CASE WHEN length(d.text) > 0
+         THEN CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9_\s]')) AS DOUBLE)
+              / CAST(length(d.text) AS DOUBLE)
+         ELSE 0.0 END AS punct_ratio_raw,
+    CASE WHEN len(tok) > 0
+         THEN CAST(len(list_filter(tok, t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
+              / CAST(len(tok) AS DOUBLE)
+         ELSE 0.0 END AS stop_ratio_raw
+  FROM tokens JOIN documents d USING (doc_id)
+),
+q AS (
+  SELECT doc_id,
+       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio_raw * 5.0, 1.0)) * 0.3
+             + least(stop_ratio_raw * 10.0, 1.0) * 0.3, 6) AS quality
+  FROM feats
+)
+SELECT doc_id, quality
+FROM q
+WHERE CAST({_BUCKET} AS DOUBLE) < quality * 10000.0
+"""
+    )
+
+
+@register("sample_quality_weighted", oracle=_quality_weighted_oracle())
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsample — keep each document
+    with probability equal to its quality score (the canonical curation
+    re-weighting): pure function of doc_id + content, stable under
+    repartitioning/retries, oracle-replayed end to end (quality features
+    AND the md5 keep rule)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        quality_score,
+    )
+
+    q = quality_score(table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    return weighted_sample(q, "quality", id_col="doc_id")
+
+
 def _neardup_curation_oracle() -> str:
     """Near-dup curation oracle: the star-capped MinHash pair oracle as a
     subquery, recursive-CTE connected components (cluster id = min doc in

@@ -562,13 +562,25 @@ def _register_events_time_windows() -> None:
             "'sliding' AS shape, window_start, window_end, "
             "CAST(NULL AS VARCHAR) AS event_type, n_events, total_value",
         ),
+        # the OHLC bar unpivots to four rows so every metric value-pins
+        # in the shared total_value slot
+        *[
+            (
+                "events_ohlc",
+                f"'ohlc_{m}' AS shape, bucket_start AS window_start, "
+                "CAST(NULL AS TIMESTAMP) AS window_end, event_type, "
+                f"n_events, {m} AS total_value",
+            )
+            for m in ("open", "high", "low", "close")
+        ],
     ]
 
     @register("events_time_windows", oracle=_union_oracle(parts))
     def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Tagged union of the 1-hour tumbling and 1-hour/30-minute sliding
-        event-time window aggregates (members: events_tumbling_window,
-        events_sliding_window) — both window assignments value-pinned."""
+        event-time window aggregates plus the per-hour OHLC bars unpivoted
+        to one row per metric (members: events_tumbling_window,
+        events_sliding_window, events_ohlc)."""
         tw = _q("events_tumbling_window")(spark, sf_dir).select(
             F.lit("tumbling").alias("shape"),
             "window_start",
@@ -585,7 +597,19 @@ def _register_events_time_windows() -> None:
             "n_events",
             "total_value",
         )
-        return _union_spark([tw, sw])
+        ohlc = _q("events_ohlc")(spark, sf_dir)
+        bars = [
+            ohlc.select(
+                F.lit(f"ohlc_{m}").alias("shape"),
+                F.col("bucket_start").alias("window_start"),
+                _null("window_end", "timestamp"),
+                "event_type",
+                "n_events",
+                F.col(m).alias("total_value"),
+            )
+            for m in ("open", "high", "low", "close")
+        ]
+        return _union_spark([tw, sw, *bars])
 
 
 # ---------------------------------------------------------------------------
@@ -597,13 +621,22 @@ def _register_sample_splits() -> None:
     parts = [
         ("sample_hash_split", "'hash_split' AS shape, doc_id, split AS tag"),
         ("sample_stratified", "'stratified' AS shape, doc_id, lang AS tag"),
+        (
+            # integer-string tag: double->string formatting differs
+            # between engines, bigint does not
+            "sample_quality_weighted",
+            "'quality_weighted' AS shape, doc_id, "
+            "CAST(CAST(round(quality * 1000000.0, 0) AS BIGINT) AS VARCHAR) AS tag",
+        ),
     ]
 
     @register("sample_splits", oracle=_union_oracle(parts))
     def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Tagged union of the deterministic 80/10/10 hash split and the
-        language-stratified downsample (members: sample_hash_split,
-        sample_stratified)."""
+        language-stratified downsample, and the quality-weighted keep
+        with its round-6 quality pinned as an integer tag (members:
+        sample_hash_split, sample_stratified,
+        sample_quality_weighted)."""
         hs = _q("sample_hash_split")(spark, sf_dir).select(
             F.lit("hash_split").alias("shape"),
             "doc_id",
@@ -614,7 +647,15 @@ def _register_sample_splits() -> None:
             "doc_id",
             F.col("lang").alias("tag"),
         )
-        return _union_spark([hs, st])
+        qw = _q("sample_quality_weighted")(spark, sf_dir).select(
+            F.lit("quality_weighted").alias("shape"),
+            "doc_id",
+            F.round(F.col("quality") * 1000000.0, 0)
+            .cast("bigint")
+            .cast("string")
+            .alias("tag"),
+        )
+        return _union_spark([hs, st, qw])
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,40 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_ohlc",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT event_type, bucket_start,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM b GROUP BY 1, 2
+""",
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling per (event_type, hour) — the classic
+    hypertable resample: one aggregation exchange, open/close via
+    min_by/max_by on the (ts, event_id) struct so same-timestamp ties
+    break deterministically (the oracle replays the tie rule with
+    dual row_number ranks)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        ohlc_downsample,
+    )
+
+    return ohlc_downsample(table(spark, sf_dir, "events"))
+
+
+@register(
     "events_sliding_window",
     oracle=f"""
 WITH assigned AS (

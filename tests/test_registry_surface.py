@@ -56,9 +56,11 @@ FOLDED = {
     "text_corpus_composition": "text_corpus_stats",
     "text_vocab_stats": "text_corpus_stats",
     "events_tumbling_window": "events_time_windows",
+    "events_ohlc": "events_time_windows",
     "events_sliding_window": "events_time_windows",
     "sample_hash_split": "sample_splits",
     "sample_stratified": "sample_splits",
+    "sample_quality_weighted": "sample_splits",
     "window_row_number_topn": "window_suite",
     "window_rank_dense": "window_suite",
     "window_lag_lead": "window_suite",
