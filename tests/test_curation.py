@@ -99,3 +99,54 @@ def test_duplicate_clusters_transitive_closure(spark):
     }
     # chain 0-1-2 collapses transitively; 3-4 pairs; 5 is a singleton
     assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+
+def test_ohlc_tie_determinism(spark):
+    """Same-timestamp ties: open/close pick the row with the smaller /
+    larger event_id — the struct-ordered min_by/max_by contract."""
+    import datetime as dt
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        ohlc_downsample,
+    )
+
+    t = dt.datetime(2024, 1, 1, 10, 30)
+    rows = [
+        (1, t, "a", 5.0),
+        (2, t, "a", 9.0),   # same ts as event 1: close must be id-ordered
+        (3, t.replace(minute=40), "a", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    bar = ohlc_downsample(df).collect()[0]
+    assert (bar.open, bar.high, bar.low, bar.close, bar.n_events) == (
+        5.0, 9.0, 5.0, 7.0, 3
+    )
+    two = ohlc_downsample(df.filter(F.col("event_id") <= 2)).collect()[0]
+    assert (two.open, two.close) == (5.0, 9.0)  # id breaks the tie
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    """weighted_sample keeps each row iff bucket(id) < w*buckets: the
+    decision is deterministic, weight-monotone per row (kept at w stays
+    kept at any w' >= w), and hits the extremes exactly (0 -> nothing,
+    1 -> everything)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    for w, lo, hi in ((0.0, 0, 0), (1.0, 500, 500), (0.3, 100, 200)):
+        got = weighted_sample(
+            df.withColumn("w", F.lit(w)), "w"
+        ).count()
+        assert lo <= got <= hi, (w, got)
+    kept_03 = {r.doc_id for r in weighted_sample(
+        df.withColumn("w", F.lit(0.3)), "w").collect()}
+    kept_06 = {r.doc_id for r in weighted_sample(
+        df.withColumn("w", F.lit(0.6)), "w").collect()}
+    assert kept_03 <= kept_06  # monotone in the weight
+    again = {r.doc_id for r in weighted_sample(
+        df.withColumn("w", F.lit(0.3)), "w").collect()}
+    assert again == kept_03   # deterministic
