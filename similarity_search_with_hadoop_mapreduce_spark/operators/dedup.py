@@ -289,7 +289,7 @@ def _banded_shingles(
     `bands ×` the shingle arrays — the standard LSH trade; a hot bucket
     (mass-duplicated content) explodes quadratically in pair count,
     which the consumers bound structurally: :func:`_bounded_buckets`
-    caps bucket size with an overflow side-output, and an upstream
+    caps bucket size with a representative-star overflow, and an upstream
     exact-dedup pass removes the identical-text mass first.
 
     Empty-shingle docs have all-NULL minhashes, so every band collapses
@@ -347,7 +347,7 @@ def _bounded_buckets(
 
     Bounded plan: a window ``count(*) over (partition by band, key)``
     computes each bucket's size BEFORE aggregation, rows in buckets
-    larger than ``max_bucket`` are diverted to an overflow side-output,
+    larger than ``max_bucket`` degrade to representative star pairs,
     and only then does ``collect_list`` run — every aggregated row holds
     at most ``max_bucket`` members *by construction*. Cost profile:
 
@@ -495,7 +495,7 @@ def minhash_lsh_pairs(
     docs sharing any band hash become candidates (linear-time candidate
     generation: one bounded bucketing on (band, band_hash) — see
     :func:`_bounded_buckets` for why buckets are size-capped with an
-    overflow side-output), then candidates are verified with exact
+    representative-star overflow), then candidates are verified with exact
     shingle-set Jaccard. Returns (doc_a, doc_b, jaccard) with
     jaccard >= threshold.
     """
@@ -681,7 +681,7 @@ def simhash_dup_pairs(
     bits must agree exactly on at least one of 3 bands — so candidates
     are generated with three equi-joins on band values (linear, no
     all-pairs), then verified with bit_count(xor) <= max_hamming.
-    Buckets are size-capped with an overflow side-output (see
+    Buckets are size-capped with a representative-star overflow (see
     :func:`_bounded_buckets`); a 16-bit fingerprint space is small, so
     mass-near-identical corpora WILL produce hot band values — the cap
     is what keeps a hot band from becoming one multi-GB aggregated row.

@@ -204,7 +204,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle mode: ``max_bucket=None`` — the DuckDB oracle has no bucket
     cap, so the entry must be exact at ANY sf (the production default
-    caps hot buckets at 1000 with an overflow side-output, a documented
+    caps hot buckets at 1000 with representative-star overflow, a documented
     bounded-recall trade the oracle does not model)."""
     return D.minhash_lsh_pairs(
         table(spark, sf_dir, "documents"),
