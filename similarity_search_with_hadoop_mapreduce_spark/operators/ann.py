@@ -1397,6 +1397,46 @@ def load_books(path: str) -> dict:
         return {k: dec(v) for k, v in json.load(f).items()}
 
 
+def append_ivfpq_layout(
+    new_vectors: DataFrame,
+    path: str,
+    coarse_book: list[tuple[int, list[float], float]],
+    pq_books: list[list[tuple[int, list[float], float]]],
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    residual: bool = False,
+) -> None:
+    """Append a batch of new vectors to a STORED IVF-PQ layout without
+    rebuilding — continuous ingestion for the ANN family (the analog of
+    :func:`operators.dedup.incremental_dedup_probe`'s stored-index
+    topology): the batch is coarse-assigned and PQ-encoded with the
+    SAME persisted books the layout was built with (load them via
+    :func:`load_books`), then appended into the existing
+    ``centroid_id`` partition directories — per-batch cost is O(batch),
+    the resident index never rewrites, and probes see the new vectors
+    with zero index downtime. Result-equal to a full rebuild over the
+    union corpus (pytest-pinned): encoding is a pure per-row function
+    of (vector, books).
+
+    Quantization drift is the documented trade: books stay frozen
+    between retrainings, so a batch from a shifted distribution encodes
+    with yesterday's centroids — monitor via the recall entries
+    (:func:`ivfpq_recall_multi` on a hash sample) and retrain + rewrite
+    when recall decays, exactly like any production IVF deployment."""
+    index = (
+        ivfpq_residual_index(
+            new_vectors, coarse_book, pq_books, sub_dim=sub_dim,
+            id_col=id_col,
+        )
+        if residual
+        else ivfpq_index(
+            new_vectors, coarse_book, pq_books, sub_dim=sub_dim,
+            id_col=id_col,
+        )
+    )
+    index.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
 def write_ivfpq_residual_layout(
     embeddings: DataFrame,
     path: str,

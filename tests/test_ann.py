@@ -427,3 +427,57 @@ def test_books_json_roundtrip_serves_layout(tmp_path, spark):
         coarse_book=loaded["coarse_book"], pq_books=loaded["pq_books"],
     ).collect()
     assert a == b and len(a) == 10
+
+
+def test_append_ivfpq_layout_equals_full_rebuild(spark, tmp_path):
+    """Continuous ingestion for the stored ANN index: build the layout
+    on half the corpus, append the other half with the SAME persisted
+    books — probes must return exactly what a full rebuild over the
+    union returns (encoding is a pure per-row function of vector and
+    books), for both the raw-space and residual layouts."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        append_ivfpq_layout,
+        ivfpq_residual_topk_from_layout,
+        ivfpq_topk_from_layout,
+        kmeans_codebook,
+        pq_codebooks,
+        residual_pq_codebooks,
+        write_ivfpq_layout,
+        write_ivfpq_residual_layout,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    coarse = kmeans_codebook(emb, n_centroids=8, iters=1)
+    key = lambda r: (r.vec_id, r.centroid_id, r.code_packed, r.pq_score)
+
+    # raw-space layout
+    books = pq_codebooks(emb, m=4, sub_dim=16, k_sub=8, iters=1)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_ivfpq_layout(half_a, inc, coarse, books)
+    append_ivfpq_layout(half_b, inc, coarse, books)
+    write_ivfpq_layout(emb, full, coarse, books)
+    got = ivfpq_topk_from_layout(
+        spark, inc, emb, 0, coarse_book=coarse, pq_books=books
+    ).collect()
+    want = ivfpq_topk_from_layout(
+        spark, full, emb, 0, coarse_book=coarse, pq_books=books
+    ).collect()
+    assert [key(r) for r in got] == [key(r) for r in want] and len(got) == 10
+
+    # residual (IVFADC) layout
+    rbooks = residual_pq_codebooks(emb, coarse, iters=1)
+    rinc, rfull = str(tmp_path / "rinc"), str(tmp_path / "rfull")
+    write_ivfpq_residual_layout(half_a, rinc, coarse, rbooks)
+    append_ivfpq_layout(half_b, rinc, coarse, rbooks, residual=True)
+    write_ivfpq_residual_layout(emb, rfull, coarse, rbooks)
+    rgot = ivfpq_residual_topk_from_layout(
+        spark, rinc, emb, 0, coarse_book=coarse, pq_books=rbooks
+    ).collect()
+    rwant = ivfpq_residual_topk_from_layout(
+        spark, rfull, emb, 0, coarse_book=coarse, pq_books=rbooks
+    ).collect()
+    assert [key(r) for r in rgot] == [key(r) for r in rwant] and len(rgot) == 10
