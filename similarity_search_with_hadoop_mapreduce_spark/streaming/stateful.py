@@ -197,6 +197,50 @@ def streaming_neardup_probe_demo(
     )
 
 
+def streaming_ann_ingest_demo(
+    spark: SparkSession,
+    incoming_dir: str,
+    layout_path: str,
+    checkpoint_dir: str,
+    coarse_book: list,
+    pq_books: list,
+    residual: bool = False,
+) -> None:
+    """Continuous ANN-index ingestion: each micro-batch of new vectors
+    is encoded with the FROZEN persisted books and appended into the
+    stored IVF-PQ layout's centroid partitions
+    (:func:`operators.ann.append_ivfpq_layout`) — probes see each
+    epoch's vectors as soon as its append commits, the resident index
+    never rewrites, and per-epoch cost is O(batch). ``availableNow``
+    drains the backlog and stops; the checkpoint makes a drained
+    re-run a no-op (epochs are not re-fired), the same at-least-once →
+    effectively-once contract as the dedup probe demo. Equality with a
+    full rebuild is pinned in tests/test_streaming.py."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        append_ivfpq_layout,
+    )
+
+    schema = "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming_dir)
+    )
+
+    def ingest_epoch(batch_df, epoch_id: int) -> None:
+        append_ivfpq_layout(
+            batch_df, layout_path, coarse_book, pq_books, residual=residual
+        )
+
+    (
+        stream.writeStream.foreachBatch(ingest_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def tws_available() -> bool:
     """transformWithStateInPandas needs the protobuf wire format between
     the JVM and its Python driver worker; gate on the dependency instead

@@ -182,3 +182,44 @@ def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
     streaming_neardup_probe_demo(spark, inc_dir, out, ckpt)
     again = sorted(map(key, spark.read.parquet(out).drop("epoch").collect()))
     assert again == want
+
+
+def test_streaming_ann_ingest_matches_full_rebuild(spark, tmp_path):
+    """Streaming ANN ingestion: half the corpus builds the layout, the
+    other half streams in over micro-batches (frozen books) — the probe
+    must equal a full rebuild over the union."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        ivfpq_topk_from_layout,
+        kmeans_codebook,
+        pq_codebooks,
+        write_ivfpq_layout,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_ann_ingest_demo,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coarse = kmeans_codebook(emb, n_centroids=8, iters=1)
+    books = pq_codebooks(emb, m=4, sub_dim=16, k_sub=8, iters=1)
+    resident = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+    layout = str(tmp_path / "layout")
+    write_ivfpq_layout(resident, layout, coarse, books)
+    inc_dir = str(tmp_path / "incoming")
+    arriving.repartition(3).write.parquet(inc_dir)  # three micro-batches
+    ckpt = str(tmp_path / "ckpt")
+    streaming_ann_ingest_demo(spark, inc_dir, layout, ckpt, coarse, books)
+    full = str(tmp_path / "full")
+    write_ivfpq_layout(emb, full, coarse, books)
+    key = lambda r: (r.vec_id, r.centroid_id, r.code_packed, r.pq_score)
+    got = ivfpq_topk_from_layout(
+        spark, layout, emb, 0, coarse_book=coarse, pq_books=books
+    ).collect()
+    want = ivfpq_topk_from_layout(
+        spark, full, emb, 0, coarse_book=coarse, pq_books=books
+    ).collect()
+    assert [key(r) for r in got] == [key(r) for r in want] and len(got) == 10
+    # drained stream: re-running appends nothing (checkpoint committed)
+    n_before = spark.read.parquet(layout).count()
+    streaming_ann_ingest_demo(spark, inc_dir, layout, ckpt, coarse, books)
+    assert spark.read.parquet(layout).count() == n_before
