@@ -1153,6 +1153,52 @@ def build_dedup_index(
     write_bucketed(bandtbl, f"{prefix}_bands", "bh", n_buckets=n_buckets)
 
 
+def append_dedup_index(
+    new_docs: DataFrame,
+    prefix: str = "dedup_index",
+    k: int = 16,
+    bands: int = 4,
+    n_buckets: int = 16,
+    text_col: str = "text",
+) -> None:
+    """Append newly ACCEPTED documents to the stored dedup indexes — the
+    write half of the continuous-curation loop: an epoch probes the
+    index (:func:`incremental_dedup_probe`), keeps the non-duplicates,
+    and appends exactly those so later epochs dedup against them too.
+    Bucketed appends keep the tables' hash layout (Spark enforces the
+    bucket spec on append), so probe joins stay corpus-side
+    shuffle-free forever.
+
+    The appended band rows carry ``bucket_n = 1`` and
+    ``is_rep = true``: per-bucket sizes are a BUILD-time statistic and
+    are not recomputed on append, so the probe's hot-bucket star filter
+    sees appended rows individually (slightly conservative — an
+    appended row never hides behind a cap until the next full rebuild
+    refreshes the statistics; full rebuild cadence is the deployment's
+    statistics-refresh dial)."""
+    t = F.col(text_col)
+    digests = new_docs.select(
+        F.col("doc_id").alias("dup_of"), F.md5(t).alias("digest")
+    )
+    digests.write.mode("append").bucketBy(n_buckets, "digest").saveAsTable(
+        f"{prefix}_digest"
+    )
+    bandtbl = (
+        _banded_shingles(new_docs, k=k, bands=bands, text_col=text_col)
+        .select(
+            F.col("doc_id").alias("dup_of"),
+            F.col("s").alias("s_e"),
+            F.col("band").alias("band_e"),
+            "bh",
+            F.lit(1).cast("long").alias("bucket_n"),
+            F.lit(True).alias("is_rep"),
+        )
+    )
+    bandtbl.write.mode("append").bucketBy(n_buckets, "bh").saveAsTable(
+        f"{prefix}_bands"
+    )
+
+
 def incremental_dedup_probe(
     spark,
     incoming: DataFrame,

@@ -606,3 +606,39 @@ def test_property_star_pairs_subset_of_uncapped(spark):
         assert starred2 == starred
 
     check()
+
+
+def test_append_dedup_index_continuous_loop(spark):
+    """The continuous-curation write half: accepted docs append to the
+    stored indexes, so a LATER batch's duplicates of epoch-1 arrivals
+    are flagged — and the probe result equals an index built from the
+    full accepted corpus in one shot."""
+    corpus = _docs(spark)
+    D.build_dedup_index(corpus, prefix="loop_idx")
+    epoch1 = spark.createDataFrame(
+        [(100, "a brand new document about rivers and mountain lakes today")],
+        "doc_id long, text string",
+    )
+    # epoch 1: no duplicates -> accepted and appended
+    assert D.incremental_dedup_probe(spark, epoch1, prefix="loop_idx").count() == 0
+    D.append_dedup_index(epoch1, prefix="loop_idx")
+    epoch2 = spark.createDataFrame(
+        [(200, "a brand new document about rivers and mountain lakes today"),
+         (201, "wholly original content with no relatives anywhere at all")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.dup_of, r.kind)
+        for r in D.incremental_dedup_probe(spark, epoch2, prefix="loop_idx").collect()
+    }
+    assert (200, 100, "exact") in got       # flagged against the APPENDED doc
+    assert not any(d == 201 for d, _, _ in got)
+    # one-shot rebuild over corpus+epoch1 gives the same epoch-2 verdicts
+    D.build_dedup_index(corpus.unionByName(epoch1), prefix="loop_idx_full")
+    want = {
+        (r.doc_id, r.dup_of, r.kind)
+        for r in D.incremental_dedup_probe(
+            spark, epoch2, prefix="loop_idx_full"
+        ).collect()
+    }
+    assert got == want
