@@ -208,3 +208,21 @@ def test_q18_single_lineitem_agg_no_second_join(spark):
     # one real shuffle (the orderkey agg); everything else broadcasts
     assert shuffle_exchange_count(df) == 1, plan
     assert broadcast_exchange_count(df) >= 1, plan
+
+
+def test_ohlc_single_aggregation_exchange(spark):
+    """OHLC bars are ONE aggregation exchange on (key, bucket) — no
+    window, no join (open/close ride min_by/max_by in the same agg)."""
+    import datetime as dt
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        ohlc_downsample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 10, i % 60), "a", float(i)) for i in range(40)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    plan = explain_string(ohlc_downsample(df))
+    assert shuffle_exchange_count(ohlc_downsample(df)) == 1
+    assert "Window (" not in plan and "Join" not in plan
