@@ -241,6 +241,74 @@ def streaming_ann_ingest_demo(
     )
 
 
+def streaming_curation_loop_demo(
+    spark: SparkSession,
+    incoming_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    prefix: str = "loop_dedup_index",
+    threshold: float = 0.5,
+) -> None:
+    """The CLOSED continuous-curation loop in one streaming artifact:
+    per epoch, incoming documents are probed against the stored dedup
+    indexes, the non-duplicates are accepted (epoch-partitioned
+    idempotent parquet) AND appended back into the indexes
+    (:func:`operators.dedup.append_dedup_index`) — so epoch N+1 dedups
+    against epoch N's arrivals, not just the original corpus. This is
+    what "dedup at ingest" means at 100 TB: the corpus-sized side is
+    hashed once ever; every epoch costs O(epoch).
+
+    Ordering note: ``maxFilesPerTrigger=1`` + availableNow processes
+    epochs sequentially, so the probe-then-append within an epoch is
+    race-free (a micro-batch never overlaps the next). The accept
+    output is epoch-partitioned dynamic overwrite (idempotent on
+    replay); the index append is NOT idempotent under epoch replay —
+    a crash between the two writes can re-append an epoch's rows, which
+    is benign for dedup semantics (duplicate index rows flag the same
+    duplicates; doc_id dedup on rebuild compacts them) and is the
+    standard at-least-once trade foreachBatch makes."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        append_dedup_index,
+        incremental_dedup_probe,
+    )
+
+    schema = "doc_id BIGINT, text STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming_dir)
+    )
+
+    def curate_epoch(batch_df, epoch_id: int) -> None:
+        batch_df = batch_df.persist()  # probed AND filtered: two consumers
+        try:
+            dups = incremental_dedup_probe(
+                spark, batch_df, prefix=prefix, threshold=threshold
+            )
+            accepted = batch_df.join(
+                dups.select("doc_id").distinct(), "doc_id", "left_anti"
+            ).persist()
+            (
+                accepted.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(out_dir)
+            )
+            append_dedup_index(accepted, prefix=prefix)
+            accepted.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    (
+        stream.writeStream.foreachBatch(curate_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def tws_available() -> bool:
     """transformWithStateInPandas needs the protobuf wire format between
     the JVM and its Python driver worker; gate on the dependency instead

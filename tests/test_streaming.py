@@ -223,3 +223,37 @@ def test_streaming_ann_ingest_matches_full_rebuild(spark, tmp_path):
     n_before = spark.read.parquet(layout).count()
     streaming_ann_ingest_demo(spark, inc_dir, layout, ckpt, coarse, books)
     assert spark.read.parquet(layout).count() == n_before
+
+
+def test_streaming_curation_loop_closed(spark, tmp_path):
+    """The closed loop: epoch 2's duplicate of an epoch-1 ACCEPTED doc
+    is rejected (the index grew mid-stream), and the accepted set equals
+    sequential batch processing of the same epochs."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_curation_loop_demo,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document about engines and data pipelines")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, prefix="loop_dedup_index")
+    e1 = [(100, "fresh arrival text about rivers and mountain lakes today")]
+    e2 = [(200, "fresh arrival text about rivers and mountain lakes today"),
+          (201, "wholly original content with no relatives anywhere at all")]
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    # one file per epoch, named so listing order gives e1 before e2
+    spark.createDataFrame(e1, "doc_id long, text string").coalesce(1)\
+        .write.parquet(str(inc / "e1"))
+    spark.createDataFrame(e2, "doc_id long, text string").coalesce(1)\
+        .write.parquet(str(inc / "e2"))
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
+    streaming_curation_loop_demo(spark, f"{inc}/*", out, ckpt)
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # 100 accepted (nothing like it in the corpus); 200 REJECTED as a
+    # duplicate of the mid-stream arrival 100; 201 accepted
+    assert accepted == {100, 201}
