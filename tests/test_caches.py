@@ -125,3 +125,38 @@ def test_literal_finiteness_guards():
         A._adc_exprs(bad_book, [1.0, 2.0], 1.0, 2, 1)
     with pytest.raises(ValueError, match="finite"):
         A._adc_exprs([[(0, [1.0, 1.0], 1.0)]], [1.0, 2.0], math.inf, 2, 1)
+
+
+def test_save_books_rejects_nan(tmp_path):
+    """The JSON book artifact must fail loudly at SAVE time on a
+    non-finite component (strict JSON, engine-independent contract)."""
+    import pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        save_books,
+    )
+
+    with pytest.raises(ValueError):
+        save_books(
+            str(tmp_path / "b.json"),
+            coarse_book=[(0, [float("nan"), 1.0], 1.0)],
+        )
+
+
+def test_adc_rejects_book_geometry_mismatch():
+    """Books with a different geometry than the caller's m/sub_dim must
+    raise, not silently zero LUT terms (review r4)."""
+    import pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        _adc_exprs,
+    )
+
+    good_book = [(0, [1.0, 2.0], 1.0)]
+    # 2 books x sub_dim 2 over a 4-dim query: OK
+    _adc_exprs([good_book, good_book], [1.0, 2.0, 3.0, 4.0], 1.0, 2, 1)
+    with pytest.raises(ValueError, match="must cover the query dimension"):
+        _adc_exprs([good_book], [1.0, 2.0, 3.0, 4.0], 1.0, 2, 1)
+    wide_book = [(0, [1.0, 2.0, 3.0], 1.0)]
+    with pytest.raises(ValueError, match="books/geometry mismatch"):
+        _adc_exprs([wide_book, wide_book], [1.0, 2.0, 3.0, 4.0], 1.0, 2, 1)
