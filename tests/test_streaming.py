@@ -257,3 +257,36 @@ def test_streaming_curation_loop_closed(spark, tmp_path):
     # 100 accepted (nothing like it in the corpus); 200 REJECTED as a
     # duplicate of the mid-stream arrival 100; 201 accepted
     assert accepted == {100, 201}
+
+
+def test_streaming_curation_loop_survives_empty_epoch(spark, tmp_path):
+    """An empty micro-batch (a backfill gap / empty file) must pass
+    through the probe -> accept -> append cycle as a no-op, not break
+    the query or the indexes."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_curation_loop_demo,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document about engines and data pipelines")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, prefix="loop_dedup_index")
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(300, "arrival before the gap about oceans and tides")], schema
+    ).coalesce(1).write.parquet(str(inc / "e1"))
+    spark.createDataFrame([], schema).coalesce(1).write.parquet(str(inc / "e2"))
+    spark.createDataFrame(
+        [(301, "arrival before the gap about oceans and tides")], schema
+    ).coalesce(1).write.parquet(str(inc / "e3"))
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
+    streaming_curation_loop_demo(spark, f"{inc}/*", out, ckpt)
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # 300 accepted; empty epoch a no-op; 301 rejected as dup of 300
+    assert accepted == {300}
