@@ -671,11 +671,23 @@ def _recall_reduce(
     approx: DataFrame, exact: DataFrame, k: int, n_queries: int
 ) -> DataFrame:
     """One-row ``(recall_at_k, k, n_queries)`` reduction shared by every
-    recall metric (both sides are (qid, vec_id) top-k sets)."""
-    return approx.join(exact, ["qid", "vec_id"]).agg(
-        (F.count(F.lit(1)).cast("double") / F.lit(float(k * n_queries))).alias(
-            "recall_at_k"
-        ),
+    recall metric (both sides are (qid, vec_id) top-k sets).
+
+    The denominator is the EXACT side's row count — i.e. per query,
+    min(k, exact candidates available) — not ``k * n_queries``: under
+    ``sample_fraction`` a query whose hash sample leaves fewer than k
+    candidates would otherwise deflate recall below 1.0 for a perfect
+    index (a systematic bias, not sampling noise; review r4). On a full
+    corpus with >= k+1 vectors the two denominators coincide, so the
+    unsampled metrics are unchanged."""
+    hits = approx.join(exact, ["qid", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("double").alias("_n_hit")
+    )
+    denom = exact.agg(F.count(F.lit(1)).cast("double").alias("_n_exact"))
+    return hits.join(denom).select(
+        (
+            F.col("_n_hit") / F.nullif(F.col("_n_exact"), F.lit(0.0))
+        ).alias("recall_at_k"),
         F.lit(k).cast("int").alias("k"),
         F.lit(n_queries).cast("int").alias("n_queries"),
     )
@@ -1314,6 +1326,59 @@ def write_ivf_layout(
     ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def append_ivf_layout(
+    new_vectors: DataFrame,
+    path: str,
+    book: list[tuple[int, list[float], float]],
+    id_col: str = "vec_id",
+) -> None:
+    """Append a batch of new vectors to a STORED plain-IVF layout
+    without rebuilding — the maintenance counterpart
+    :func:`append_ivfpq_layout` gave the PQ topology (r4 verdict item
+    #5): the batch is coarse-assigned with the SAME frozen ``book`` the
+    layout was built with and appended into the existing
+    ``centroid_id`` partition directories. Per-batch cost is O(batch),
+    the resident lists never rewrite, and probes see the new vectors as
+    soon as the append commits. Result-equal to a full rebuild over the
+    union corpus (pytest-pinned): assignment is a pure per-row function
+    of (vector, book). ``book`` is required — assignment under a
+    retrained book would scatter the batch across DIFFERENT lists than
+    the resident corpus, silently corrupting probe recall."""
+    if book is None:
+        raise ValueError(
+            "append_ivf_layout requires the book the layout was "
+            "partitioned with (appending under a different book files "
+            "vectors into the wrong inverted lists)"
+        )
+    assign_ivf_centroids(
+        new_vectors, len(book), id_col=id_col, book=book
+    ).write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
+def append_lsh_layout(
+    new_vectors: DataFrame,
+    path: str,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> None:
+    """Append a batch of new vectors to a STORED LSH layout without
+    rebuilding (r4 verdict item #5, the hash-family twin of
+    :func:`append_ivf_layout`): the batch is bucketed with the same
+    deterministic hyperplane family (:func:`hyperplane_signs` is a pure
+    function of ``(n_planes, dim)`` — the planes are frozen by
+    construction, no persisted artifact needed) and appended into the
+    existing ``bucket`` partition directories. Result-equal to a full
+    rebuild over the union corpus (pytest-pinned); pass the SAME
+    ``n_planes``/``dim`` the layout was written with — a different
+    geometry would bucket the batch under a different family than the
+    resident corpus."""
+    planes = hyperplane_signs(n_planes, dim)
+    fan_out(new_vectors).withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), planes)
+    ).write.mode("append").partitionBy("bucket").parquet(path)
+
+
 def ivf_topk_from_layout(
     spark,
     layout_path: str,
@@ -1405,6 +1470,7 @@ def append_ivfpq_layout(
     sub_dim: int = 16,
     id_col: str = "vec_id",
     residual: bool = False,
+    epoch_id: int | None = None,
 ) -> None:
     """Append a batch of new vectors to a STORED IVF-PQ layout without
     rebuilding — continuous ingestion for the ANN family (the analog of
@@ -1422,7 +1488,20 @@ def append_ivfpq_layout(
     between retrainings, so a batch from a shifted distribution encodes
     with yesterday's centroids — monitor via the recall entries
     (:func:`ivfpq_recall_multi` on a hash sample) and retrain + rewrite
-    when recall decays, exactly like any production IVF deployment."""
+    when recall decays, exactly like any production IVF deployment.
+
+    **Replay safety** (``epoch_id``): a plain append is at-least-once —
+    a crash between the parquet commit and a streaming checkpoint
+    commit re-fires the epoch and duplicates its vectors, and unlike
+    the dedup index (where re-appended rows are benign) duplicated
+    vectors CHANGE top-k and recall results (ADVICE r4). With
+    ``epoch_id`` set, the batch lands as a writer-scoped DYNAMIC
+    OVERWRITE of its own ``(centroid_id, epoch)`` partitions — a
+    replayed epoch deterministically re-encodes the same rows and
+    overwrites itself, making the append idempotent. Requires a layout
+    whose base was written with an ``epoch`` partition level
+    (``write_ivfpq_layout(..., epoch=-1)``): parquet partition
+    discovery rejects trees that mix partitioned depths."""
     index = (
         ivfpq_residual_index(
             new_vectors, coarse_book, pq_books, sub_dim=sub_dim,
@@ -1434,7 +1513,19 @@ def append_ivfpq_layout(
             id_col=id_col,
         )
     )
-    index.write.mode("append").partitionBy("centroid_id").parquet(path)
+    if epoch_id is not None:
+        (
+            index.withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+            .write.mode("overwrite")
+            # writer-scoped, NOT spark.conf.set (same rationale as the
+            # streaming probe demo: a session-global dynamic mode would
+            # leak into the caller's later partitioned overwrites)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id", "epoch")
+            .parquet(path)
+        )
+    else:
+        index.write.mode("append").partitionBy("centroid_id").parquet(path)
 
 
 def write_ivfpq_residual_layout(
@@ -1444,16 +1535,28 @@ def write_ivfpq_residual_layout(
     pq_books: list[list[tuple[int, list[float], float]]],
     sub_dim: int = 16,
     id_col: str = "vec_id",
+    epoch: int | None = None,
 ) -> None:
     """Persist the RESIDUAL IVF-PQ index (IVFADC) in storage layout:
     parquet partitioned by ``centroid_id``, each inverted-list directory
     holding only ``(vec_id, code, nrm)`` where ``code`` quantizes the
     residual and ``nrm`` is the raw-vector norm. Same ~60x footprint and
     partition-pruned probes as the raw-space layout; pass the
-    residual-trained books the layout was encoded with."""
-    ivfpq_residual_index(
+    residual-trained books the layout was encoded with. ``epoch`` adds
+    the idempotent-append partition level (see
+    :func:`write_ivfpq_layout`)."""
+    idx = ivfpq_residual_index(
         embeddings, coarse_book, pq_books, sub_dim=sub_dim, id_col=id_col
-    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    )
+    if epoch is not None:
+        (
+            idx.withColumn("epoch", F.lit(int(epoch)).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("centroid_id", "epoch")
+            .parquet(path)
+        )
+    else:
+        idx.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
 def ivfpq_residual_topk_from_layout(
@@ -1514,16 +1617,32 @@ def write_ivfpq_layout(
     pq_books: list[list[tuple[int, list[float], float]]],
     sub_dim: int = 16,
     id_col: str = "vec_id",
+    epoch: int | None = None,
 ) -> None:
     """Persist the IVF-PQ index in storage layout: parquet partitioned by
     ``centroid_id``, each inverted-list directory holding only the
     compressed ``(vec_id, code, nrm)`` payload — raw embeddings never
     leave the build job, so the at-rest index is ~60× smaller than the
     corpus AND partition-pruned per query. Books are required (not
-    retrained) so probes rank exactly the centroids the layout encodes."""
-    ivfpq_index(
+    retrained) so probes rank exactly the centroids the layout encodes.
+
+    ``epoch`` (e.g. ``-1`` for the base build) adds a second partition
+    level so :func:`append_ivfpq_layout` can land later batches as
+    idempotent per-epoch dynamic overwrites — the convention the
+    streaming ingest demo requires; probes are unaffected (they filter
+    on ``centroid_id`` and select named columns)."""
+    idx = ivfpq_index(
         embeddings, coarse_book, pq_books, sub_dim=sub_dim, id_col=id_col
-    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    )
+    if epoch is not None:
+        (
+            idx.withColumn("epoch", F.lit(int(epoch)).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("centroid_id", "epoch")
+            .parquet(path)
+        )
+    else:
+        idx.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
 def ivfpq_topk_from_layout(

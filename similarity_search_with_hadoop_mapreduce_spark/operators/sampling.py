@@ -92,9 +92,32 @@ def weighted_sample(
     md5 machinery as the split/stratified samplers, so the decision is
     stable under repartitioning, retries, and reruns, and an oracle can
     replay it; quality-weighted corpus downsampling is the canonical
-    use (weight = quality score)."""
+    use (weight = quality score).
+
+    Weights are validated per row: NULL, NaN, infinite, or out-of-[0,1]
+    weights raise at execution instead of silently degenerating (a NaN
+    or negative weight compares false and would drop every such row;
+    w > 1 would saturate to keep-all) — the same fail-loudly contract as
+    ``_recall_sample_filter``'s fraction guard in :mod:`operators.ann`.
+    """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    wd = w.cast("double")
+    bad = (
+        wd.isNull()
+        | F.isnan(wd)
+        | (wd < F.lit(0.0))
+        | (wd > F.lit(1.0))
+    )
+    guarded = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample: weight must be finite in [0, 1], got "),
+                F.coalesce(wd.cast("string"), F.lit("NULL")),
+            )
+        ).cast("double"),
+    ).otherwise(wd)
     return df.filter(
         hash_bucket(F.col(id_col), buckets).cast("double")
-        < w * F.lit(float(buckets))
+        < guarded * F.lit(float(buckets))
     )

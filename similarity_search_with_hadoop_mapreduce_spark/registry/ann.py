@@ -778,7 +778,8 @@ def _pq_recall_oracle() -> str:
         + ",\n".join(parts)
         + f"""
 SELECT CAST((SELECT count(*) FROM adc JOIN exact USING (qid, vec_id)) AS DOUBLE)
-         / {_K * _N_QUERIES} AS recall_at_k,
+         / nullif(CAST((SELECT count(*) FROM exact) AS DOUBLE), 0.0)
+           AS recall_at_k,
        CAST({_K} AS INTEGER) AS k,
        CAST({_N_QUERIES} AS INTEGER) AS n_queries
 """
@@ -931,7 +932,8 @@ def _ivfpq_recall_oracle(residual: bool) -> str:
         + ",\n".join(parts)
         + f"""
 SELECT CAST((SELECT count(*) FROM adc JOIN exact USING (qid, vec_id)) AS DOUBLE)
-         / {_K * _N_QUERIES} AS recall_at_k,
+         / nullif(CAST((SELECT count(*) FROM exact) AS DOUBLE), 0.0)
+           AS recall_at_k,
        CAST({_K} AS INTEGER) AS k,
        CAST({_N_QUERIES} AS INTEGER) AS n_queries
 """
@@ -1061,7 +1063,8 @@ exact AS (
   ) WHERE rn <= {_K}
 )
 SELECT CAST((SELECT count(*) FROM ivf JOIN exact USING (qid, vec_id)) AS DOUBLE)
-         / {_K * _N_QUERIES} AS recall_at_k,
+         / nullif(CAST((SELECT count(*) FROM exact) AS DOUBLE), 0.0)
+           AS recall_at_k,
        CAST({_K} AS INTEGER) AS k,
        CAST({_N_QUERIES} AS INTEGER) AS n_queries
 """

@@ -213,9 +213,18 @@ def streaming_ann_ingest_demo(
     epoch's vectors as soon as its append commits, the resident index
     never rewrites, and per-epoch cost is O(batch). ``availableNow``
     drains the backlog and stops; the checkpoint makes a drained
-    re-run a no-op (epochs are not re-fired), the same at-least-once →
-    effectively-once contract as the dedup probe demo. Equality with a
-    full rebuild is pinned in tests/test_streaming.py."""
+    re-run a no-op (epochs are not re-fired).
+
+    The append is EFFECTIVELY-ONCE even across a crash between the
+    parquet commit and the checkpoint commit: each epoch lands as a
+    dynamic overwrite of its own ``(centroid_id, epoch)`` partitions
+    (``append_ivfpq_layout(..., epoch_id=...)``), so the re-fired epoch
+    deterministically overwrites itself instead of duplicating its
+    vectors — which, unlike the dedup index, would change top-k and
+    recall results (ADVICE r4). Requires the layout's base to be
+    written with the epoch partition level
+    (``write_ivfpq_layout(..., epoch=-1)``); replay-equality is pinned
+    in tests/test_streaming.py alongside the full-rebuild equality."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
         append_ivfpq_layout,
     )
@@ -229,7 +238,8 @@ def streaming_ann_ingest_demo(
 
     def ingest_epoch(batch_df, epoch_id: int) -> None:
         append_ivfpq_layout(
-            batch_df, layout_path, coarse_book, pq_books, residual=residual
+            batch_df, layout_path, coarse_book, pq_books,
+            residual=residual, epoch_id=epoch_id,
         )
 
     (
@@ -260,16 +270,27 @@ def streaming_curation_loop_demo(
 
     Ordering note: ``maxFilesPerTrigger=1`` + availableNow processes
     epochs sequentially, so the probe-then-append within an epoch is
-    race-free (a micro-batch never overlaps the next). The accept
-    output is epoch-partitioned dynamic overwrite (idempotent on
-    replay); the index append is NOT idempotent under epoch replay —
-    a crash between the two writes can re-append an epoch's rows, which
-    is benign for dedup semantics (duplicate index rows flag the same
-    duplicates; doc_id dedup on rebuild compacts them) and is the
-    standard at-least-once trade foreachBatch makes."""
+    race-free (a micro-batch never overlaps the next). Both writes are
+    now effectively-once under crash-replay: the accept output is
+    epoch-partitioned dynamic overwrite (replay overwrites itself), and
+    the index append stamps its rows with the foreachBatch ``epoch_id``
+    and SKIPS tables whose epoch rows already landed
+    (:func:`operators.dedup.append_dedup_index` — per-table check, so a
+    crash between the digest and band appends replays exactly the
+    missing half; r4 verdict item #1, crash-replay pinned in
+    tests/test_streaming.py).
+
+    Duplicates arriving WITHIN one epoch are handled too: before the
+    stored-index probe, an in-batch pass
+    (:func:`operators.dedup.intra_batch_dedup`) flags batch docs that
+    duplicate a smaller-id doc of the same batch, so only one member of
+    each in-epoch duplicate group is accepted and appended (ADVICE r4:
+    the probe alone would accept them all — the index only knows the
+    PAST, never the present batch)."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
         append_dedup_index,
         incremental_dedup_probe,
+        intra_batch_dedup,
     )
 
     schema = "doc_id BIGINT, text STRING"
@@ -285,8 +306,14 @@ def streaming_curation_loop_demo(
             dups = incremental_dedup_probe(
                 spark, batch_df, prefix=prefix, threshold=threshold
             )
+            intra = intra_batch_dedup(batch_df, threshold=threshold)
+            dup_ids = (
+                dups.select("doc_id")
+                .unionByName(intra.select("doc_id"))
+                .distinct()
+            )
             accepted = batch_df.join(
-                dups.select("doc_id").distinct(), "doc_id", "left_anti"
+                dup_ids, "doc_id", "left_anti"
             ).persist()
             (
                 accepted.withColumn("epoch", F.lit(epoch_id))
@@ -295,7 +322,7 @@ def streaming_curation_loop_demo(
                 .partitionBy("epoch")
                 .parquet(out_dir)
             )
-            append_dedup_index(accepted, prefix=prefix)
+            append_dedup_index(accepted, prefix=prefix, epoch_id=epoch_id)
             accepted.unpersist()
         finally:
             batch_df.unpersist()

@@ -150,3 +150,28 @@ def test_weighted_sample_deterministic_and_monotone(spark):
     again = {r.doc_id for r in weighted_sample(
         df.withColumn("w", F.lit(0.3)), "w").collect()}
     assert again == kept_03   # deterministic
+
+
+def test_weighted_sample_rejects_invalid_weights(spark):
+    """Out-of-domain weights fail loudly at execution instead of the old
+    silent degeneracies (NaN/negative compared false -> keep-none;
+    w > 1 saturated to keep-all; NULL dropped the row) — the same
+    fail-loudly contract as the ANN recall fraction guard."""
+    import pytest
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    for bad in (
+        F.lit(-0.1),
+        F.lit(1.5),
+        F.lit(float("nan")),
+        F.lit(None).cast("double"),
+    ):
+        with pytest.raises(Exception) as ei:
+            weighted_sample(df.withColumn("w", bad), "w").count()
+        assert "weight must be finite in [0, 1]" in str(ei.value)
+    # boundary values stay valid: 0 keeps nothing, 1 keeps everything
+    assert weighted_sample(df.withColumn("w", F.lit(0.0)), "w").count() == 0
+    assert weighted_sample(df.withColumn("w", F.lit(1.0)), "w").count() == 10

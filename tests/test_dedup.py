@@ -642,3 +642,148 @@ def test_append_dedup_index_continuous_loop(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_append_dedup_index_replay_safe(spark):
+    """Crash-replay contract (r4 verdict #1): re-running an epoch's
+    index append is a no-op once its rows landed, and a crash BETWEEN
+    the digest and band appends replays to exactly the missing half —
+    index row counts and probe results end identical to a single clean
+    append."""
+    corpus = _docs(spark)
+    D.build_dedup_index(corpus, prefix="replay_idx")
+    epoch3 = spark.createDataFrame(
+        [(300, "replay-safe arrival about glaciers and winter storms")],
+        "doc_id long, text string",
+    )
+    D.append_dedup_index(epoch3, prefix="replay_idx", epoch_id=3)
+    dig_n = spark.table("replay_idx_digest").count()
+    band_n = spark.table("replay_idx_bands").count()
+    probe_batch = spark.createDataFrame(
+        [(900, "replay-safe arrival about glaciers and winter storms")],
+        "doc_id long, text string",
+    )
+    key = lambda r: (r.doc_id, r.dup_of, r.kind, round(r.jaccard, 9))
+    want = sorted(
+        key(r)
+        for r in D.incremental_dedup_probe(
+            spark, probe_batch, prefix="replay_idx"
+        ).collect()
+    )
+    assert any(d == 900 and o == 300 for d, o, _, _ in want)
+    # full replay of the committed epoch: both appends skipped
+    D.append_dedup_index(epoch3, prefix="replay_idx", epoch_id=3)
+    assert spark.table("replay_idx_digest").count() == dig_n
+    assert spark.table("replay_idx_bands").count() == band_n
+    # crash between the two writes: digest commits, bands raises
+    epoch4 = spark.createDataFrame(
+        [(400, "a second replay arrival about canyons and desert winds")],
+        "doc_id long, text string",
+    )
+    real_banded = D._banded_shingles
+    import pytest
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before the band append")
+
+    D._banded_shingles = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            D.append_dedup_index(epoch4, prefix="replay_idx", epoch_id=4)
+    finally:
+        D._banded_shingles = real_banded
+    assert spark.table("replay_idx_digest").count() == dig_n + 1  # committed
+    assert spark.table("replay_idx_bands").count() == band_n      # not yet
+    # replay after the crash: digest skipped, bands completed — end
+    # state equals one clean append
+    D.append_dedup_index(epoch4, prefix="replay_idx", epoch_id=4)
+    assert spark.table("replay_idx_digest").count() == dig_n + 1
+    band_after = spark.table("replay_idx_bands").count()
+    assert band_after > band_n
+    # and a third replay is a full no-op, with probe results stable
+    D.append_dedup_index(epoch4, prefix="replay_idx", epoch_id=4)
+    assert spark.table("replay_idx_digest").count() == dig_n + 1
+    assert spark.table("replay_idx_bands").count() == band_after
+    again = sorted(
+        key(r)
+        for r in D.incremental_dedup_probe(
+            spark, probe_batch, prefix="replay_idx"
+        ).collect()
+    )
+    assert again == want
+
+
+def test_intra_batch_dedup_flags_same_batch_duplicates(spark):
+    """intra_batch_dedup: duplicates arriving in the SAME batch are
+    flagged against the smallest-id member (keep-min), novel docs are
+    untouched, and the min member itself is never flagged."""
+    batch = spark.createDataFrame(
+        [
+            (10, "identical payload about tides and harbors tonight"),
+            (11, "identical payload about tides and harbors tonight"),
+            (12, "identical payload about tides and harbors tonight"),
+            (13, "wholly unrelated content regarding alpine railways"),
+        ],
+        "doc_id long, text string",
+    )
+    rel = D.intra_batch_dedup(batch)
+    got = {(r.doc_id, r.dup_of, r.kind) for r in rel.collect()}
+    flagged = {d for d, _, _ in got}
+    assert (11, 10, "exact") in got and (12, 10, "exact") in got
+    assert 10 not in flagged and 13 not in flagged
+
+
+def test_compact_dedup_index_restores_star_cap(spark):
+    """r4 verdict #2: a bucket grown hot purely via APPENDS carries
+    bucket_n=1 per appended row, so the probe's star cap cannot see it
+    (every incoming doc joins the whole bucket). compact_dedup_index
+    recomputes bucket_n/is_rep over the full population: the hot bucket
+    star-degrades again, the capped probe equals a fresh rebuild over
+    the union corpus, membership (uncapped probe) is unchanged, and
+    epoch stamps survive for the crash-replay skip."""
+    n = 200
+    corpus = spark.createDataFrame(
+        [(n + 1, CORPUS[4])], "doc_id long, text string"
+    )
+    D.build_dedup_index(corpus, prefix="cmp_idx")
+    hot = spark.createDataFrame(
+        [(i, "hot near duplicated corpus body text repeated verbatim")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    D.append_dedup_index(hot, prefix="cmp_idx", epoch_id=1)
+    incoming = spark.createDataFrame(
+        [(9000, "hot near duplicated corpus body text repeated verbatim today")],
+        "doc_id long, text string",
+    )
+    key = lambda r: (r.doc_id, r.dup_of, r.kind)
+    # pre-compaction: the cap is blind (appended rows say bucket_n=1)
+    pre = {key(r) for r in D.incremental_dedup_probe(
+        spark, incoming, prefix="cmp_idx", threshold=0.5, max_bucket=10
+    ).collect()}
+    assert pre == {(9000, i, "near") for i in range(n)}
+    full_pre = {key(r) for r in D.incremental_dedup_probe(
+        spark, incoming, prefix="cmp_idx", threshold=0.5, max_bucket=None
+    ).collect()}
+    D.compact_dedup_index(spark, prefix="cmp_idx")
+    # post-compaction: the hot bucket exposes only its representative
+    post = {key(r) for r in D.incremental_dedup_probe(
+        spark, incoming, prefix="cmp_idx", threshold=0.5, max_bucket=10
+    ).collect()}
+    assert post == {(9000, 0, "near")}
+    # capped probe equals a fresh one-shot rebuild over the union corpus
+    D.build_dedup_index(corpus.unionByName(hot), prefix="cmp_idx_fresh")
+    fresh = {key(r) for r in D.incremental_dedup_probe(
+        spark, incoming, prefix="cmp_idx_fresh", threshold=0.5, max_bucket=10
+    ).collect()}
+    assert post == fresh
+    # membership unchanged: uncapped probe identical across compaction
+    full_post = {key(r) for r in D.incremental_dedup_probe(
+        spark, incoming, prefix="cmp_idx", threshold=0.5, max_bucket=None
+    ).collect()}
+    assert full_post == full_pre
+    # epoch stamps preserved -> replay skip still works post-compaction
+    epochs = {r.epoch for r in spark.table("cmp_idx_digest")
+              .select("epoch").distinct().collect()}
+    assert epochs == {-1, 1}
+    assert D._epoch_already_appended(spark, "cmp_idx_bands", 1)

@@ -204,7 +204,8 @@ def test_streaming_ann_ingest_matches_full_rebuild(spark, tmp_path):
     resident = emb.filter(F.col("vec_id") % 2 == 0)
     arriving = emb.filter(F.col("vec_id") % 2 == 1)
     layout = str(tmp_path / "layout")
-    write_ivfpq_layout(resident, layout, coarse, books)
+    # epoch partition level: the ingest demo's idempotent-append contract
+    write_ivfpq_layout(resident, layout, coarse, books, epoch=-1)
     inc_dir = str(tmp_path / "incoming")
     arriving.repartition(3).write.parquet(inc_dir)  # three micro-batches
     ckpt = str(tmp_path / "ckpt")
@@ -223,6 +224,19 @@ def test_streaming_ann_ingest_matches_full_rebuild(spark, tmp_path):
     n_before = spark.read.parquet(layout).count()
     streaming_ann_ingest_demo(spark, inc_dir, layout, ckpt, coarse, books)
     assert spark.read.parquet(layout).count() == n_before
+    # crash-replay: lose the checkpoint entirely -> every epoch re-fires
+    # with the same batches; per-epoch dynamic overwrite makes that a
+    # self-overwrite, not duplication (ADVICE r4: duplicated vectors
+    # would change top-k and recall)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    streaming_ann_ingest_demo(spark, inc_dir, layout, ckpt, coarse, books)
+    assert spark.read.parquet(layout).count() == n_before
+    replay = ivfpq_topk_from_layout(
+        spark, layout, emb, 0, coarse_book=coarse, pq_books=books
+    ).collect()
+    assert [key(r) for r in replay] == [key(r) for r in want]
 
 
 def test_streaming_curation_loop_closed(spark, tmp_path):
@@ -290,3 +304,46 @@ def test_streaming_curation_loop_survives_empty_epoch(spark, tmp_path):
     accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
     # 300 accepted; empty epoch a no-op; 301 rejected as dup of 300
     assert accepted == {300}
+
+
+def test_streaming_curation_loop_intra_epoch_dedup(spark, tmp_path):
+    """Duplicates arriving WITHIN one epoch: the stored-index probe
+    alone cannot see them (the index only knows the past), so the loop's
+    in-batch pass must accept exactly one member (the min doc_id) and
+    append only that one — 'dedup at ingest' holds inside an epoch, not
+    just across epochs (ADVICE r4 medium)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_curation_loop_demo,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document about engines and data pipelines")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, prefix="loop_dedup_index")
+    schema = "doc_id long, text string"
+    e1 = [
+        (500, "same-epoch payload about comets and meteor showers"),
+        (501, "same-epoch payload about comets and meteor showers"),
+        (502, "unrelated same-epoch arrival regarding canal locks"),
+    ]
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    spark.createDataFrame(e1, schema).coalesce(1).write.parquet(str(inc / "e1"))
+    # epoch 2 duplicates the epoch-1 SURVIVOR -> must still be rejected
+    spark.createDataFrame(
+        [(600, "same-epoch payload about comets and meteor showers")], schema
+    ).coalesce(1).write.parquet(str(inc / "e2"))
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
+    streaming_curation_loop_demo(spark, f"{inc}/*", out, ckpt)
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert accepted == {500, 502}
+    # the index holds exactly the accepted members, not the in-epoch dup
+    idx_docs = {
+        r.dup_of for r in spark.table("loop_dedup_index_digest")
+        .filter(F.col("epoch") >= 0).collect()
+    }
+    assert idx_docs == {500, 502}
