@@ -73,8 +73,17 @@ def _production_impls():
     ``production_queries`` for the production-latency story only and are
     NOT summed into the gated ``value``. Both modes' outputs are
     property-tested in tests/test_dedup.py.
+
+    ``text_top_ngrams``'s twin is the Arrow partial-count plan
+    (``ngram_frequencies_arrow``, r5): result-equal (pytest-pinned),
+    immune to the co-run JIT-profile pollution the interpreted-HOF
+    native plan pays in this 20-query suite (solo they tie; see
+    BASELINE.md).
     """
     from similarity_search_with_hadoop_mapreduce_spark.operators import dedup as D
+    from similarity_search_with_hadoop_mapreduce_spark.operators import (
+        textstats as T,
+    )
     from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
         load_table,
     )
@@ -89,6 +98,9 @@ def _production_impls():
         ),
         "dedup_simhash": lambda spark, sf: D.simhash(
             load_table(spark, sf, "documents"), bits=16, base_hash="xxhash64"
+        ),
+        "text_top_ngrams": lambda spark, sf: T.ngram_frequencies_arrow(
+            load_table(spark, sf, "documents"), top_k=25
         ),
     }
 
@@ -144,7 +156,10 @@ def main() -> None:
         # text_top_ngrams 0.44 vs 0.55). Batch executors on a real
         # cluster get the same flag for the same reason — there is no
         # latency SLO inside a task.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         # Local-mode shuffle tuning: at these shuffle sizes compression is
         # pure CPU overhead, and /dev/shm mirrors the node-local SSD a real
         # cluster would give shuffle files.

@@ -90,7 +90,9 @@ def trigrams_attr_sql(col: str) -> str:
     index (O(n²) per document — see :func:`trigrams`). Used by
     :func:`staged_shingles_frame`, which guarantees the staging;
     result-equal to :func:`trigrams_sql` (pinned in
-    tests/test_text_functions.py)."""
+    tests/test_text_functions.py). A chained-``zip_with`` variant was
+    A/B'd at sf0.1 (r5): equal min, differences inside the suite's
+    noise band — this form is kept as the simpler one."""
     return (
         f"CASE WHEN size({col}) >= 3 THEN "
         f"transform(sequence(1, size({col}) - 2), "

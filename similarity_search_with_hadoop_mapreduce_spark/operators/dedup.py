@@ -599,6 +599,7 @@ def intra_batch_dedup(
     bands: int = 4,
     threshold: float = 0.5,
     text_col: str = "text",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Duplicate relations WITHIN one batch — the in-batch half of
     "dedup at ingest": an index probe only sees the STORED corpus, so
@@ -619,10 +620,12 @@ def intra_batch_dedup(
     so it composes with :func:`incremental_dedup_probe` at per-epoch
     cost in the streaming curation loop. Returns the same
     ``(doc_id, dup_of, kind, jaccard)`` contract as the other dedup
-    relations; batch docs with no row are intra-batch novel."""
+    relations; batch docs with no row are intra-batch novel.
+    ``base_hash`` follows the family convention: ``xxhash64`` (codegen)
+    in production, ``md5`` for cross-engine oracle digest parity."""
     rel = incremental_dedup(
         batch, batch, k=k, bands=bands, threshold=threshold,
-        text_col=text_col,
+        text_col=text_col, base_hash=base_hash,
     )
     return rel.filter(F.col("dup_of") < F.col("doc_id"))
 
@@ -1338,6 +1341,65 @@ def compact_dedup_index(
     )
     spark.sql(f"DROP TABLE IF EXISTS {dig_stage}")
     spark.sql(f"DROP TABLE IF EXISTS {band_stage}")
+
+
+def dedup_index_stats(
+    spark,
+    prefix: str = "dedup_index",
+    cap: int = 1000,
+) -> DataFrame:
+    """One-row health summary of the stored dedup indexes — the
+    observability half of the maintenance dial: ``stale_cap_rows``
+    counts band rows whose stored ``bucket_n`` understates the CURRENT
+    bucket population past ``cap`` (appends carry ``bucket_n = 1``, so
+    a bucket grown hot purely via appends is invisible to the probe's
+    star filter until :func:`compact_dedup_index` refreshes the
+    statistics). A deployment alerts/compacts on ``stale_cap_rows > 0``
+    — the exact condition under which the probe's join output is no
+    longer bounded by the star contract.
+
+    Columns: ``(digest_rows, band_rows, n_buckets, max_bucket_n_stored,
+    max_bucket_n_actual, over_cap_buckets, stale_cap_rows, n_epochs)``.
+    One aggregation over each table (the band side re-counts (band, bh)
+    populations with the same window shape the build pass uses)."""
+    dig = spark.table(f"{prefix}_digest")
+    bands = spark.table(f"{prefix}_bands")
+    w = Window.partitionBy("band_e", "bh")
+    sized = bands.select(
+        "bucket_n",
+        F.count(F.lit(1)).over(w).alias("_actual"),
+    )
+    band_agg = sized.agg(
+        F.count(F.lit(1)).alias("band_rows"),
+        F.max("bucket_n").alias("max_bucket_n_stored"),
+        F.max("_actual").alias("max_bucket_n_actual"),
+        F.sum(
+            ((F.col("_actual") > cap) & (F.col("bucket_n") <= cap)).cast("long")
+        ).alias("stale_cap_rows"),
+    )
+    bucket_agg = (
+        bands.select("band_e", "bh")
+        .groupBy("band_e", "bh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.col("_n") > cap).cast("long")).alias("over_cap_buckets"),
+        )
+    )
+    dig_agg = dig.agg(
+        F.count(F.lit(1)).alias("digest_rows"),
+        F.countDistinct("epoch").alias("n_epochs"),
+    )
+    return dig_agg.join(band_agg).join(bucket_agg).select(
+        "digest_rows",
+        "band_rows",
+        "n_buckets",
+        "max_bucket_n_stored",
+        "max_bucket_n_actual",
+        "over_cap_buckets",
+        "stale_cap_rows",
+        "n_epochs",
+    )
 
 
 def incremental_dedup_probe(

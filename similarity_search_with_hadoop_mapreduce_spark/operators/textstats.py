@@ -223,6 +223,78 @@ def ngram_frequencies(
     )
 
 
+def ngram_frequencies_arrow(
+    documents: DataFrame, top_k: int = 25, text_col: str = "text"
+) -> DataFrame:
+    """PRODUCTION twin of :func:`ngram_frequencies` — same contract as
+    the hash families' xxhash64 twins (bench ``production_queries``;
+    the native entry stays the oracle-gated surface, result-equality is
+    pytest-pinned).
+
+    The per-document trigram work (tokenize → trigram → distinct) runs
+    as a ``mapInPandas`` partial-count pass: each Arrow batch folds its
+    documents into ONE in-memory ``Counter`` and emits only the
+    partition's distinct ``(term, partial df)`` rows — so the explode
+    stream never exists, the shuffle carries pre-combined counts (the
+    classic combiner, here at batch grain), and the per-trigram CPU
+    runs in compiled CPython dict/set ops immune to the JVM interpreted
+    -HOF paths' co-run JIT-profile pollution (the r4 carry-over:
+    top_ngrams co-ran 2.2× its solo cost). Memory is bounded by the
+    partition's distinct-term vocabulary (Zipf: far below the term
+    stream); at 100 TB that is the same per-task vocabulary bound the
+    native plan's partial hash aggregation carries.
+
+    Tokenization reproduces Java ``String.split("\\\\W+")`` semantics
+    exactly (``re.ASCII`` — Java's ``\\W`` is ASCII; trailing empties
+    dropped, all-delimiter input → ``[]``, no-match input kept
+    verbatim), matching :func:`functions.text.java_split_tokens`
+    edge-for-edge (pytest on punctuation-only / short / empty docs)."""
+    import re as _re
+
+    import pandas as pd
+
+    pat = _re.compile(r"\W+", _re.ASCII)
+
+    def _java_split(text: str) -> list[str]:
+        parts = pat.split(text)
+        if len(parts) == 1:  # no match: Java returns [original]
+            return parts
+        while parts and parts[-1] == "":
+            parts.pop()
+        return parts
+
+    def partial_counts(pdfs):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for pdf in pdfs:
+            for text in pdf["_t"]:
+                toks = _java_split(text)
+                if len(toks) >= 3:
+                    c.update(
+                        {
+                            " ".join(toks[i : i + 3])
+                            for i in range(len(toks) - 2)
+                        }
+                    )
+        if c:
+            yield pd.DataFrame(
+                {"term": list(c.keys()), "df": list(c.values())}
+            )
+
+    partials = (
+        fan_out(documents)
+        .select(F.col(text_col).alias("_t"))
+        .mapInPandas(partial_counts, "term string, df long")
+    )
+    return (
+        partials.groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top_k)
+    )
+
+
 def vocab_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus vocabulary summary: documents with content, distinct
     trigram vocabulary, total (per-doc-distinct) term occurrences, mean

@@ -62,7 +62,7 @@ CURATED_NAMES: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_suite",
-    "dedup_incremental",
+    "dedup_incremental_suite",
     "dedup_simhash_suite",
     "dedup_clusters",
     "dedup_embedding_suite",

@@ -239,7 +239,13 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incremental_oracle() -> str:
+def _incremental_oracle(
+    pair_pred: str = "i.doc_id % 2 = 1 AND e.doc_id % 2 = 0",
+) -> str:
+    """SQL twin of the two-layer probe; ``pair_pred`` selects which
+    (incoming i, existing e) doc pairs are in scope — the parity split
+    for the batch-vs-corpus entry, ``e.doc_id < i.doc_id`` for the
+    intra-batch (self-probe, keep-min) variant."""
     sig_cols = ",\n         ".join(_mh_exprs())
     band_selects = "\n  UNION ALL\n  ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(
@@ -267,12 +273,12 @@ bands AS (
 exact AS (
   SELECT i.doc_id AS doc_id, e.doc_id AS dup_of, 'exact' AS kind, 1.0 AS jaccard
   FROM documents i JOIN documents e ON md5(i.text) = md5(e.text)
-  WHERE i.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+  WHERE {pair_pred}
 ),
 cand AS (
   SELECT DISTINCT i.doc_id AS doc_id, e.doc_id AS dup_of
   FROM bands i JOIN bands e ON i.band = e.band AND i.bh = e.bh
-  WHERE i.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+  WHERE {pair_pred}
 ),
 near AS (
   SELECT c.doc_id, c.dup_of, 'near' AS kind,
@@ -304,6 +310,23 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup(
         existing, incoming, k=_K, bands=_BANDS, threshold=_JACCARD_T,
         base_hash="md5",
+    )
+
+
+@register(
+    "dedup_intra_batch",
+    oracle=_incremental_oracle(pair_pred="e.doc_id < i.doc_id"),
+)
+def dedup_intra_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch half of "dedup at ingest": duplicates arriving in the
+    SAME batch/epoch, flagged against the smallest-id member (keep-min)
+    — the pass the streaming curation loop runs before its stored-index
+    probe (an index only knows the PAST; without this, same-epoch
+    duplicates are all accepted). Oracle: the incremental two-layer SQL
+    with both sides the batch and ``dup_of < doc_id``."""
+    return D.intra_batch_dedup(
+        table(spark, sf_dir, "documents"),
+        k=_K, bands=_BANDS, threshold=_JACCARD_T, base_hash="md5",
     )
 
 

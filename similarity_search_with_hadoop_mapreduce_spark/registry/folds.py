@@ -1884,8 +1884,39 @@ def _register_tpch_subquery_suite() -> None:
 # Registration (runs at import; member oracles must already be registered)
 # ---------------------------------------------------------------------------
 
+def _register_incremental_suite() -> None:
+    parts = [
+        (
+            "dedup_incremental",
+            "'batch_vs_corpus' AS shape, doc_id, dup_of, kind, jaccard",
+        ),
+        (
+            "dedup_intra_batch",
+            "'intra_batch' AS shape, doc_id, dup_of, kind, jaccard",
+        ),
+    ]
+
+    @register("dedup_incremental_suite", oracle=_union_oracle(parts))
+    def dedup_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tagged union of the continuous-ingestion dedup relations:
+        batch-vs-corpus (members: dedup_incremental — odd ids probe the
+        even-id corpus's digest + band indexes) and intra-batch
+        (dedup_intra_batch — same-epoch duplicates flagged keep-min,
+        the r5 pass closing the 'index only knows the past' gap)."""
+        sel = lambda tag, df: df.select(
+            F.lit(tag).alias("shape"), "doc_id", "dup_of", "kind", "jaccard"
+        )
+        return _union_spark(
+            [
+                sel("batch_vs_corpus", _q("dedup_incremental")(spark, sf_dir)),
+                sel("intra_batch", _q("dedup_intra_batch")(spark, sf_dir)),
+            ]
+        )
+
+
 _register_simhash_suite()
 _register_minhash_lsh_suite()
+_register_incremental_suite()
 
 
 def _register_curation_suite() -> None:

@@ -787,3 +787,33 @@ def test_compact_dedup_index_restores_star_cap(spark):
               .select("epoch").distinct().collect()}
     assert epochs == {-1, 1}
     assert D._epoch_already_appended(spark, "cmp_idx_bands", 1)
+
+
+def test_dedup_index_stats_surfaces_stale_caps(spark):
+    """dedup_index_stats is the compaction dial: after appends grow a
+    bucket past the cap, stale_cap_rows flags the rows whose stored
+    bucket_n understates the live population; compaction zeroes it
+    (the stored statistic catches up and the probe's star filter sees
+    the bucket again)."""
+    corpus = spark.createDataFrame(
+        [(1000, CORPUS[4])], "doc_id long, text string"
+    )
+    D.build_dedup_index(corpus, prefix="stats_idx")
+    hot = spark.createDataFrame(
+        [(i, "statistics probe corpus body text repeated verbatim")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    D.append_dedup_index(hot, prefix="stats_idx", epoch_id=1)
+    pre = D.dedup_index_stats(spark, prefix="stats_idx", cap=10).collect()[0]
+    assert pre.max_bucket_n_stored == 1          # appends never refresh it
+    assert pre.max_bucket_n_actual >= 40         # the live population
+    assert pre.over_cap_buckets > 0
+    assert pre.stale_cap_rows > 0                # the alert condition
+    assert pre.n_epochs == 2                     # base (-1) + epoch 1
+    D.compact_dedup_index(spark, prefix="stats_idx")
+    post = D.dedup_index_stats(spark, prefix="stats_idx", cap=10).collect()[0]
+    assert post.stale_cap_rows == 0
+    assert post.max_bucket_n_stored == post.max_bucket_n_actual
+    assert post.over_cap_buckets == pre.over_cap_buckets
+    assert post.n_epochs == 2                    # epoch stamps preserved

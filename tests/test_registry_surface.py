@@ -35,6 +35,8 @@ FOLDED = {
     "curation_pipeline_neardup": "curation_suite",
     "dedup_minhash_lsh": "dedup_minhash_lsh_suite",
     "dedup_minhash_lsh_capped": "dedup_minhash_lsh_suite",
+    "dedup_incremental": "dedup_incremental_suite",
+    "dedup_intra_batch": "dedup_incremental_suite",
     "dedup_embedding_cosine": "dedup_embedding_suite",
     "dedup_embedding_lsh": "dedup_embedding_suite",
     "dedup_embedding_lsh_multiband": "dedup_embedding_suite",

@@ -157,3 +157,36 @@ def test_trigrams_attr_sql_equals_zip_formulation(spark):
     ).collect()
     for r in rows:
         assert list(r.zip) == list(r.seq)
+
+
+def test_ngram_frequencies_arrow_twin_matches_native(spark):
+    """The Arrow partial-count production twin must equal the gated
+    native plan exactly — including on the Java-split edge cases
+    (punctuation-only -> no trigrams; <3 tokens -> none; leading
+    delimiter keeps Java's leading empty token inside trigrams)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        ngram_frequencies,
+        ngram_frequencies_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta alpha beta gamma"),
+            (1, "alpha beta gamma unrelated tail words"),
+            (2, "!!! ... ???"),          # all delimiters -> [] tokens
+            (3, "two words"),             # <3 tokens -> no trigrams
+            (4, ""),                      # no-match -> [''] -> no trigrams
+            (5, "!leading delimiter keeps empty token here"),
+            (6, "alpha beta gamma delta alpha beta gamma"),  # exact dup
+        ],
+        "doc_id long, text string",
+    )
+    key = lambda r: (r.term, r.df)
+    want = [key(r) for r in ngram_frequencies(docs, top_k=50).collect()]
+    got = [key(r) for r in ngram_frequencies_arrow(docs, top_k=50).collect()]
+    assert got == want and want
+    # and on the real fixture
+    fx = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = [key(r) for r in ngram_frequencies(fx, top_k=25).collect()]
+    got = [key(r) for r in ngram_frequencies_arrow(fx, top_k=25).collect()]
+    assert got == want and len(want) == 25
