@@ -18,7 +18,12 @@ with no re-shuffle, the part that stays cheap at 100 TB. A superlinear
 trend here would mean the probe re-shuffles or re-hashes appends.
 
 Usage: python scripts/scale_probe_curation.py [n_epochs] [epoch_docs]
+         [compact_every]
 Prints one JSON line with per-epoch walls and the index row counts.
+``compact_every`` > 0 runs compact_dedup_index every N epochs (outside
+the timed window) — isolates how much of any wall creep is the
+per-append small-file accumulation compaction exists to fix (16 bucket
+files x 2 tables per epoch) versus same-JVM aging.
 """
 
 from __future__ import annotations
@@ -34,11 +39,13 @@ sys.path.insert(0, "/root/repo")
 def main() -> None:
     n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     epoch_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     from pyspark.sql import SparkSession, functions as F
 
     from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
         append_dedup_index,
         build_dedup_index,
+        compact_dedup_index,
         incremental_dedup_probe,
         intra_batch_dedup,
     )
@@ -82,6 +89,13 @@ def main() -> None:
         )
 
     prefix = "scale_loop_idx"
+    # a previous run's managed-table locations survive the session; an
+    # unregistered-but-present location fails saveAsTable
+    import shutil
+
+    for t in (f"{prefix}_digest", f"{prefix}_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     base = novel_docs(0, 1000)
     build_dedup_index(base, prefix=prefix)
 
@@ -102,6 +116,8 @@ def main() -> None:
         walls.append(round(time.perf_counter() - t0, 3))
         batch.unpersist()
         index_rows.append(spark.table(f"{prefix}_bands").count())
+        if compact_every and (e + 1) % compact_every == 0:
+            compact_dedup_index(spark, prefix=prefix)  # untimed maintenance
 
     # plan assertion at the FINAL (largest) index: both stored scans
     # still bucketed and no Exchange re-partitions them
@@ -138,6 +154,7 @@ def main() -> None:
                 "mean_second_half_s": round(
                     sum(walls[half:]) / (n_epochs - half), 3
                 ),
+                "compact_every": compact_every,
                 "plan_bucketed_scans": 2,
             }
         )

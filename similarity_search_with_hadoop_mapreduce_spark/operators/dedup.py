@@ -1247,35 +1247,55 @@ def append_dedup_index(
     spark = new_docs.sparkSession
     epoch = -1 if epoch_id is None else int(epoch_id)
     t = F.col(text_col)
-    if epoch_id is None or not _epoch_already_appended(
-        spark, f"{prefix}_digest", epoch
-    ):
-        digests = new_docs.select(
-            F.col("doc_id").alias("dup_of"),
-            F.md5(t).alias("digest"),
-            F.lit(epoch).cast("long").alias("epoch"),
-        )
-        digests.write.mode("append").bucketBy(n_buckets, "digest").saveAsTable(
-            f"{prefix}_digest"
-        )
-    if epoch_id is None or not _epoch_already_appended(
-        spark, f"{prefix}_bands", epoch
-    ):
-        bandtbl = (
-            _banded_shingles(new_docs, k=k, bands=bands, text_col=text_col)
-            .select(
+    # Snapshot the input BEFORE the first write: the canonical caller
+    # derives new_docs from incremental_dedup_probe via a left_anti
+    # join, i.e. its lineage READS the very tables appended here.
+    # Neither laziness nor persist() survives that cycle — the digest
+    # append triggers the catalog's recache-by-path, which invalidates
+    # every cached plan referencing the table, so the band append
+    # re-executes the anti-join against the NEW table state, sees each
+    # doc's own just-appended digest, and silently writes ZERO band
+    # rows (found by the r5 scale probe: the near-dup index never grew
+    # across epochs). localCheckpoint(eager) physically severs the
+    # lineage — the snapshot lives as executor blocks with a LogicalRDD
+    # plan no table refresh can invalidate. Epoch-sized state; on a
+    # cluster, prefer a reliable checkpoint dir if executor loss
+    # mid-append must be survivable.
+    new_docs = new_docs.localCheckpoint(eager=True)
+    try:
+        if epoch_id is None or not _epoch_already_appended(
+            spark, f"{prefix}_digest", epoch
+        ):
+            digests = new_docs.select(
                 F.col("doc_id").alias("dup_of"),
-                F.col("s").alias("s_e"),
-                F.col("band").alias("band_e"),
-                "bh",
-                F.lit(1).cast("long").alias("bucket_n"),
-                F.lit(True).alias("is_rep"),
+                F.md5(t).alias("digest"),
                 F.lit(epoch).cast("long").alias("epoch"),
             )
-        )
-        bandtbl.write.mode("append").bucketBy(n_buckets, "bh").saveAsTable(
-            f"{prefix}_bands"
-        )
+            digests.write.mode("append").bucketBy(
+                n_buckets, "digest"
+            ).saveAsTable(f"{prefix}_digest")
+        if epoch_id is None or not _epoch_already_appended(
+            spark, f"{prefix}_bands", epoch
+        ):
+            bandtbl = (
+                _banded_shingles(
+                    new_docs, k=k, bands=bands, text_col=text_col
+                )
+                .select(
+                    F.col("doc_id").alias("dup_of"),
+                    F.col("s").alias("s_e"),
+                    F.col("band").alias("band_e"),
+                    "bh",
+                    F.lit(1).cast("long").alias("bucket_n"),
+                    F.lit(True).alias("is_rep"),
+                    F.lit(epoch).cast("long").alias("epoch"),
+                )
+            )
+            bandtbl.write.mode("append").bucketBy(
+                n_buckets, "bh"
+            ).saveAsTable(f"{prefix}_bands")
+    finally:
+        new_docs.unpersist()  # free the checkpoint blocks
 
 
 def compact_dedup_index(

@@ -817,3 +817,31 @@ def test_dedup_index_stats_surfaces_stale_caps(spark):
     assert post.max_bucket_n_stored == post.max_bucket_n_actual
     assert post.over_cap_buckets == pre.over_cap_buckets
     assert post.n_epochs == 2                    # epoch stamps preserved
+
+
+def test_append_dedup_index_snapshots_probe_derived_input(spark):
+    """Regression (r5 scale probe): an UNPERSISTED input whose lineage
+    reads the index tables (the canonical accepted = batch ANTI-JOIN
+    probe shape) must append consistently to BOTH tables. Without the
+    operator's internal snapshot, the digest append changes the probe's
+    input, the band write re-evaluates the anti-join to empty, and the
+    band table silently never grows."""
+    base = spark.createDataFrame(
+        [(i, f"seed document number {i} about harbor logistics") for i in range(20)],
+        "doc_id long, text string",
+    )
+    D.build_dedup_index(base, prefix="snap_idx")
+    batch = spark.createDataFrame(
+        [(100 + i, f"novel arrival {i} regarding alpine meteorology data")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    dups = D.incremental_dedup_probe(spark, batch, prefix="snap_idx")
+    accepted = batch.join(
+        dups.select("doc_id").distinct(), "doc_id", "left_anti"
+    )  # NOT persisted — lineage reads snap_idx_digest / snap_idx_bands
+    dig0 = spark.table("snap_idx_digest").count()
+    band0 = spark.table("snap_idx_bands").count()
+    D.append_dedup_index(accepted, prefix="snap_idx", epoch_id=0)
+    assert spark.table("snap_idx_digest").count() == dig0 + 10
+    assert spark.table("snap_idx_bands").count() == band0 + 40  # 4 bands/doc

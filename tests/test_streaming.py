@@ -257,7 +257,13 @@ def test_streaming_curation_loop_closed(spark, tmp_path):
     build_dedup_index(corpus, prefix="loop_dedup_index")
     e1 = [(100, "fresh arrival text about rivers and mountain lakes today")]
     e2 = [(200, "fresh arrival text about rivers and mountain lakes today"),
-          (201, "wholly original content with no relatives anywhere at all")]
+          (201, "wholly original content with no relatives anywhere at all"),
+          # NEAR dup (digest differs, bands collide) of the epoch-1
+          # arrival: only the BAND index can reject it — pins that the
+          # per-epoch append really grows the near layer, not just the
+          # digests (r5 regression: recache-by-path emptied the band
+          # append; only exact dups were being caught across epochs)
+          (202, "fresh arrival text about rivers and mountain lakes today!")]
     inc = tmp_path / "incoming"
     inc.mkdir()
     # one file per epoch, named so listing order gives e1 before e2
@@ -268,9 +274,16 @@ def test_streaming_curation_loop_closed(spark, tmp_path):
     out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
     streaming_curation_loop_demo(spark, f"{inc}/*", out, ckpt)
     accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
-    # 100 accepted (nothing like it in the corpus); 200 REJECTED as a
-    # duplicate of the mid-stream arrival 100; 201 accepted
+    # 100 accepted (nothing like it in the corpus); 200 REJECTED as an
+    # exact duplicate of the mid-stream arrival 100; 201 accepted;
+    # 202 REJECTED as a NEAR duplicate of 100 via the appended bands
     assert accepted == {100, 201}
+    # the band index grew by the accepted epoch-1 doc (epoch-stamped)
+    band_epochs = {
+        r.epoch for r in spark.table("loop_dedup_index_bands")
+        .select("epoch").distinct().collect()
+    }
+    assert 0 in band_epochs  # epoch 0's append landed in the NEAR layer
 
 
 def test_streaming_curation_loop_survives_empty_epoch(spark, tmp_path):
