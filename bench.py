@@ -277,6 +277,37 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_be = round(sum(timings_be.values()), 3)
+    # Two JSON lines, detail FIRST and a compact summary LAST: the
+    # driver's artifact capture keeps only a bounded tail of stdout and
+    # parses the final JSON line found in it — round 5's single line
+    # outgrew that window (production_queries pushed it past the
+    # capture), so BENCH_r05 recorded "parsed": null. The final line
+    # now carries exactly the contract fields (metric/value/unit/
+    # queries/sf + the build+exec total) and stays well under the
+    # capture window; the full record (per-query build+exec,
+    # task_compute, production twins) is the preceding "detail" line
+    # and is also written to bench_detail.json for the round history.
+    detail = {
+        "metric": "headline_suite_wall_detail",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_build_exec": total_be,
+        "queries_build_exec": timings_be,
+        "task_compute": compute,
+        "production_queries": prod_timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the stdout lines are canonical
     print(
         json.dumps(
             {
@@ -285,9 +316,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "value_build_exec": total_be,
-                "queries_build_exec": timings_be,
-                "task_compute": compute,
-                "production_queries": prod_timings,
                 "sf": float(sf),
             }
         )
