@@ -600,34 +600,101 @@ def intra_batch_dedup(
     threshold: float = 0.5,
     text_col: str = "text",
     base_hash: str = "xxhash64",
+    max_bucket: int | None = 1000,
+    overflow: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate relations WITHIN one batch — the in-batch half of
     "dedup at ingest": an index probe only sees the STORED corpus, so
     duplicates arriving together in the same batch/epoch would all pass
     the probe and all be accepted (ADVICE r4 medium). This pass closes
-    that window: the batch is self-joined through the same two layers
-    as :func:`incremental_dedup` (md5 digest for exact, banded-minhash
-    candidates + exact-Jaccard verify for near), keeping only relations
-    pointing at a SMALLER doc_id — greedy keep-min semantics: a doc is
-    flagged iff it duplicates a lower-id doc of the same batch, so
-    exactly one member of each exact-duplicate group (the min) survives,
-    and near-dup chains degrade the same way the pair families'
-    min-representative contract does (a doc linked only through an
-    already-dropped middle doc is still dropped — links are treated as
+    that window with greedy keep-min semantics: every relation points at
+    a SMALLER doc_id, so exactly one member of each duplicate group (the
+    min) survives, and near-dup chains degrade the same way the pair
+    families' min-representative contract does (links treated as
     transitive, matching ``duplicate_clusters``' keep-min-of-component).
 
-    Cost is O(batch) — both join sides are the epoch, never the corpus —
-    so it composes with :func:`incremental_dedup_probe` at per-epoch
-    cost in the streaming curation loop. Returns the same
-    ``(doc_id, dup_of, kind, jaccard)`` contract as the other dedup
-    relations; batch docs with no row are intra-batch novel.
-    ``base_hash`` follows the family convention: ``xxhash64`` (codegen)
-    in production, ``md5`` for cross-engine oracle digest parity."""
-    rel = incremental_dedup(
-        batch, batch, k=k, bands=bands, threshold=threshold,
-        text_col=text_col, base_hash=base_hash,
+    Bounded by construction — a mass-duplicate flood is EXACTLY the
+    adversarial input an ingest gate exists for, so neither layer may go
+    quadratic in the duplicate-group size g (the round-5 self-join
+    design was O(g²) in both; r5 verdict item #1):
+
+    - **exact**: ``groupBy(digest).agg(min(doc_id))`` joined back — one
+      relation per non-min member, strictly linear, no self-join at all.
+    - **near**: only the min representative of each digest group is
+      shingled and banded (identical texts would collide in every band;
+      collapsing them first removes the hot-bucket mass at the source,
+      and a near-relation to any group member is text-identical to the
+      relation to its rep), then candidates flow through the SAME
+      windowed star/``max_bucket`` contract as every other pair family
+      (:func:`_bounded_buckets`): a band bucket over ``max_bucket``
+      distinct-text members degrades to O(B) representative-star pairs
+      instead of O(B²) all-pairs. ``stats`` receives the same overflow
+      census Observation the other families expose.
+
+    Cost is therefore O(batch) rows shuffled in the exact layer and
+    O(Σ min(|bucket|, max_bucket)·|bucket|) ≤ O(max_bucket · batch) in
+    the near layer — per-epoch cost in the streaming curation loop, for
+    ANY input distribution. Relative to the r5 all-pairs contract only
+    redundant relations are dropped: the FLAGGED SET (docs with ≥1
+    relation) is identical when the cap is not hit — an exact-dup
+    non-min member is flagged by the exact layer, and a near-relation it
+    carried is re-pointed at its text-identical rep (pinned in
+    tests/test_dedup.py against the r5 semantics).
+
+    Returns the usual ``(doc_id, dup_of, kind, jaccard)`` contract,
+    ``dup_of < doc_id`` on every row; batch docs with no row are
+    intra-batch novel. ``base_hash`` follows the family convention:
+    ``xxhash64`` (codegen) in production, ``md5`` for cross-engine
+    oracle digest parity."""
+    t = F.col(text_col)
+    dig = fan_out(batch).select(
+        "doc_id", F.md5(t).alias("digest"), t.alias("_txt")
     )
-    return rel.filter(F.col("dup_of") < F.col("doc_id"))
+    # One aggregation yields both halves: the per-digest min doc (the
+    # exact layer's dup_of AND the near layer's banding representative)
+    # and its text via min_by — same shuffle, no second pass over the
+    # batch for the rep set.
+    groups = dig.groupBy("digest").agg(
+        F.min("doc_id").alias("dup_of"),
+        F.min_by("_txt", "doc_id").alias("_txt"),
+    )
+    exact = (
+        dig.select("doc_id", "digest")
+        .join(groups.select("digest", "dup_of"), "digest")
+        .filter(F.col("doc_id") > F.col("dup_of"))
+        .select(
+            "doc_id",
+            "dup_of",
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    reps = groups.select(
+        F.col("dup_of").alias("doc_id"), F.col("_txt").alias(text_col)
+    )
+    banded = _banded_shingles(
+        reps, k=k, bands=bands, text_col=text_col, base_hash=base_hash
+    )
+    buckets = _bounded_buckets(
+        banded, "bh", ["doc_id", "s"], max_bucket, stats=stats,
+        family="intra-batch", overflow=overflow,
+    )
+    pairs = _candidate_pairs(buckets)
+    jac = F.size(F.array_intersect("a.s", "b.s")).cast("double") / F.size(
+        F.array_union("a.s", "b.s")
+    ).cast("double")
+    near = (
+        pairs.select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("a.doc_id").alias("dup_of"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()  # a pair can collide in several bands
+        .select("doc_id", "dup_of", F.lit("near").alias("kind"), "jaccard")
+    )
+    return exact.unionByName(near)
 
 
 def simhash(

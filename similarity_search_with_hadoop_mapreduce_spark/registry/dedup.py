@@ -313,21 +313,110 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_intra_batch",
-    oracle=_incremental_oracle(pair_pred="e.doc_id < i.doc_id"),
-)
+def _intra_batch_oracle(cap: int | None = None) -> str:
+    """SQL twin of the bounded keep-min intra-batch pass (r6): exact
+    relations point at the per-digest min doc only (one row per non-min
+    member — the linear groupBy layer, not the r5 all-pairs self-join),
+    and ONLY the per-digest min representatives are shingled/banded for
+    the near layer. With ``cap``, candidates go through the shared
+    bounded-bucket star CTE (:func:`_capped_cand_sql`) exactly like the
+    capped MinHash/SimHash oracles."""
+    sig_cols = ",\n         ".join(_mh_exprs())
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"mh_{b * _ROWS + r}::VARCHAR" for r in range(_ROWS)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    if cap is None:
+        cand = """cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+)"""
+    else:
+        cand = _capped_cand_sql("bands", "bh", cap)
+    return (
+        "WITH "
+        + SHINGLES_CTE
+        + f"""
+, digests AS (SELECT doc_id, md5(text) AS digest FROM documents),
+grp AS (SELECT digest, min(doc_id) AS dup_of FROM digests GROUP BY digest),
+exact AS (
+  SELECT d.doc_id, g.dup_of, 'exact' AS kind, 1.0 AS jaccard
+  FROM digests d JOIN grp g USING (digest)
+  WHERE d.doc_id > g.dup_of
+),
+rep_sets AS (
+  SELECT ss.doc_id, ss.s
+  FROM shingle_sets ss JOIN grp g ON ss.doc_id = g.dup_of
+),
+terms AS (SELECT doc_id, unnest(s) AS term FROM rep_sets),
+th AS (SELECT doc_id, {_BASE_H} AS h FROM terms),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM th GROUP BY doc_id
+),
+bands AS (
+  {band_selects}
+),
+{cand}
+SELECT doc_id, dup_of, kind, jaccard FROM exact
+UNION ALL
+SELECT c.doc_b AS doc_id, c.doc_a AS dup_of, 'near' AS kind,
+       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jaccard
+FROM cand c
+JOIN rep_sets sa ON sa.doc_id = c.doc_a
+JOIN rep_sets sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) >= {_JACCARD_T}
+"""
+    )
+
+
+@register("dedup_intra_batch", oracle=_intra_batch_oracle())
 def dedup_intra_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-batch half of "dedup at ingest": duplicates arriving in the
     SAME batch/epoch, flagged against the smallest-id member (keep-min)
     — the pass the streaming curation loop runs before its stored-index
     probe (an index only knows the PAST; without this, same-epoch
-    duplicates are all accepted). Oracle: the incremental two-layer SQL
-    with both sides the batch and ``dup_of < doc_id``."""
+    duplicates are all accepted). Bounded (r6): linear digest-group
+    exact layer, rep-only banding for near candidates. Oracle mode:
+    ``max_bucket=None`` so the uncapped SQL twin is exact at any sf
+    (the capped star path is value-pinned by
+    ``dedup_intra_batch_capped``)."""
     return D.intra_batch_dedup(
         table(spark, sf_dir, "documents"),
         k=_K, bands=_BANDS, threshold=_JACCARD_T, base_hash="md5",
+        max_bucket=None,
     )
+
+
+def _register_intra_batch_capped() -> None:
+    @register(
+        "dedup_intra_batch_capped",
+        oracle=_intra_batch_oracle(cap=_STAR_CAP),
+    )
+    def dedup_intra_batch_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The intra-batch near layer under an ACTIVE bucket cap — the
+        production default for the streaming ingest gate, whose
+        adversarial input (a mass-duplicate flood) must stay linear:
+        rep-band buckets over ``_STAR_CAP`` members degrade to
+        (min-id representative, member) star pairs, and the oracle
+        replays exactly that via the shared windowed star CTE."""
+        return D.intra_batch_dedup(
+            table(spark, sf_dir, "documents"),
+            k=_K, bands=_BANDS, threshold=_JACCARD_T, base_hash="md5",
+            max_bucket=_STAR_CAP, overflow="star",
+        )
+
+
+_register_intra_batch_capped()
 
 
 def _simhash_fp_sql() -> str:

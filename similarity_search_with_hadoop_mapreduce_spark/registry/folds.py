@@ -1894,15 +1894,22 @@ def _register_incremental_suite() -> None:
             "dedup_intra_batch",
             "'intra_batch' AS shape, doc_id, dup_of, kind, jaccard",
         ),
+        (
+            "dedup_intra_batch_capped",
+            "'intra_batch_star_capped' AS shape, doc_id, dup_of, kind, jaccard",
+        ),
     ]
 
     @register("dedup_incremental_suite", oracle=_union_oracle(parts))
     def dedup_incremental_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Tagged union of the continuous-ingestion dedup relations:
         batch-vs-corpus (members: dedup_incremental — odd ids probe the
-        even-id corpus's digest + band indexes) and intra-batch
+        even-id corpus's digest + band indexes), intra-batch
         (dedup_intra_batch — same-epoch duplicates flagged keep-min,
-        the r5 pass closing the 'index only knows the past' gap)."""
+        bounded r6: linear digest-group exact layer + rep-only banding)
+        and the ACTIVE-cap star variant (dedup_intra_batch_capped —
+        max_bucket=2 fires on fixture buckets, value-pinning the
+        hot-bucket degradation of the ingest gate itself)."""
         sel = lambda tag, df: df.select(
             F.lit(tag).alias("shape"), "doc_id", "dup_of", "kind", "jaccard"
         )
@@ -1910,6 +1917,10 @@ def _register_incremental_suite() -> None:
             [
                 sel("batch_vs_corpus", _q("dedup_incremental")(spark, sf_dir)),
                 sel("intra_batch", _q("dedup_intra_batch")(spark, sf_dir)),
+                sel(
+                    "intra_batch_star_capped",
+                    _q("dedup_intra_batch_capped")(spark, sf_dir),
+                ),
             ]
         )
 

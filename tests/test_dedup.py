@@ -733,6 +733,70 @@ def test_intra_batch_dedup_flags_same_batch_duplicates(spark):
     assert 10 not in flagged and 13 not in flagged
 
 
+def test_intra_batch_dedup_mass_dup_epoch_linear(spark):
+    """A mass-duplicate flood — THE adversarial input of an ingest gate
+    — costs exactly g-1 relations for g copies: the exact layer is a
+    digest groupBy joined back (no self-join), and identical texts
+    collapse to ONE banding representative so the near layer never sees
+    the mass at all. 10x the flood = 10x the rows (the r5 self-join
+    design emitted O(g^2) rows here; r5 verdict item #1)."""
+    counts = {}
+    for g in (200, 2000):
+        batch = _mass_dup_docs(spark, g, [(g + 1, CORPUS[4])])
+        rel = D.intra_batch_dedup(batch).collect()
+        counts[g] = len(rel)
+        assert all(r.kind == "exact" and r.dup_of == 0 for r in rel)
+        assert {r.doc_id for r in rel} == set(range(1, g))
+    assert counts[2000] == 10 * counts[200] + 9  # linear: g-1 each
+
+
+def test_intra_batch_dedup_flagged_set_matches_all_pairs(spark):
+    """The r6 bounding drops only REDUNDANT relations: the flagged set
+    (docs with >=1 relation — all any caller consumes) equals the r5
+    all-pairs semantics (incremental_dedup(batch, batch), keep-min) on
+    a mixed batch of exact groups, near dups and novel docs; every
+    relation still points at a strictly smaller doc_id."""
+    rows = [(k, v) for k, v in CORPUS.items()] + [
+        (6, CORPUS[1]),  # third member of the exact group {1, 2}
+        (7, "the quick brown fox jumps over the lazy cat tomorrow"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    new = D.intra_batch_dedup(batch, threshold=0.3, max_bucket=None)
+    old = D.incremental_dedup(batch, batch, threshold=0.3).filter(
+        "dup_of < doc_id"
+    )
+    assert {r.doc_id for r in new.collect()} == {
+        r.doc_id for r in old.collect()
+    }
+    assert new.filter("dup_of >= doc_id").count() == 0
+
+
+def test_intra_batch_dedup_star_cap_subset_and_exact_unchanged(spark):
+    """The near-layer star cap never invents relations (capped near
+    pairs are a subset of the uncapped ones) and never touches the
+    exact layer; with max_bucket=1 every multi-member rep bucket runs
+    in pure star mode, so this pins the degradation path itself."""
+    rows = [(k, v) for k, v in CORPUS.items()] + [
+        (6, "the quick brown fox jumps over the lazy cat tonight"),
+        (7, "the quick brown fox jumps over the lazy cat sometimes"),
+        (8, "the quick brown fox jumps over the lazy dog quietly"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    def rels(max_bucket):
+        out = D.intra_batch_dedup(
+            batch, threshold=0.3, max_bucket=max_bucket
+        ).collect()
+        return (
+            {(r.doc_id, r.dup_of) for r in out if r.kind == "exact"},
+            {(r.doc_id, r.dup_of) for r in out if r.kind == "near"},
+        )
+    exact_un, near_un = rels(None)
+    exact_cap, near_cap = rels(1)
+    assert exact_cap == exact_un == {(2, 1)}
+    assert near_cap <= near_un
+    assert len(near_un) > 0  # the fixture's near dups actually fire
+
+
 def test_compact_dedup_index_restores_star_cap(spark):
     """r4 verdict #2: a bucket grown hot purely via APPENDS carries
     bucket_n=1 per appended row, so the probe's star cap cannot see it
