@@ -1265,14 +1265,43 @@ def _epoch_already_appended(spark, table_name: str, epoch_id: int) -> bool:
     table. Parquet footer min/max statistics on the ``epoch`` column
     prune non-matching files at the metadata level, and ``limit(1)``
     stops the scan at the first hit — a metadata-cheap probe, not a
-    table scan. Legacy tables without the ``epoch`` column report
-    False (nothing can be skipped, matching pre-epoch behavior)."""
-    tbl = spark.table(table_name)
+    table scan. A table that does not exist yet reports False (the
+    append will create it)."""
+    try:
+        tbl = spark.table(table_name)
+    except Exception:
+        return False  # not created yet; first append creates the table
     if "epoch" not in tbl.columns:
         return False
     return bool(
         tbl.filter(F.col("epoch") == F.lit(epoch_id)).limit(1).count() > 0
     )
+
+
+def _reject_pre_epoch_table(spark, table_name: str) -> None:
+    """Appends stamp every row with an ``epoch`` column; an index table
+    built before that column existed (pre-r5) would fail the append on
+    schema mismatch AFTER possibly writing its sibling — fail loudly up
+    front instead, with the remedy (ADVICE r5: the old docstring claimed
+    a backward-compatible fallback that the unconditional epoch stamp
+    made impossible)."""
+    try:
+        cols = spark.table(table_name).columns
+    except Exception:
+        return  # table doesn't exist yet; the append will create it
+    if "epoch" not in cols:
+        raise ValueError(
+            f"index table {table_name!r} predates the epoch-stamped "
+            "append format (no `epoch` column); rebuild it with "
+            "build_dedup_index before appending"
+        )
+
+
+# Test-only fault-injection point: called between the digest append and
+# the band append so the crash-replay contract (each half independently
+# skipped once landed, replay completes exactly the missing half) can be
+# pinned by an actual interrupted foreachBatch run, not a simulation.
+_between_appends_hook = None
 
 
 def append_dedup_index(
@@ -1313,6 +1342,8 @@ def append_dedup_index(
     statistics)."""
     spark = new_docs.sparkSession
     epoch = -1 if epoch_id is None else int(epoch_id)
+    _reject_pre_epoch_table(spark, f"{prefix}_digest")
+    _reject_pre_epoch_table(spark, f"{prefix}_bands")
     t = F.col(text_col)
     # Snapshot the input BEFORE the first write: the canonical caller
     # derives new_docs from incremental_dedup_probe via a left_anti
@@ -1341,6 +1372,8 @@ def append_dedup_index(
             digests.write.mode("append").bucketBy(
                 n_buckets, "digest"
             ).saveAsTable(f"{prefix}_digest")
+        if _between_appends_hook is not None:
+            _between_appends_hook()
         if epoch_id is None or not _epoch_already_appended(
             spark, f"{prefix}_bands", epoch
         ):
@@ -1498,12 +1531,26 @@ def incremental_dedup_probe(
     threshold: float = 0.5,
     text_col: str = "text",
     max_bucket: int | None = 1000,
+    exclude_epoch: int | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against the *stored* indexes written by
     :func:`build_dedup_index` — same output contract as
     :func:`incremental_dedup` (doc_id, dup_of, kind, jaccard), different
     physical plan: the corpus side is two bucketed scans, never hashed
     or shuffled again.
+
+    ``exclude_epoch`` makes the probe REPLAY-DETERMINISTIC for the
+    streaming curation loop: pass the foreachBatch ``epoch_id`` and
+    index rows stamped with that epoch are ignored, so a replay that
+    crashed AFTER its own partial :func:`append_dedup_index` (digest
+    half landed, bands half didn't) probes exactly the pre-epoch index
+    state and reproduces the original accepted set bit-for-bit. Without
+    it, a replayed epoch would see its own just-committed digests, flag
+    every accepted doc as a self-duplicate, and permanently append an
+    EMPTY band set (ADVICE r5 medium). Self-relations
+    (``dup_of == doc_id``) are additionally filtered unconditionally —
+    a document is never a duplicate of itself, whatever epoch hygiene
+    the caller forgot.
 
     Both probe joins key exactly on the bucket column (the band join
     uses ``bh`` alone with the band id as a residual filter — a rare
@@ -1532,13 +1579,25 @@ def incremental_dedup_probe(
     """
     e_dig = spark.table(f"{prefix}_digest")
     e_band = spark.table(f"{prefix}_bands")
+    if exclude_epoch is not None:
+        # Footer min/max stats on `epoch` skip the excluded epoch's
+        # files at the metadata level when appends land epoch-grouped
+        # (they do: each append is one write of one epoch's rows).
+        if "epoch" in e_dig.columns:
+            e_dig = e_dig.filter(F.col("epoch") != F.lit(int(exclude_epoch)))
+        if "epoch" in e_band.columns:
+            e_band = e_band.filter(F.col("epoch") != F.lit(int(exclude_epoch)))
     t = F.col(text_col)
     i_dig = fan_out(incoming).select("doc_id", F.md5(t).alias("digest"))
-    exact = i_dig.join(e_dig, "digest").select(
-        "doc_id",
-        "dup_of",
-        F.lit("exact").alias("kind"),
-        F.lit(1.0).alias("jaccard"),
+    exact = (
+        i_dig.join(e_dig, "digest")
+        .filter(F.col("dup_of") != F.col("doc_id"))
+        .select(
+            "doc_id",
+            "dup_of",
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("jaccard"),
+        )
     )
     i_band = _banded_shingles(incoming, k=k, bands=bands, text_col=text_col)
     if max_bucket is not None and "bucket_n" in e_band.columns:
@@ -1550,7 +1609,10 @@ def incremental_dedup_probe(
     ).cast("double")
     near = (
         i_band.join(e_band, "bh")
-        .filter(F.col("band") == F.col("band_e"))
+        .filter(
+            (F.col("band") == F.col("band_e"))
+            & (F.col("dup_of") != F.col("doc_id"))
+        )
         .select("doc_id", "dup_of", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .distinct()

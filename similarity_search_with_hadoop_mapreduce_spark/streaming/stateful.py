@@ -303,8 +303,15 @@ def streaming_curation_loop_demo(
     def curate_epoch(batch_df, epoch_id: int) -> None:
         batch_df = batch_df.persist()  # probed AND filtered: two consumers
         try:
+            # exclude_epoch: a replay whose previous attempt crashed
+            # after a PARTIAL index append (digest half landed) must
+            # probe the pre-epoch index state, or every accepted doc
+            # matches its own just-committed digest and the epoch's
+            # band rows are permanently lost (ADVICE r5 medium) —
+            # crash-replay pinned in tests/test_streaming.py.
             dups = incremental_dedup_probe(
-                spark, batch_df, prefix=prefix, threshold=threshold
+                spark, batch_df, prefix=prefix, threshold=threshold,
+                exclude_epoch=epoch_id,
             )
             intra = intra_batch_dedup(batch_df, threshold=threshold)
             dup_ids = (

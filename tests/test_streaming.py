@@ -360,3 +360,102 @@ def test_streaming_curation_loop_intra_epoch_dedup(spark, tmp_path):
         .filter(F.col("epoch") >= 0).collect()
     }
     assert idx_docs == {500, 502}
+
+
+def test_streaming_curation_loop_crash_between_index_appends(spark, tmp_path, monkeypatch):
+    """Crash BETWEEN the digest and band index appends, then replay
+    through foreachBatch (the real recovery path, not a hand re-call of
+    append_dedup_index): the replayed epoch must probe the PRE-epoch
+    index state (exclude_epoch), reproduce the original accepted set,
+    skip the already-landed digest half and complete exactly the missing
+    band half — ending identical to an uninterrupted run (ADVICE r5
+    medium: without epoch exclusion the replay saw its own digests,
+    flagged everything as self-duplicates and appended an empty band set
+    forever)."""
+    import pytest
+
+    import similarity_search_with_hadoop_mapreduce_spark.operators.dedup as DD
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_probe,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_curation_loop_demo,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document about engines and data pipelines")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, prefix="crash_loop_idx")
+    schema = "doc_id long, text string"
+    epoch = [
+        (100, "brand new arrival describing glaciers and fjord weather"),
+        (101, "brand new arrival describing glaciers and fjord weather"),
+        (102, "wholly unrelated arrival about harbor cranes and cargo"),
+    ]
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    spark.createDataFrame(epoch, schema).coalesce(1).write.parquet(
+        str(inc / "e1")
+    )
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
+
+    calls = {"n": 0}
+
+    def boom():
+        calls["n"] += 1
+        raise RuntimeError("injected crash between index appends")
+
+    monkeypatch.setattr(DD, "_between_appends_hook", boom)
+    with pytest.raises(Exception):
+        streaming_curation_loop_demo(
+            spark, f"{inc}/*", out, ckpt, prefix="crash_loop_idx"
+        )
+    assert calls["n"] == 1
+    # the crash left the epoch half-appended: digests landed, bands not
+    dig = spark.table("crash_loop_idx_digest")
+    bands = spark.table("crash_loop_idx_bands")
+    assert {
+        r.dup_of for r in dig.filter(F.col("epoch") >= 0).collect()
+    } == {100, 102}
+    assert bands.filter(F.col("epoch") >= 0).count() == 0
+
+    monkeypatch.setattr(DD, "_between_appends_hook", None)
+    streaming_curation_loop_demo(
+        spark, f"{inc}/*", out, ckpt, prefix="crash_loop_idx"
+    )
+    # accepted output: the intra-epoch dup (101) rejected, nothing lost,
+    # nothing doubled by the replay
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [100, 102]
+    # digest half was NOT re-appended; band half landed on replay with
+    # exactly the accepted docs
+    assert {
+        (r.dup_of, ) for r in dig.filter(F.col("epoch") >= 0).collect()
+    } == {(100,), (102,)}
+    assert dig.filter(F.col("epoch") >= 0).count() == 2
+    band_docs = {
+        r.dup_of
+        for r in bands.filter(F.col("epoch") >= 0).collect()
+    }
+    assert band_docs == {100, 102}
+    # the healed index actually serves BOTH layers: a later exact copy
+    # of an accepted doc hits the digest index, a near variant (last
+    # word changed, jaccard 4/8 = 0.5) hits the band index the replay
+    # completed — proof the epoch's band rows really landed
+    later = spark.createDataFrame(
+        [
+            (900, "brand new arrival describing glaciers and fjord weather"),
+            (901, "brand new arrival describing glaciers and fjord climate"),
+        ],
+        schema,
+    )
+    kinds = {
+        (r.doc_id, r.kind, r.dup_of)
+        for r in incremental_dedup_probe(
+            spark, later, prefix="crash_loop_idx"
+        ).collect()
+    }
+    assert (900, "exact", 100) in kinds and (901, "near", 100) in kinds
