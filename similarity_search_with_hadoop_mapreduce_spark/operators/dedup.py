@@ -1303,6 +1303,11 @@ def _reject_pre_epoch_table(spark, table_name: str) -> None:
 # pinned by an actual interrupted foreachBatch run, not a simulation.
 _between_appends_hook = None
 
+# Same, for compact_dedup_index: called between the digest overwrite and
+# the bands overwrite so the heal-by-rerun contract is pinned by an
+# actually interrupted compaction.
+_between_compaction_overwrites_hook = None
+
 
 def append_dedup_index(
     new_docs: DataFrame,
@@ -1427,7 +1432,17 @@ def compact_dedup_index(
     overwrite a table it is reading): write compacted → re-read →
     overwrite original → drop stage. Two data passes, both bucketed —
     a maintenance job priced at index size, run at the deployment's
-    refresh cadence."""
+    refresh cadence.
+
+    **Crash contract — heal by re-running**: a failure between the
+    digest overwrite and the bands overwrite leaves the two tables at
+    different statistics generations. That intermediate state is SAFE
+    for probes (statistics only gate the star cap; relations are
+    per-row) but inconsistent for observability, and simply re-running
+    compaction converges both tables: each pass recomputes from the
+    tables' current contents and both rewrites are idempotent
+    (pytest-pinned via the fault-injection hook below — post-heal probe
+    equals a fresh rebuild)."""
     dig_stage = f"{prefix}_digest_compacting"
     band_stage = f"{prefix}_bands_compacting"
     digest = (
@@ -1455,6 +1470,8 @@ def compact_dedup_index(
         spark.table(dig_stage), f"{prefix}_digest", "digest",
         n_buckets=n_buckets,
     )
+    if _between_compaction_overwrites_hook is not None:
+        _between_compaction_overwrites_hook()
     write_bucketed(
         spark.table(band_stage), f"{prefix}_bands", "bh",
         n_buckets=n_buckets,
@@ -1480,37 +1497,37 @@ def dedup_index_stats(
 
     Columns: ``(digest_rows, band_rows, n_buckets, max_bucket_n_stored,
     max_bucket_n_actual, over_cap_buckets, stale_cap_rows, n_epochs)``.
-    One aggregation over each table (the band side re-counts (band, bh)
-    populations with the same window shape the build pass uses)."""
+    ONE aggregation pass over the band table (r5 verdict item: the
+    window formulation materialized a sort run per bucket AND re-counted
+    the same populations in a second groupBy): a partial-aggregated
+    ``groupBy(band_e, bh)`` yields each bucket's actual size, max stored
+    ``bucket_n`` and its count of ``<= cap``-stored rows, from which a
+    scalar fold derives every band-side column — stale rows are exactly
+    the ``<= cap``-stored rows of over-cap buckets."""
     dig = spark.table(f"{prefix}_digest")
     bands = spark.table(f"{prefix}_bands")
-    w = Window.partitionBy("band_e", "bh")
-    sized = bands.select(
-        "bucket_n",
-        F.count(F.lit(1)).over(w).alias("_actual"),
+    per_bucket = bands.groupBy("band_e", "bh").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("bucket_n").alias("_max_stored"),
+        F.sum((F.col("bucket_n") <= cap).cast("long")).alias("_stored_le_cap"),
     )
-    band_agg = sized.agg(
-        F.count(F.lit(1)).alias("band_rows"),
-        F.max("bucket_n").alias("max_bucket_n_stored"),
-        F.max("_actual").alias("max_bucket_n_actual"),
+    band_agg = per_bucket.agg(
+        F.sum("_n").alias("band_rows"),
+        F.max("_max_stored").alias("max_bucket_n_stored"),
+        F.max("_n").alias("max_bucket_n_actual"),
         F.sum(
-            ((F.col("_actual") > cap) & (F.col("bucket_n") <= cap)).cast("long")
+            F.when(F.col("_n") > cap, F.col("_stored_le_cap")).otherwise(
+                F.lit(0)
+            )
         ).alias("stale_cap_rows"),
-    )
-    bucket_agg = (
-        bands.select("band_e", "bh")
-        .groupBy("band_e", "bh")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.sum((F.col("_n") > cap).cast("long")).alias("over_cap_buckets"),
-        )
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("_n") > cap).cast("long")).alias("over_cap_buckets"),
     )
     dig_agg = dig.agg(
         F.count(F.lit(1)).alias("digest_rows"),
         F.countDistinct("epoch").alias("n_epochs"),
     )
-    return dig_agg.join(band_agg).join(bucket_agg).select(
+    return dig_agg.join(band_agg).select(
         "digest_rows",
         "band_rows",
         "n_buckets",

@@ -263,12 +263,23 @@ def ngram_frequencies_arrow(
             parts.pop()
         return parts
 
+    # Vocabulary flush bound: the Counter otherwise grows with the
+    # partition's DISTINCT term count — Zipf keeps that small on natural
+    # text, but a pathological vocabulary (random tokens) is bounded
+    # only by the partition. Emitting and resetting past this many
+    # distinct terms caps memory unconditionally; downstream sums the
+    # partials, so flushing is result-invariant (it only trades a
+    # little pre-combining away).
+    _FLUSH_VOCAB = 1_000_000
+
     def partial_counts(pdfs):
         from collections import Counter
 
         c: Counter = Counter()
         for pdf in pdfs:
             for text in pdf["_t"]:
+                if not isinstance(text, str):
+                    continue  # NULL text: no trigrams, like the native plan
                 toks = _java_split(text)
                 if len(toks) >= 3:
                     c.update(
@@ -277,6 +288,11 @@ def ngram_frequencies_arrow(
                             for i in range(len(toks) - 2)
                         }
                     )
+            if len(c) > _FLUSH_VOCAB:
+                yield pd.DataFrame(
+                    {"term": list(c.keys()), "df": list(c.values())}
+                )
+                c = Counter()
         if c:
             yield pd.DataFrame(
                 {"term": list(c.keys()), "df": list(c.values())}

@@ -909,3 +909,57 @@ def test_append_dedup_index_snapshots_probe_derived_input(spark):
     D.append_dedup_index(accepted, prefix="snap_idx", epoch_id=0)
     assert spark.table("snap_idx_digest").count() == dig0 + 10
     assert spark.table("snap_idx_bands").count() == band0 + 40  # 4 bands/doc
+
+
+def test_compact_dedup_index_crash_heals_by_rerun(spark, monkeypatch):
+    """Interrupt compaction BETWEEN the digest overwrite and the bands
+    overwrite: the tables sit at different statistics generations
+    (digest refreshed, bands stale — probes still correct row-wise),
+    and simply RE-RUNNING compaction converges both; the healed capped
+    probe equals a fresh rebuild over the union corpus."""
+    import pytest
+
+    n = 60
+    corpus = spark.createDataFrame(
+        [(n + 1, CORPUS[4])], "doc_id long, text string"
+    )
+    D.build_dedup_index(corpus, prefix="heal_idx")
+    hot = spark.createDataFrame(
+        [(i, "hot near duplicated corpus body text repeated verbatim")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    D.append_dedup_index(hot, prefix="heal_idx", epoch_id=1)
+
+    def boom():
+        raise RuntimeError("injected crash between compaction overwrites")
+
+    monkeypatch.setattr(D, "_between_compaction_overwrites_hook", boom)
+    with pytest.raises(RuntimeError, match="between compaction"):
+        D.compact_dedup_index(spark, prefix="heal_idx")
+    # intermediate state: digest refreshed, bands still append-stale
+    assert spark.table("heal_idx_bands").filter("bucket_n = 1").count() > 0
+    # ...and still row-correct for probes (statistics only gate the cap)
+    incoming = spark.createDataFrame(
+        [(9000, "hot near duplicated corpus body text repeated verbatim today")],
+        "doc_id long, text string",
+    )
+    key = lambda r: (r.doc_id, r.dup_of, r.kind)
+    mid = {key(r) for r in D.incremental_dedup_probe(
+        spark, incoming, prefix="heal_idx", threshold=0.5, max_bucket=None
+    ).collect()}
+    assert mid == {(9000, i, "near") for i in range(n)}
+
+    monkeypatch.setattr(D, "_between_compaction_overwrites_hook", None)
+    D.compact_dedup_index(spark, prefix="heal_idx")
+    post = {key(r) for r in D.incremental_dedup_probe(
+        spark, incoming, prefix="heal_idx", threshold=0.5, max_bucket=10
+    ).collect()}
+    D.build_dedup_index(corpus.unionByName(hot), prefix="heal_idx_fresh")
+    fresh = {key(r) for r in D.incremental_dedup_probe(
+        spark, incoming, prefix="heal_idx_fresh", threshold=0.5, max_bucket=10
+    ).collect()}
+    assert post == fresh == {(9000, 0, "near")}
+    # epoch stamps survived both the crash and the healing rerun
+    assert D._epoch_already_appended(spark, "heal_idx_bands", 1)
+    assert D._epoch_already_appended(spark, "heal_idx_digest", 1)

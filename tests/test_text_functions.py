@@ -178,6 +178,7 @@ def test_ngram_frequencies_arrow_twin_matches_native(spark):
             (4, ""),                      # no-match -> [''] -> no trigrams
             (5, "!leading delimiter keeps empty token here"),
             (6, "alpha beta gamma delta alpha beta gamma"),  # exact dup
+            (7, None),                    # NULL text -> no trigrams, no crash
         ],
         "doc_id long, text string",
     )
