@@ -1308,22 +1308,71 @@ def lsh_bucketed_topk(
     )
 
 
+def _layout_epoch_scheme(spark, path: str) -> bool | None:
+    """Partition-scheme probe of a stored layout: True if the tree
+    carries the ``epoch`` partition level, False if not, None if the
+    path doesn't exist or is empty (fresh write — no constraint).
+    Reading BEFORE appending is exactly when the tree is still
+    consistent, so partition discovery is reliable here."""
+    try:
+        return "epoch" in spark.read.parquet(path).columns
+    except Exception:
+        return None
+
+
+def _require_epoch_scheme_match(
+    spark, path: str, epoch_id: int | None, fn: str
+) -> None:
+    """Appending with ``epoch_id`` into a base written WITHOUT the epoch
+    partition level (or plainly into an epoch-partitioned base) writes a
+    mixed-depth parquet tree that only fails at read time, after the
+    on-disk layout is already corrupted (ADVICE r5) — fail loudly at
+    write time instead, mirroring the ``book=None`` guard."""
+    has = _layout_epoch_scheme(spark, path)
+    if has is True and epoch_id is None:
+        raise ValueError(
+            f"{fn}: layout at {path!r} is epoch-partitioned; pass "
+            "epoch_id so the append lands as an idempotent per-epoch "
+            "overwrite (a plain append would corrupt the partition tree)"
+        )
+    if has is False and epoch_id is not None:
+        raise ValueError(
+            f"{fn}: layout at {path!r} has no epoch partition level; "
+            "rebuild the base with epoch=-1 (write_*_layout(..., "
+            "epoch=-1)) before epoch-stamped appends"
+        )
+
+
 def write_ivf_layout(
     embeddings: DataFrame,
     path: str,
     n_centroids: int = 8,
     id_col: str = "vec_id",
     book: list[tuple[int, list[float], float]] | None = None,
+    epoch: int | None = None,
 ) -> None:
     """Persist the corpus in IVF storage layout: parquet partitioned by
     ``centroid_id`` (one directory per inverted list). The index-build
     half of ANN at 100 TB — assignment runs once at write time; every
     query after that scans only its probed partitions. Pass the same
     (trained) ``book`` to :func:`ivf_topk_from_layout` so probes rank the
-    centroids the layout was built with."""
-    assign_ivf_centroids(
+    centroids the layout was built with. ``epoch`` (e.g. ``-1`` for the
+    base build) adds the idempotent-append partition level (see
+    :func:`write_ivfpq_layout`)."""
+    assigned = assign_ivf_centroids(
         embeddings, n_centroids, id_col=id_col, book=book
-    ).write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    )
+    if epoch is not None:
+        (
+            assigned.withColumn("epoch", F.lit(int(epoch)).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("centroid_id", "epoch")
+            .parquet(path)
+        )
+    else:
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            path
+        )
 
 
 def append_ivf_layout(
@@ -1331,6 +1380,7 @@ def append_ivf_layout(
     path: str,
     book: list[tuple[int, list[float], float]],
     id_col: str = "vec_id",
+    epoch_id: int | None = None,
 ) -> None:
     """Append a batch of new vectors to a STORED plain-IVF layout
     without rebuilding — the maintenance counterpart
@@ -1343,16 +1393,37 @@ def append_ivf_layout(
     union corpus (pytest-pinned): assignment is a pure per-row function
     of (vector, book). ``book`` is required — assignment under a
     retrained book would scatter the batch across DIFFERENT lists than
-    the resident corpus, silently corrupting probe recall."""
+    the resident corpus, silently corrupting probe recall.
+
+    ``epoch_id`` (r5 verdict item #3): without it the append is plain
+    ``mode("append")`` — at-least-once under streaming replay, and
+    duplicated vectors CHANGE top-k. With it, the batch lands as a
+    writer-scoped dynamic overwrite of its own ``(centroid_id, epoch)``
+    partitions, so a replayed epoch overwrites itself (requires a base
+    written with ``epoch=-1``; scheme mismatch fails loudly here, not
+    at some later read)."""
     if book is None:
         raise ValueError(
             "append_ivf_layout requires the book the layout was "
             "partitioned with (appending under a different book files "
             "vectors into the wrong inverted lists)"
         )
-    assign_ivf_centroids(
+    _require_epoch_scheme_match(
+        new_vectors.sparkSession, path, epoch_id, "append_ivf_layout"
+    )
+    assigned = assign_ivf_centroids(
         new_vectors, len(book), id_col=id_col, book=book
-    ).write.mode("append").partitionBy("centroid_id").parquet(path)
+    )
+    if epoch_id is not None:
+        (
+            assigned.withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id", "epoch")
+            .parquet(path)
+        )
+    else:
+        assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
 
 
 def append_lsh_layout(
@@ -1361,6 +1432,7 @@ def append_lsh_layout(
     n_planes: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
+    epoch_id: int | None = None,
 ) -> None:
     """Append a batch of new vectors to a STORED LSH layout without
     rebuilding (r4 verdict item #5, the hash-family twin of
@@ -1372,11 +1444,130 @@ def append_lsh_layout(
     rebuild over the union corpus (pytest-pinned); pass the SAME
     ``n_planes``/``dim`` the layout was written with — a different
     geometry would bucket the batch under a different family than the
-    resident corpus."""
+    resident corpus. ``epoch_id``: same idempotent per-epoch dynamic
+    overwrite (and the same write-time scheme guard) as
+    :func:`append_ivf_layout`."""
+    _require_epoch_scheme_match(
+        new_vectors.sparkSession, path, epoch_id, "append_lsh_layout"
+    )
     planes = hyperplane_signs(n_planes, dim)
-    fan_out(new_vectors).withColumn(
+    bucketed = fan_out(new_vectors).withColumn(
         "bucket", lsh_bucket(F.col("embedding"), planes)
-    ).write.mode("append").partitionBy("bucket").parquet(path)
+    )
+    if epoch_id is not None:
+        (
+            bucketed.withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket", "epoch")
+            .parquet(path)
+        )
+    else:
+        bucketed.write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def _layout_list_key(cols: list[str]) -> str:
+    """The inverted-list partition key of a stored ANN layout — the
+    IVF families partition by ``centroid_id``, the LSH family by
+    ``bucket``; anything else is not a layout this maintenance pair
+    understands."""
+    if "centroid_id" in cols:
+        return "centroid_id"
+    if "bucket" in cols:
+        return "bucket"
+    raise ValueError(
+        "not an ANN layout: expected a centroid_id or bucket partition "
+        f"column, found {cols!r}"
+    )
+
+
+def compact_ann_layout(
+    spark, path: str, upto_epoch: int | None = None
+) -> None:
+    """Compact a stored ANN layout grown by per-epoch appends — the
+    ANN twin of :func:`operators.dedup.compact_dedup_index` (r5 verdict
+    item #4): continuous ingest accumulates one file-set per epoch per
+    inverted-list directory, and the r5 scale probe measured the same
+    small-file accumulation costing +42% probe wall on the dedup index.
+    Epochs at or below ``upto_epoch`` (default: ALL epochs) fold into
+    the baseline ``epoch = -1`` partition and every directory is
+    rewritten as ONE file (a repartition on the partition keys routes
+    each directory's rows to a single task), so listing and scan costs
+    return to base-build shape. Works on any layout family
+    (IVF / IVF-PQ / residual / LSH — the partition key is discovered
+    from the tree) and is a no-op semantically: probes read named
+    columns under partition filters, so fold + rewrite is
+    result-invariant (pytest-pinned probe equality).
+
+    **Replay caveat (the log-compaction rule)**: folding epoch N into
+    the baseline forfeits the per-epoch overwrite idempotency for N —
+    a LATER replay of epoch N would re-add its vectors alongside the
+    folded copies. Only compact epochs your streaming checkpoint has
+    committed (they can never re-fire); under availableNow/sequential
+    epochs that is every epoch once the query terminates. Layouts
+    without an epoch level just get the file rewrite.
+
+    Locally the snapshot is an eager ``localCheckpoint`` (severs the
+    plan from ``path`` so the in-place overwrite is legal); on a real
+    cluster with executor-loss concerns, side-write to a fresh prefix
+    and swap instead — the data pass is identical."""
+    df = spark.read.parquet(path)
+    key = _layout_list_key(df.columns)
+    has_epoch = "epoch" in df.columns
+    part_cols = [key, "epoch"] if has_epoch else [key]
+    if has_epoch:
+        fold = (
+            F.col("epoch") <= F.lit(int(upto_epoch))
+            if upto_epoch is not None
+            else F.lit(True)
+        )
+        df = df.withColumn(
+            "epoch",
+            F.when(fold, F.lit(-1).cast("long")).otherwise(F.col("epoch")),
+        )
+    snap = df.repartition(*[F.col(c) for c in part_cols]).localCheckpoint(
+        eager=True
+    )
+    try:
+        snap.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
+    finally:
+        snap.unpersist()
+
+
+def layout_stats(spark, path: str) -> DataFrame:
+    """One-row health summary of a stored ANN layout — the
+    observability twin of :func:`operators.dedup.dedup_index_stats`:
+    ``n_files / n_lists`` is the small-file dial (it grows by ~1 per
+    append per touched directory and returns to ~1.0 after
+    :func:`compact_ann_layout`); ``n_epochs`` counts distinct epoch
+    partitions still unfolded (0 = the layout has no epoch level).
+    Columns: ``(n_rows, n_lists, n_epochs, n_files,
+    avg_rows_per_file)``. One scan, one scalar aggregation — a
+    maintenance probe, not a serving query."""
+    df = spark.read.parquet(path)
+    key = _layout_list_key(df.columns)
+    has_epoch = "epoch" in df.columns
+    # input_file_name() is non-deterministic, so it must be projected to
+    # a plain column before the distinct aggregate may touch it
+    df = df.withColumn("_file", F.input_file_name())
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(key).alias("n_lists"),
+        (
+            F.countDistinct("epoch")
+            if has_epoch
+            else F.lit(0).cast("long")
+        ).alias("n_epochs"),
+        F.countDistinct("_file").alias("n_files"),
+    ).select(
+        "n_rows",
+        "n_lists",
+        "n_epochs",
+        "n_files",
+        F.round(F.col("n_rows") / F.col("n_files"), 1).alias(
+            "avg_rows_per_file"
+        ),
+    )
 
 
 def ivf_topk_from_layout(
@@ -1501,7 +1692,12 @@ def append_ivfpq_layout(
     overwrites itself, making the append idempotent. Requires a layout
     whose base was written with an ``epoch`` partition level
     (``write_ivfpq_layout(..., epoch=-1)``): parquet partition
-    discovery rejects trees that mix partitioned depths."""
+    discovery rejects trees that mix partitioned depths — and the
+    mismatch is checked at WRITE time (either direction), not left to
+    corrupt the tree and fail at some later read (ADVICE r5)."""
+    _require_epoch_scheme_match(
+        new_vectors.sparkSession, path, epoch_id, "append_ivfpq_layout"
+    )
     index = (
         ivfpq_residual_index(
             new_vectors, coarse_book, pq_books, sub_dim=sub_dim,
@@ -1704,15 +1900,27 @@ def write_lsh_layout(
     n_planes: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
+    epoch: int | None = None,
 ) -> None:
     """Persist the corpus in LSH storage layout: parquet partitioned by
     the hyperplane ``bucket`` — the hash-family counterpart of
     :func:`write_ivf_layout` (same one-directory-per-list topology,
-    2**n_planes lists)."""
+    2**n_planes lists). ``epoch`` (e.g. ``-1`` for the base build) adds
+    the idempotent-append partition level (see
+    :func:`write_ivfpq_layout`)."""
     planes = hyperplane_signs(n_planes, dim)
-    fan_out(embeddings).withColumn(
+    bucketed = fan_out(embeddings).withColumn(
         "bucket", lsh_bucket(F.col("embedding"), planes)
-    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    )
+    if epoch is not None:
+        (
+            bucketed.withColumn("epoch", F.lit(int(epoch)).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("bucket", "epoch")
+            .parquet(path)
+        )
+    else:
+        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
 def lsh_topk_from_layout(

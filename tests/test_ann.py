@@ -534,3 +534,120 @@ def test_append_ivf_and_lsh_layouts_equal_full_rebuild(spark, tmp_path):
     lwant = lsh_topk_from_layout(spark, lfull, emb, 0, k=10, n_planes=4).collect()
     assert [lkey(r) for r in lgot] == [lkey(r) for r in lwant]
     assert len(lgot) > 0
+
+
+def test_append_ivf_and_lsh_layouts_epoch_idempotent_replay(spark, tmp_path):
+    """r5 verdict #3: the plain-IVF and LSH layout appends get the same
+    epoch-partitioned dynamic-overwrite idempotency the IVF-PQ append
+    has — a replayed epoch (crash-replay semantics: same epoch_id, same
+    batch) overwrites itself instead of duplicating vectors (duplicates
+    would change top-k), probes equal a full rebuild, and partition-
+    scheme mismatches fail at WRITE time (ADVICE r5), not as a
+    corrupted tree at a later read."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        append_ivf_layout,
+        append_lsh_layout,
+        ivf_topk_from_layout,
+        kmeans_codebook,
+        lsh_topk_from_layout,
+        write_ivf_layout,
+        write_lsh_layout,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    # plain IVF
+    book = kmeans_codebook(emb, n_centroids=8, iters=1)
+    inc, full = str(tmp_path / "ivf_inc"), str(tmp_path / "ivf_full")
+    write_ivf_layout(half_a, inc, n_centroids=8, book=book, epoch=-1)
+    append_ivf_layout(half_b, inc, book=book, epoch_id=1)
+    n = spark.read.parquet(inc).count()
+    append_ivf_layout(half_b, inc, book=book, epoch_id=1)  # the replay
+    assert spark.read.parquet(inc).count() == n == emb.count()
+    write_ivf_layout(emb, full, n_centroids=8, book=book)
+    key = lambda r: (r.vec_id, r.centroid_id, r.cosine)
+    got = ivf_topk_from_layout(
+        spark, inc, emb, 0, k=10, n_centroids=8, nprobe=2, book=book
+    ).collect()
+    want = ivf_topk_from_layout(
+        spark, full, emb, 0, k=10, n_centroids=8, nprobe=2, book=book
+    ).collect()
+    assert [key(r) for r in got] == [key(r) for r in want] and len(got) == 10
+    # scheme guards, both directions
+    with pytest.raises(ValueError, match="no epoch partition level"):
+        append_ivf_layout(half_b, full, book=book, epoch_id=2)
+    with pytest.raises(ValueError, match="is epoch-partitioned"):
+        append_ivf_layout(half_b, inc, book=book)
+
+    # LSH
+    linc, lfull = str(tmp_path / "lsh_inc"), str(tmp_path / "lsh_full")
+    write_lsh_layout(half_a, linc, n_planes=4, epoch=-1)
+    append_lsh_layout(half_b, linc, n_planes=4, epoch_id=1)
+    ln = spark.read.parquet(linc).count()
+    append_lsh_layout(half_b, linc, n_planes=4, epoch_id=1)  # the replay
+    assert spark.read.parquet(linc).count() == ln == emb.count()
+    write_lsh_layout(emb, lfull, n_planes=4)
+    lkey = lambda r: (r.vec_id, r.bucket, r.cosine)
+    lgot = lsh_topk_from_layout(spark, linc, emb, 0, k=10, n_planes=4).collect()
+    lwant = lsh_topk_from_layout(spark, lfull, emb, 0, k=10, n_planes=4).collect()
+    assert [lkey(r) for r in lgot] == [lkey(r) for r in lwant] and lgot
+    with pytest.raises(ValueError, match="is epoch-partitioned"):
+        append_lsh_layout(half_b, linc, n_planes=4)
+
+
+def test_compact_ann_layout_folds_epochs_and_rewrites_files(spark, tmp_path):
+    """r5 verdict #4: continuous ingest accumulates one file-set per
+    epoch per inverted-list directory; compact_ann_layout folds
+    committed epochs into the baseline and rewrites each directory as
+    ONE file — layout_stats shows the dial moving (n_epochs collapses,
+    n_files returns to one per list), row count and probe results are
+    unchanged, and an upto_epoch horizon preserves newer epochs for
+    replay safety."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        append_ivf_layout,
+        compact_ann_layout,
+        ivf_topk_from_layout,
+        kmeans_codebook,
+        layout_stats,
+        write_ivf_layout,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    thirds = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    book = kmeans_codebook(emb, n_centroids=8, iters=1)
+    path = str(tmp_path / "layout")
+    write_ivf_layout(thirds[0], path, n_centroids=8, book=book, epoch=-1)
+    append_ivf_layout(thirds[1], path, book=book, epoch_id=1)
+    append_ivf_layout(thirds[2], path, book=book, epoch_id=2)
+
+    key = lambda r: (r.vec_id, r.centroid_id, r.cosine)
+    before = layout_stats(spark, path).first()
+    want = [key(r) for r in ivf_topk_from_layout(
+        spark, path, emb, 0, k=10, n_centroids=8, nprobe=2, book=book
+    ).collect()]
+    assert before.n_epochs == 3 and before.n_rows == emb.count()
+
+    # horizon compaction: epoch 2 stays replayable
+    compact_ann_layout(spark, path, upto_epoch=1)
+    mid = layout_stats(spark, path).first()
+    assert mid.n_epochs == 2 and mid.n_rows == before.n_rows
+    epochs = {r.epoch for r in spark.read.parquet(path)
+              .select("epoch").distinct().collect()}
+    assert epochs == {-1, 2}
+
+    # full compaction: every directory one file
+    compact_ann_layout(spark, path)
+    after = layout_stats(spark, path).first()
+    assert after.n_epochs == 1 and after.n_rows == before.n_rows
+    assert after.n_files == after.n_lists < before.n_files
+    got = [key(r) for r in ivf_topk_from_layout(
+        spark, path, emb, 0, k=10, n_centroids=8, nprobe=2, book=book
+    ).collect()]
+    assert got == want and len(got) == 10
