@@ -102,6 +102,9 @@ def _production_impls():
         "text_top_ngrams": lambda spark, sf: T.ngram_frequencies_arrow(
             load_table(spark, sf, "documents"), top_k=25
         ),
+        "text_quality": lambda spark, sf: T.quality_score_arrow(
+            load_table(spark, sf, "documents")
+        ),
     }
 
 

@@ -191,3 +191,41 @@ def test_ngram_frequencies_arrow_twin_matches_native(spark):
     want = [key(r) for r in ngram_frequencies(fx, top_k=25).collect()]
     got = [key(r) for r in ngram_frequencies_arrow(fx, top_k=25).collect()]
     assert got == want and len(want) == 25
+
+
+def test_quality_score_arrow_twin_matches_native(spark):
+    """The Arrow quality-signal production twin must equal the gated
+    native HOF plan EXACTLY (bit-level doubles: single-division ratios,
+    same left-associated score expression, Spark-side rounding) —
+    including NULL text, empty text, punctuation-only and no-match
+    edge docs."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        quality_score,
+        quality_score_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a dense, punct-heavy!! doc?? with (many) marks..."),
+            (2, "!!! ... ???"),
+            (3, ""),
+            (4, "word"),
+            (5, None),
+            (6, "!leading delimiter keeps empty token here"),
+            (7, "x " * 200),  # n_tokens > 100 saturates the length term
+        ],
+        "doc_id long, text string",
+    )
+    key = lambda r: (
+        r.doc_id, r.n_tokens, r.punct_ratio, r.stop_ratio,
+        r.mean_token_len, r.quality,
+    )
+    want = sorted(key(r) for r in quality_score(docs).collect())
+    got = sorted(key(r) for r in quality_score_arrow(docs).collect())
+    assert got == want
+    # and on the real fixture, every row bit-identical
+    fx = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = sorted(key(r) for r in quality_score(fx).collect())
+    got = sorted(key(r) for r in quality_score_arrow(fx).collect())
+    assert got == want and len(want) > 100
