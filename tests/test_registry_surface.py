@@ -37,6 +37,7 @@ FOLDED = {
     "dedup_minhash_lsh_capped": "dedup_minhash_lsh_suite",
     "dedup_incremental": "dedup_incremental_suite",
     "dedup_intra_batch": "dedup_incremental_suite",
+    "dedup_intra_batch_capped": "dedup_incremental_suite",
     "dedup_embedding_cosine": "dedup_embedding_suite",
     "dedup_embedding_lsh": "dedup_embedding_suite",
     "dedup_embedding_lsh_multiband": "dedup_embedding_suite",
