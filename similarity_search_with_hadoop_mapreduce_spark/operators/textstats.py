@@ -415,6 +415,79 @@ def ngram_frequencies_arrow(
     )
 
 
+def _ngrams_attr_sql(col: str, n: int) -> str:
+    """Word ``n``-grams over a STAGED token attribute via
+    ``sequence + element_at`` — the general-``n`` form of
+    :func:`functions.text.trigrams_attr_sql` (same staging requirement:
+    with an inline expression the interpreted lambda would re-evaluate
+    the split per index); ``< n`` tokens ⇒ ``[]``."""
+    parts = ", ".join(f"element_at({col}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size({col}) >= {n} THEN "
+        f"transform(sequence(1, size({col}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination for training corpora: flag corpus
+    documents sharing any word ``n``-gram with an evaluation benchmark
+    (the GPT-3 appendix-C / Llama-style overlap rule; ``n=13`` is the
+    published default, smaller ``n`` is stricter). A training pipeline
+    drops or quarantines the flagged docs so eval numbers measure
+    generalization, not memorized test data.
+
+    Returns ``(doc_id, n_hits, n_ngrams, hit_ratio)`` for corpus docs
+    with at least one overlapping n-gram — ``n_hits`` distinct shared
+    n-grams out of the doc's ``n_ngrams`` distinct n-grams; docs with no
+    row are clean.
+
+    100 TB shape (the flagship query topology, S2/T5): the benchmark is
+    eval-set sized — tiny next to the corpus — so its distinct n-grams
+    BROADCAST (explicitly pinned), the corpus side computes per-doc
+    distinct n-grams in one staged map pass (tokenize once per doc, the
+    :func:`_stage_tokens` contract), and the broadcast hash join prunes
+    the exploded stream to hits before the single ``doc_id`` shuffle —
+    high-cardinality key, no skew. The corpus never shuffles its text;
+    explode volume is bounded by per-doc distinct n-grams, and at
+    ``n=13`` the hit stream is almost empty by construction."""
+    bench = (
+        _stage_tokens(benchmark, text_col, "doc_id")
+        .select(
+            F.explode(
+                F.array_distinct(F.expr(_ngrams_attr_sql("_toks", n)))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    corp = _stage_tokens(corpus, text_col, "doc_id").select(
+        "doc_id",
+        F.array_distinct(F.expr(_ngrams_attr_sql("_toks", n))).alias("_ngs"),
+    )
+    return (
+        corp.select("doc_id", F.size("_ngs").alias("n_ngrams"),
+                    F.explode("_ngs").alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_ngrams",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("hit_ratio"),
+        )
+    )
+
+
 def vocab_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus vocabulary summary: documents with content, distinct
     trigram vocabulary, total (per-doc-distinct) term occurrences, mean

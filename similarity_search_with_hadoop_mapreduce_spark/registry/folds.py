@@ -1942,15 +1942,21 @@ def _register_curation_suite() -> None:
             "'neardup' AS shape, doc_id, stop_ratio AS a, "
             "CAST(NULL AS DOUBLE) AS b",
         ),
+        (
+            "text_decontamination",
+            "'decontaminate' AS shape, doc_id, hit_ratio AS a, "
+            "CAST(n_hits AS DOUBLE) AS b",
+        ),
     ]
 
     @register("curation_suite", oracle=_union_oracle(parts))
     def curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Tagged union of both end-to-end curation compositions: the
-        exact-dedup keeper pipeline and the r4 near-dup pipeline
+        """Tagged union of the end-to-end curation compositions: the
+        exact-dedup keeper pipeline, the r4 near-dup pipeline
         (star-capped MinHash pairs -> connected components -> keeper
-        semi-join) (members: curation_pipeline,
-        curation_pipeline_neardup)."""
+        semi-join), and the r6 benchmark-decontamination pass (n-gram
+        overlap vs a held-out eval slice) (members: curation_pipeline,
+        curation_pipeline_neardup, text_decontamination)."""
         ex = _q("curation_pipeline")(spark, sf_dir).select(
             F.lit("exact").alias("shape"),
             F.col("doc_id"),
@@ -1963,7 +1969,13 @@ def _register_curation_suite() -> None:
             F.col("stop_ratio").alias("a"),
             _null("b", "double"),
         )
-        return _union_spark([ex, nd])
+        dc = _q("text_decontamination")(spark, sf_dir).select(
+            F.lit("decontaminate").alias("shape"),
+            F.col("doc_id"),
+            F.col("hit_ratio").alias("a"),
+            F.col("n_hits").cast("double").alias("b"),
+        )
+        return _union_spark([ex, nd, dc])
 
 
 _register_curation_suite()

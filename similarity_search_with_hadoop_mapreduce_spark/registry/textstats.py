@@ -260,3 +260,40 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style duplicate-n-gram quality signals: fraction of repeated
     trigram occurrences and mass of the most frequent trigram per doc."""
     return T.repetition_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_decontamination",
+    oracle="WITH "
+    + SHINGLES_CTE
+    + """
+, bench AS (
+  SELECT DISTINCT unnest(s) AS gram FROM shingle_sets WHERE doc_id % 17 = 0
+),
+corp AS (
+  SELECT doc_id, len(s) AS n_ngrams, unnest(s) AS gram
+  FROM shingle_sets WHERE doc_id % 17 <> 0
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(any_value(c.n_ngrams) AS INTEGER) AS n_ngrams,
+       CAST(count(*) AS DOUBLE) / CAST(any_value(c.n_ngrams) AS DOUBLE)
+         AS hit_ratio
+FROM corp c JOIN bench b USING (gram)
+GROUP BY c.doc_id
+""",
+)
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C n-gram overlap rule):
+    every 17th doc plays the held-out eval benchmark; the rest is the
+    training corpus, and each corpus doc sharing any word n-gram with
+    the benchmark is flagged with its overlap count and ratio. ``n=3``
+    here so the synthetic fixture actually collides (the published
+    n=13 default is a parameter of the operator); the oracle recomputes
+    the same distinct-trigram overlap from the shared shingle CTE."""
+    docs = table(spark, sf_dir, "documents")
+    return T.benchmark_contamination(
+        docs.filter(docs.doc_id % 17 != 0),
+        docs.filter(docs.doc_id % 17 == 0),
+        n=3,
+    )

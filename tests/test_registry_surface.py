@@ -33,6 +33,7 @@ FOLDED = {
     "dedup_simhash_pairs_capped": "dedup_simhash_suite",
     "curation_pipeline": "curation_suite",
     "curation_pipeline_neardup": "curation_suite",
+    "text_decontamination": "curation_suite",
     "dedup_minhash_lsh": "dedup_minhash_lsh_suite",
     "dedup_minhash_lsh_capped": "dedup_minhash_lsh_suite",
     "dedup_incremental": "dedup_incremental_suite",

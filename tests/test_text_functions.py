@@ -229,3 +229,47 @@ def test_quality_score_arrow_twin_matches_native(spark):
     want = sorted(key(r) for r in quality_score(fx).collect())
     got = sorted(key(r) for r in quality_score_arrow(fx).collect())
     assert got == want and len(want) > 100
+
+
+def test_benchmark_contamination_flags_overlapping_docs(spark):
+    """GPT-3-style n-gram decontamination: a corpus doc sharing any word
+    n-gram with the benchmark is flagged with exact hit counts; clean
+    docs produce no row; the benchmark side BROADCASTS (plan-pinned) so
+    the corpus never shuffles its text."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        benchmark_contamination,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.plans import explain_string
+
+    benchmark = spark.createDataFrame(
+        [(900, "what is the capital of france"),
+         (901, "name the largest planet in our solar system")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains "the capital of france" -> 5-token overlap
+            (1, "paris is the capital of france and a big city"),
+            (2, "entirely unrelated text about gardening and soil quality"),
+            # short doc, < n tokens: no n-grams, never flagged
+            (3, "tiny doc"),
+            # exact copy of a benchmark doc: every n-gram hits
+            (4, "what is the capital of france"),
+        ],
+        "doc_id long, text string",
+    )
+    out = benchmark_contamination(corpus, benchmark, n=5)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 4}
+    # doc 1: 10 tokens -> 6 distinct 5-grams; hits are the two 5-grams
+    # inside "is the capital of france" window... compute by hand:
+    # benchmark 900 tokens = [what, is, the, capital, of, france] ->
+    # 5-grams {"what is the capital of", "is the capital of france"}
+    # doc 1 tokens = [paris, is, the, capital, of, france, and, a, big,
+    # city] -> contains "is the capital of france" only
+    assert rows[1].n_hits == 1 and rows[1].n_ngrams == 6
+    assert rows[1].hit_ratio == 1 / 6
+    assert rows[4].n_hits == 2 and rows[4].n_ngrams == 2
+    assert rows[4].hit_ratio == 1.0
+    plan = explain_string(out, "formatted")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
