@@ -121,3 +121,63 @@ def weighted_sample(
         hash_bucket(F.col(id_col), buckets).cast("double")
         < guarded * F.lit(float(buckets))
     )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    max_tokens: int = 2048,
+    n_shards: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic pack-then-chunk sequence assignment — the layout
+    step of GPT-style pretraining data: documents are concatenated (in
+    id order, within a shard) and the stream is chunked into fixed
+    ``max_tokens`` training windows; each document is assigned the
+    window its FIRST token lands in plus its offset inside it, so a
+    writer can materialize the packed sequences with no further state.
+
+    Returns ``(doc_id, shard, n_tokens, bin_id, bin_offset)``:
+    ``shard = hash_bucket(id) % n_shards`` (the same engine-independent
+    md5 machinery as the split/sample family), ``bin_id =
+    tokens_before // max_tokens`` and ``bin_offset = tokens_before %
+    max_tokens`` where ``tokens_before`` is the running Java-split
+    token count of the shard's smaller-id documents. Documents longer
+    than ``max_tokens`` simply span several windows — the
+    concat-and-chunk contract, not first-fit binning (which is
+    inherently sequential and packs no tighter on natural-length docs).
+
+    100 TB shape: ONE exchange hashing docs to ``n_shards`` uniform
+    shards, then a per-shard sorted window (spillable ExternalSorter
+    run) computes the running sum — no global sort, no driver state;
+    size ``n_shards`` to the cluster so a shard is one sort run. Within
+    a shard the assignment is a pure function of the shard's id set:
+    reruns and retries reproduce it bit-for-bit (and the oracle can
+    replay it), while inserting a doc only renumbers LATER offsets of
+    its own shard — the locality that makes incremental repacking
+    cheap."""
+    from pyspark.sql import Window
+
+    from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
+        java_split_tokens,
+    )
+
+    shard = (hash_bucket(F.col(id_col)) % n_shards).alias("shard")
+    staged = documents.select(
+        F.col(id_col).alias("doc_id"),
+        shard,
+        F.size(java_split_tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return staged.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(before / F.lit(max_tokens)).alias("bin_id"),
+        (before % F.lit(max_tokens)).alias("bin_offset"),
+    )

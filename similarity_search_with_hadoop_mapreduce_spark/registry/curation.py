@@ -422,3 +422,49 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return gapfill_locf_auto(table(spark, sf_dir, "events"))
+
+
+def _pack_sequences_oracle() -> str:
+    from similarity_search_with_hadoop_mapreduce_spark.registry.sim import (
+        TOKENS_CTE,
+    )
+
+    return (
+        "WITH "
+        + TOKENS_CTE
+        + f"""
+, staged AS (
+  SELECT doc_id, ({_BUCKET} % 8) AS shard,
+         CAST(len(tok) AS INTEGER) AS n_tokens
+  FROM tokens
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM staged
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       CAST(before // 256 AS BIGINT) AS bin_id,
+       CAST(before % 256 AS BIGINT) AS bin_offset
+FROM packed
+"""
+    )
+
+
+@register("sample_pack_sequences", oracle=_pack_sequences_oracle())
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-then-chunk sequence layout (GPT-style pretraining): each
+    document's position in its shard's concatenated token stream,
+    chunked into 256-token training windows — shard, window id and
+    in-window offset all deterministic pure functions of the id set, so
+    the oracle replays the whole layout (md5 shard hash, Java-split
+    token counts, windowed running sum)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    return pack_sequences(
+        table(spark, sf_dir, "documents"), max_tokens=256, n_shards=8
+    )

@@ -628,15 +628,22 @@ def _register_sample_splits() -> None:
             "'quality_weighted' AS shape, doc_id, "
             "CAST(CAST(round(quality * 1000000.0, 0) AS BIGINT) AS VARCHAR) AS tag",
         ),
+        (
+            "sample_pack_sequences",
+            "'packed' AS shape, doc_id, "
+            "shard || ':' || bin_id || ':' || bin_offset || ':' || n_tokens"
+            " AS tag",
+        ),
     ]
 
     @register("sample_splits", oracle=_union_oracle(parts))
     def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Tagged union of the deterministic 80/10/10 hash split and the
-        language-stratified downsample, and the quality-weighted keep
-        with its round-6 quality pinned as an integer tag (members:
-        sample_hash_split, sample_stratified,
-        sample_quality_weighted)."""
+        """Tagged union of the deterministic 80/10/10 hash split, the
+        language-stratified downsample, the quality-weighted keep
+        with its round-6 quality pinned as an integer tag, and the r6
+        pack-then-chunk sequence layout (members: sample_hash_split,
+        sample_stratified, sample_quality_weighted,
+        sample_pack_sequences)."""
         hs = _q("sample_hash_split")(spark, sf_dir).select(
             F.lit("hash_split").alias("shape"),
             "doc_id",
@@ -655,7 +662,14 @@ def _register_sample_splits() -> None:
             .cast("string")
             .alias("tag"),
         )
-        return _union_spark([hs, st, qw])
+        pk = _q("sample_pack_sequences")(spark, sf_dir).select(
+            F.lit("packed").alias("shape"),
+            "doc_id",
+            F.concat_ws(
+                ":", "shard", "bin_id", "bin_offset", "n_tokens"
+            ).alias("tag"),
+        )
+        return _union_spark([hs, st, qw, pk])
 
 
 # ---------------------------------------------------------------------------

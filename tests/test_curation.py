@@ -175,3 +175,52 @@ def test_weighted_sample_rejects_invalid_weights(spark):
     # boundary values stay valid: 0 keeps nothing, 1 keeps everything
     assert weighted_sample(df.withColumn("w", F.lit(0.0)), "w").count() == 0
     assert weighted_sample(df.withColumn("w", F.lit(1.0)), "w").count() == 10
+
+
+def test_pack_sequences_layout_and_locality(spark):
+    """Pack-then-chunk layout: per-shard running token sums chunked into
+    max_tokens windows — exact bin/offset math on a hand corpus, and the
+    incremental-repack locality contract: adding a document renumbers
+    only LATER docs of its own shard, never other shards."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        hash_bucket,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(7))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, max_tokens=10, n_shards=4).collect()
+    rows = {r.doc_id: r for r in out}
+    assert len(rows) == 40 and all(r.n_tokens == 7 for r in out)
+    # replay the contract per shard: running sum of 7-token docs in id
+    # order, chunked at 10
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, members in by_shard.items():
+        before = 0
+        for r in members:
+            assert (r.bin_id, r.bin_offset) == (before // 10, before % 10)
+            before += r.n_tokens
+    # locality: dropping one shard's docs leaves every other shard's
+    # assignment bit-identical
+    sh0 = [r.shard for r in out if r.doc_id == 0][0]
+    pruned = docs.join(
+        docs.select("doc_id").where(
+            hash_bucket(F.col("doc_id")) % 4 == sh0
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    out2 = pack_sequences(pruned, max_tokens=10, n_shards=4).collect()
+    want = {
+        d: (r.shard, r.bin_id, r.bin_offset)
+        for d, r in rows.items()
+        if r.shard != sh0
+    }
+    got = {r.doc_id: (r.shard, r.bin_id, r.bin_offset) for r in out2}
+    assert got == want

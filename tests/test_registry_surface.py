@@ -34,6 +34,7 @@ FOLDED = {
     "curation_pipeline": "curation_suite",
     "curation_pipeline_neardup": "curation_suite",
     "text_decontamination": "curation_suite",
+    "sample_pack_sequences": "sample_splits",
     "dedup_minhash_lsh": "dedup_minhash_lsh_suite",
     "dedup_minhash_lsh_capped": "dedup_minhash_lsh_suite",
     "dedup_incremental": "dedup_incremental_suite",
