@@ -258,6 +258,7 @@ def streaming_curation_loop_demo(
     checkpoint_dir: str,
     prefix: str = "loop_dedup_index",
     threshold: float = 0.5,
+    compact_every: int | None = None,
 ) -> None:
     """The CLOSED continuous-curation loop in one streaming artifact:
     per epoch, incoming documents are probed against the stored dedup
@@ -286,9 +287,19 @@ def streaming_curation_loop_demo(
     duplicate a smaller-id doc of the same batch, so only one member of
     each in-epoch duplicate group is accepted and appended (ADVICE r4:
     the probe alone would accept them all — the index only knows the
-    PAST, never the present batch)."""
+    PAST, never the present batch).
+
+    ``compact_every``: run :func:`operators.dedup.compact_dedup_index`
+    after every N epochs, INSIDE the loop — the self-maintaining
+    configuration: the r5 scale probe measured +42% per-epoch wall
+    creep from per-append small-file accumulation without it, flat
+    walls with it. Crash-safe at any point: the appends are already
+    landed-epoch-skipped on replay, and compaction is idempotent /
+    heal-by-rerun (both pytest-pinned), so a crash between append and
+    compaction just compacts on the replay."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
         append_dedup_index,
+        compact_dedup_index,
         incremental_dedup_probe,
         intra_batch_dedup,
     )
@@ -331,6 +342,8 @@ def streaming_curation_loop_demo(
             )
             append_dedup_index(accepted, prefix=prefix, epoch_id=epoch_id)
             accepted.unpersist()
+            if compact_every and (epoch_id + 1) % compact_every == 0:
+                compact_dedup_index(spark, prefix=prefix)
         finally:
             batch_df.unpersist()
 

@@ -459,3 +459,49 @@ def test_streaming_curation_loop_crash_between_index_appends(spark, tmp_path, mo
         ).collect()
     }
     assert (900, "exact", 100) in kinds and (901, "near", 100) in kinds
+
+
+def test_streaming_curation_loop_with_inline_compaction(spark, tmp_path):
+    """The self-maintaining loop configuration: compact_every runs the
+    statistics compaction INSIDE the stream after every epoch — the
+    accepted set equals the uncompacted run, epoch stamps survive for
+    the replay skip, and the refreshed band statistics are consistent
+    (no stale-cap rows)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_index_stats,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_curation_loop_demo,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document about engines and data pipelines")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, prefix="cmp_loop_idx")
+    schema = "doc_id long, text string"
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    spark.createDataFrame(
+        [(100, "first epoch arrival regarding tidal energy and turbines"),
+         (101, "first epoch arrival regarding tidal energy and turbines")],
+        schema,
+    ).coalesce(1).write.parquet(str(inc / "e1"))
+    spark.createDataFrame(
+        [(200, "first epoch arrival regarding tidal energy and turbines"),
+         (201, "second epoch novel content about alpine cartography")],
+        schema,
+    ).coalesce(1).write.parquet(str(inc / "e2"))
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
+    streaming_curation_loop_demo(
+        spark, f"{inc}/*", out, ckpt, prefix="cmp_loop_idx", compact_every=1
+    )
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert accepted == {100, 201}  # 101 intra-epoch dup, 200 cross-epoch dup
+    stats = dedup_index_stats(spark, prefix="cmp_loop_idx").first()
+    assert stats.stale_cap_rows == 0
+    # epoch stamps survive compaction -> replay skip keeps working
+    epochs = {r.epoch for r in spark.table("cmp_loop_idx_digest")
+              .select("epoch").distinct().collect()}
+    assert epochs == {-1, 0, 1}
