@@ -1481,6 +1481,12 @@ def _layout_list_key(cols: list[str]) -> str:
     )
 
 
+# Test-only fault-injection point: called between compact_ann_layout's
+# two directory renames (layout parked, replacement not yet in place) so
+# the heal-on-rerun recovery is pinned by an actually interrupted run.
+_between_layout_renames_hook = None
+
+
 def compact_ann_layout(
     spark, path: str, upto_epoch: int | None = None
 ) -> None:
@@ -1507,10 +1513,32 @@ def compact_ann_layout(
     epochs that is every epoch once the query terminates. Layouts
     without an epoch level just get the file rewrite.
 
-    Locally the snapshot is an eager ``localCheckpoint`` (severs the
-    plan from ``path`` so the in-place overwrite is legal); on a real
-    cluster with executor-loss concerns, side-write to a fresh prefix
-    and swap instead — the data pass is identical."""
+    **Crash contract — heal by re-running** (the
+    :func:`operators.dedup.compact_dedup_index` contract, via a staged
+    side-write): the compacted tree is written NEXT TO the layout
+    (``<path>__compacting``) while the original keeps serving, then
+    swapped in with two directory renames — the layout is never the
+    write target of a long job, so a crash during the data pass leaves
+    it untouched. The only unguarded instant is between the two
+    renames (layout absent, original parked at ``<path>__precompact``),
+    and re-running compaction detects and heals exactly that state
+    before doing anything else (fault-injection pytest). Renames go
+    through the path's Hadoop ``FileSystem``, so the same swap works on
+    HDFS/S3A-committer-style stores, not just local disk."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    jpath, stage, parked = (
+        HPath(path),
+        HPath(path + "__compacting"),
+        HPath(path + "__precompact"),
+    )
+    fs = jpath.getFileSystem(hconf)
+    # heal a previous run that died between its two renames
+    if not fs.exists(jpath) and fs.exists(parked):
+        fs.rename(parked, jpath)
+    if fs.exists(stage):
+        fs.delete(stage, True)  # stale partial stage from a dead run
     df = spark.read.parquet(path)
     key = _layout_list_key(df.columns)
     has_epoch = "epoch" in df.columns
@@ -1525,13 +1553,19 @@ def compact_ann_layout(
             "epoch",
             F.when(fold, F.lit(-1).cast("long")).otherwise(F.col("epoch")),
         )
-    snap = df.repartition(*[F.col(c) for c in part_cols]).localCheckpoint(
-        eager=True
+    (
+        df.repartition(*[F.col(c) for c in part_cols])
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(path + "__compacting")
     )
-    try:
-        snap.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
-    finally:
-        snap.unpersist()
+    if fs.exists(parked):
+        fs.delete(parked, True)
+    fs.rename(jpath, parked)
+    if _between_layout_renames_hook is not None:
+        _between_layout_renames_hook()
+    fs.rename(stage, jpath)
+    fs.delete(parked, True)
 
 
 def layout_stats(spark, path: str) -> DataFrame:

