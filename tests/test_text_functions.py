@@ -273,3 +273,4 @@ def test_benchmark_contamination_flags_overlapping_docs(spark):
     assert rows[4].hit_ratio == 1.0
     plan = explain_string(out, "formatted")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
