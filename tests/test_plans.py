@@ -226,3 +226,19 @@ def test_ohlc_single_aggregation_exchange(spark):
     plan = explain_string(ohlc_downsample(df))
     assert shuffle_exchange_count(ohlc_downsample(df)) == 1
     assert "Window (" not in plan and "Join" not in plan
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    """The pack-then-chunk layout is exactly ONE exchange (hash to
+    shards) feeding a per-shard sorted window — the shard hash and the
+    Java-split token count are both map-side in the scan's project, no
+    global sort, no join."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = pack_sequences(docs, max_tokens=256, n_shards=8)
+    plan = explain_string(df)
+    assert shuffle_exchange_count(df) == 1, plan
+    assert "Join" not in plan
