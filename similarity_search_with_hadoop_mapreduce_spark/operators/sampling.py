@@ -123,6 +123,75 @@ def weighted_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Resample strata to a target mixture — the domain/language
+    rebalancing step of a training-data recipe ("30% en, 25% es, …"),
+    downsample-only: the keep-rate for stratum ``g`` is
+    ``min(1, S·target_g / n_g)`` where ``S = min_g(n_g / target_g)``,
+    so the most-constraining stratum keeps every row and the rest are
+    hash-downsampled until the output proportions follow ``targets``
+    (which are relative weights — they need not sum to 1). Strata not
+    listed in ``targets`` are dropped; listed strata absent from the
+    data contribute nothing (their target mass is simply missing — the
+    operator never upsamples).
+
+    The keep decision is the same engine-independent md5 machinery as
+    the rest of this module — kept iff
+    ``hash_bucket(id) < floor(rate_g · buckets)`` — so the sample is a
+    pure function of (id, targets, corpus census): stable under
+    repartitioning, retries, and reruns, replayable by a SQL oracle,
+    and per-stratum it is a subset of any run with a larger rate.
+
+    100 TB shape: one narrow aggregation over ``strata_col`` (map-side
+    partial combine collapses each task to ≤ |strata| rows), the
+    per-stratum thresholds derive from that tiny frame, and the rates
+    come back as a BROADCAST inner join + map-only filter — no wide
+    shuffle of the corpus, no driver collect in the row path.
+    """
+    for g, t in targets.items():
+        if not (isinstance(t, (int, float)) and t == t and 0.0 < float(t) < float("inf")):
+            raise ValueError(
+                f"mixture_sample: target for {g!r} must be finite and > 0, got {t!r}"
+            )
+    if not targets:
+        raise ValueError("mixture_sample: targets must be non-empty")
+
+    s_col = F.col(strata_col)
+    census = (
+        df.filter(s_col.isin(*targets.keys()))
+        .groupBy(s_col.alias("__stratum"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    t_col = None
+    for g, t in sorted(targets.items()):
+        cond = F.col("__stratum") == g
+        t_col = F.when(cond, F.lit(float(t))) if t_col is None else t_col.when(cond, F.lit(float(t)))
+    census = census.withColumn("__target", t_col)
+    scale = census.agg(F.min(F.col("__n") / F.col("__target")).alias("__scale"))
+    rates = census.crossJoin(F.broadcast(scale)).select(
+        F.col("__stratum"),
+        F.floor(
+            F.least(
+                F.lit(1.0), (F.col("__scale") * F.col("__target")) / F.col("__n")
+            )
+            * F.lit(float(buckets))
+        )
+        .cast("long")
+        .alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), s_col == F.col("__stratum"), "inner")
+        .filter(hash_bucket(F.col(id_col), buckets) < F.col("__thr"))
+        .drop("__stratum", "__thr")
+    )
+
+
 def pack_sequences(
     documents: DataFrame,
     max_tokens: int = 2048,

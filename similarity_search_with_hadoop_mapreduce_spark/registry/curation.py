@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+    mixture_sample,
     stratified_sample,
     train_val_test_split,
 )
@@ -93,6 +94,50 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.2,
         id_col="doc_id",
         strata_col="lang",
+    ).select("doc_id", "lang")
+
+
+_MIXTURE_TARGETS = {"en": 0.30, "es": 0.25, "fr": 0.25, "zh": 0.20}
+_MIXTURE_CASE = (
+    "CASE lang WHEN 'en' THEN CAST(0.30 AS DOUBLE)"
+    " WHEN 'es' THEN CAST(0.25 AS DOUBLE)"
+    " WHEN 'fr' THEN CAST(0.25 AS DOUBLE)"
+    " WHEN 'zh' THEN CAST(0.20 AS DOUBLE) END"
+)
+
+
+@register(
+    "sample_mixture",
+    oracle=f"""
+WITH census AS (
+  SELECT lang AS stratum, count(*) AS n, {_MIXTURE_CASE} AS target
+  FROM documents WHERE lang IN ('en', 'es', 'fr', 'zh') GROUP BY lang
+),
+s AS (SELECT min(n / target) AS scale FROM census),
+r AS (
+  SELECT stratum,
+         CAST(floor(least(CAST(1.0 AS DOUBLE), (s.scale * c.target) / c.n)
+              * 10000) AS BIGINT) AS thr
+  FROM census c, s
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.stratum
+WHERE {_BUCKET} < r.thr
+""",
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling to a target language recipe (en 30%, es 25%,
+    fr 25%, zh 20%; 'de' dropped): downsample-only — the limiting
+    stratum keeps every row and the rest are md5-hash-thinned so output
+    proportions follow the recipe. One narrow census aggregation +
+    broadcast of the per-stratum thresholds + map-only filter; the
+    oracle replays the identical double arithmetic
+    (min(n/target) scale, floor(rate·10000) threshold)."""
+    return mixture_sample(
+        table(spark, sf_dir, "documents"),
+        targets=_MIXTURE_TARGETS,
+        strata_col="lang",
+        id_col="doc_id",
     ).select("doc_id", "lang")
 
 

@@ -621,6 +621,7 @@ def _register_sample_splits() -> None:
     parts = [
         ("sample_hash_split", "'hash_split' AS shape, doc_id, split AS tag"),
         ("sample_stratified", "'stratified' AS shape, doc_id, lang AS tag"),
+        ("sample_mixture", "'mixture' AS shape, doc_id, lang AS tag"),
         (
             # integer-string tag: double->string formatting differs
             # between engines, bigint does not
@@ -639,11 +640,11 @@ def _register_sample_splits() -> None:
     @register("sample_splits", oracle=_union_oracle(parts))
     def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Tagged union of the deterministic 80/10/10 hash split, the
-        language-stratified downsample, the quality-weighted keep
-        with its round-6 quality pinned as an integer tag, and the r6
-        pack-then-chunk sequence layout (members: sample_hash_split,
-        sample_stratified, sample_quality_weighted,
-        sample_pack_sequences)."""
+        language-stratified downsample, the target-mixture resample,
+        the quality-weighted keep with its round-6 quality pinned as an
+        integer tag, and the r6 pack-then-chunk sequence layout
+        (members: sample_hash_split, sample_stratified, sample_mixture,
+        sample_quality_weighted, sample_pack_sequences)."""
         hs = _q("sample_hash_split")(spark, sf_dir).select(
             F.lit("hash_split").alias("shape"),
             "doc_id",
@@ -651,6 +652,11 @@ def _register_sample_splits() -> None:
         )
         st = _q("sample_stratified")(spark, sf_dir).select(
             F.lit("stratified").alias("shape"),
+            "doc_id",
+            F.col("lang").alias("tag"),
+        )
+        mx = _q("sample_mixture")(spark, sf_dir).select(
+            F.lit("mixture").alias("shape"),
             "doc_id",
             F.col("lang").alias("tag"),
         )
@@ -669,7 +675,7 @@ def _register_sample_splits() -> None:
                 ":", "shard", "bin_id", "bin_offset", "n_tokens"
             ).alias("tag"),
         )
-        return _union_spark([hs, st, qw, pk])
+        return _union_spark([hs, st, mx, qw, pk])
 
 
 # ---------------------------------------------------------------------------

@@ -224,3 +224,69 @@ def test_pack_sequences_layout_and_locality(spark):
     }
     got = {r.doc_id: (r.shard, r.bin_id, r.bin_offset) for r in out2}
     assert got == want
+
+
+def test_mixture_sample_proportions_and_determinism(spark):
+    """mixture_sample hits the target recipe downsample-only: the
+    limiting stratum keeps every row, other strata thin to
+    floor(rate*buckets) md5 buckets, unlisted strata drop, and the
+    result is invariant under repartitioning."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 6, "en")
+        .when(F.col("id") % 10 < 8, "fr")
+        .when(F.col("id") % 10 < 9, "de")
+        .otherwise("xx")
+        .alias("lang"),
+    )
+    # n: en=600 fr=200 de=100 xx=100; targets 1:1:2 over en/fr/de
+    # scale S = min(600/1, 200/1, 100/2) = 50 -> de keeps all 100,
+    # en rate 50/600, fr rate 50/200.
+    targets = {"en": 1.0, "fr": 1.0, "de": 2.0}
+    out = mixture_sample(df, targets, strata_col="lang", id_col="doc_id")
+    rows = {(r.doc_id, r.lang) for r in out.collect()}
+    by_lang = {}
+    for _, lang in rows:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert "xx" not in by_lang  # unlisted stratum dropped
+    assert by_lang["de"] == 100  # limiting stratum keeps all
+    # hash thinning approximates the 50-row target per unit weight
+    assert 35 <= by_lang["en"] <= 65
+    assert 35 <= by_lang["fr"] <= 65
+    again = {
+        (r.doc_id, r.lang)
+        for r in mixture_sample(
+            df.repartition(13, "doc_id"), targets, strata_col="lang"
+        ).collect()
+    }
+    assert again == rows
+
+
+def test_mixture_sample_broadcasts_rates_and_validates(spark):
+    """The rate table comes back as a broadcast join (no SortMergeJoin
+    of the corpus), and non-finite / non-positive targets fail loudly."""
+    import pytest as _pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    plan = (
+        mixture_sample(df, {"en": 1.0, "fr": 1.0})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for bad in ({"en": 0.0}, {"en": float("nan")}, {"en": float("inf")}, {}):
+        with _pytest.raises(ValueError):
+            mixture_sample(df, bad)
