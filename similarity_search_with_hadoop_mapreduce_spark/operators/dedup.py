@@ -1150,6 +1150,86 @@ def embedding_dup_pairs_lsh_multiband(
     )
 
 
+def knn_graph(
+    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the embedding column — the
+    per-document neighbor lists SemDeDup-style semantic dedup, density
+    filtering, and diversity sampling consume. Brute-force all-pairs
+    cosine, so O(n²): the CORRECTNESS baseline (and the right tool
+    within an IVF cell or a small slice); at corpus scale
+    :func:`knn_graph_lsh` generates candidates from LSH bucket-mates
+    only, with recall quantified the same way the dedup family's
+    recall entries do.
+
+    Returns ``(vec_id, neighbor_id, cosine, rank)`` with ``rank`` 1..k
+    per source. Ranking orders by the ROUNDED cosine (desc, then
+    neighbor id) — the same round-6 the pair family uses — so the rank
+    cut is engine-stable even when two raw doubles round together.
+    """
+    a, b = _embedding_pair_sides(embeddings, id_col)
+    pairs = a.join(b, F.col("vec_a") != F.col("vec_b")).select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("neighbor_id"),
+        _pair_cosine().alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def knn_graph_lsh(
+    embeddings: DataFrame,
+    k: int = 5,
+    bands: int = 3,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate k-NN graph, the 100 TB path of :func:`knn_graph`:
+    candidate neighbors are multi-band hyperplane-LSH bucket-mates
+    (the exact candidate generator of
+    :func:`embedding_dup_pairs_lsh_multiband`, threshold disabled),
+    mirrored to both orientations, exact-cosine scored, then windowed
+    to the top ``k`` per source. Candidate volume is Σ_bands Σ_b
+    |bucket|² instead of n²; a vector whose bucket-mates number < k
+    simply gets a shorter neighbor list (the standard ANN-graph trade —
+    raise ``bands`` to buy recall). One exchange for the per-band
+    equi-join (AQE-splittable hot buckets), one for the per-source
+    window — no all-pairs stage anywhere.
+    """
+    und = embedding_dup_pairs_lsh_multiband(
+        embeddings,
+        threshold=-1.0,  # keep every candidate; ranking replaces the cut
+        bands=bands,
+        rows_per_band=rows_per_band,
+        dim=dim,
+        id_col=id_col,
+    )
+    both = und.union(
+        und.select(
+            F.col("vec_b").alias("vec_a"),
+            F.col("vec_a").alias("vec_b"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        both.select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("neighbor_id"),
+            "cosine",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_lsh_recall(
     embeddings: DataFrame,
     threshold: float = 0.8,

@@ -785,3 +785,75 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_EMB_BANDS,
         rows_per_band=_EMB_ROWS,
     )
+
+
+_KNN_K = 3
+_KNN_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+)
+
+
+def _knn_graph_oracle() -> str:
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {_EMB_NORM} AS nrm FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         round({_KNN_DOT} / (a.nrm * c.nrm), 6) AS cosine
+  FROM n a JOIN n c ON a.vec_id != c.vec_id
+)
+SELECT vec_id, neighbor_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+       ) AS INTEGER) AS rank
+FROM p QUALIFY rank <= {_KNN_K}
+"""
+
+
+@register("ann_knn_graph", oracle=_knn_graph_oracle())
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN graph (k=3) over the embedding table — the neighbor
+    lists SemDeDup-style semantic dedup and diversity sampling consume.
+    Brute-force correctness baseline; ann_knn_graph_lsh is the
+    bucketed scale path. The rank cut orders by the round-6 cosine so
+    the boundary is engine-stable."""
+    return D.knn_graph(table(spark, sf_dir, "embeddings"), k=_KNN_K)
+
+
+def _knn_graph_lsh_oracle() -> str:
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {_EMB_NORM} AS nrm FROM embeddings),
+{_embedding_multiband_cte()},
+mirr AS (
+  SELECT vec_a, vec_b FROM mcand
+  UNION ALL
+  SELECT vec_b AS vec_a, vec_a AS vec_b FROM mcand
+),
+p AS (
+  SELECT m.vec_a AS vec_id, m.vec_b AS neighbor_id,
+         round({_KNN_DOT} / (a.nrm * c.nrm), 6) AS cosine
+  FROM mirr m
+  JOIN n a ON a.vec_id = m.vec_a
+  JOIN n c ON c.vec_id = m.vec_b
+)
+SELECT vec_id, neighbor_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+       ) AS INTEGER) AS rank
+FROM p QUALIFY rank <= {_KNN_K}
+"""
+
+
+@register("ann_knn_graph_lsh", oracle=_knn_graph_lsh_oracle())
+def ann_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph (k=3) from multi-band hyperplane-LSH
+    candidates (3 bands x 4 planes — the dedup family's band
+    structure), mirrored to both orientations and windowed per source.
+    No all-pairs stage; the oracle replays banding, mirroring, and the
+    round-6 rank cut."""
+    return D.knn_graph_lsh(
+        table(spark, sf_dir, "embeddings"),
+        k=_KNN_K,
+        bands=_EMB_BANDS,
+        rows_per_band=_EMB_ROWS,
+    )

@@ -378,6 +378,17 @@ def _register_ann_ivf_suite() -> None:
             "'ivfpq_res_recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
             "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
         ),
+        (
+            # neighbor and rank share the slot: rank <= 3 < 10
+            "ann_knn_graph",
+            "'knn' AS shape, vec_id, "
+            "neighbor_id * 10 + rank AS centroid_id, cosine AS v",
+        ),
+        (
+            "ann_knn_graph_lsh",
+            "'knn_lsh' AS shape, vec_id, "
+            "neighbor_id * 10 + rank AS centroid_id, cosine AS v",
+        ),
     ]
 
     @register("ann_ivf_suite", oracle=_union_oracle(parts))
@@ -391,7 +402,10 @@ def _register_ann_ivf_suite() -> None:
         hash-sampled ground-truth mode a 100-TB corpus needs —
         ann_ivfpq_residual_topk / ann_ivfpq_recall /
         ann_ivfpq_residual_recall — IVFADC residual encoding and the
-        raw-vs-residual serving recall that pins its accuracy gain)."""
+        raw-vs-residual serving recall that pins its accuracy gain;
+        r6 adds ann_knn_graph / ann_knn_graph_lsh — the exact and
+        LSH-candidate k-NN graphs semantic dedup consumes, neighbor and
+        rank packed into one slot)."""
         topk = _q("ann_ivf_topk")(spark, sf_dir).select(
             F.lit("topk").alias("shape"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -448,9 +462,23 @@ def _register_ann_ivf_suite() -> None:
             F.col("n_queries").cast("bigint").alias("centroid_id"),
             F.col("recall_at_k").alias("v"),
         )
+        knn = _q("ann_knn_graph")(spark, sf_dir).select(
+            F.lit("knn").alias("shape"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            (F.col("neighbor_id").cast("bigint") * 10
+             + F.col("rank").cast("bigint")).alias("centroid_id"),
+            F.col("cosine").alias("v"),
+        )
+        knn_l = _q("ann_knn_graph_lsh")(spark, sf_dir).select(
+            F.lit("knn_lsh").alias("shape"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            (F.col("neighbor_id").cast("bigint") * 10
+             + F.col("rank").cast("bigint")).alias("centroid_id"),
+            F.col("cosine").alias("v"),
+        )
         return _union_spark(
             [topk, rec, pq, ivfpq, pq_rec, rec_s, ivfpq_res, ipq_rec,
-             ipq_res_rec]
+             ipq_res_rec, knn, knn_l]
         )
 
 

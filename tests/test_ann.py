@@ -701,3 +701,66 @@ def test_compact_ann_layout_crash_between_renames_heals(spark, tmp_path, monkeyp
     assert got == want
     st = A.layout_stats(spark, path).first()
     assert st.n_epochs == 1 and st.n_files == st.n_lists
+
+
+def test_knn_graph_exact_neighbors(spark):
+    """Hand-built 2-D vectors: neighbor lists follow exact cosine order
+    with the (cosine desc, neighbor asc) tie rule."""
+    import math
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import knn_graph
+
+    # angles 0, 30, 60, 90 degrees: cos between i and j = cos(|i-j|*30deg)
+
+    vecs = [
+        (i, [float(math.cos(math.radians(30 * i))),
+             float(math.sin(math.radians(30 * i)))])
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = knn_graph(df, k=2)
+    rows = sorted(
+        ((r.vec_id, r.rank, r.neighbor_id, r.cosine) for r in out.collect())
+    )
+    by_src = {}
+    for vid, rank, nid, cos in rows:
+        by_src.setdefault(vid, []).append((rank, nid))
+    # each vector's nearest is its angular neighbor; 30-deg beats 60-deg
+    assert by_src[0] == [(1, 1), (2, 2)]
+    assert by_src[3] == [(1, 2), (2, 1)]
+    # middle vectors tie at 30 deg on both sides -> neighbor id asc breaks it
+    assert by_src[1] == [(1, 0), (2, 2)]
+    assert by_src[2] == [(1, 1), (2, 3)]
+
+
+def test_knn_graph_lsh_is_candidate_bounded_and_no_cartesian(spark):
+    """Every LSH-kNN edge carries the exact cosine of the brute graph's
+    full pair table, the per-source best LSH neighbor never beats the
+    exact best, and the plan has no all-pairs join."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        knn_graph,
+        knn_graph_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = knn_graph(emb, k=3)
+    approx = knn_graph_lsh(emb, k=3)
+    ex = {(r.vec_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    ex_best = {}
+    for (vid, _), cos in ex.items():
+        ex_best[vid] = max(ex_best.get(vid, -2.0), cos)
+    ap = [(r.vec_id, r.neighbor_id, r.cosine, r.rank) for r in approx.collect()]
+    assert ap  # candidates exist at this sf
+    per_src = {}
+    for vid, nid, cos, rank in ap:
+        per_src.setdefault(vid, []).append((rank, cos))
+        if (vid, nid) in ex:  # shared edge -> identical rounded cosine
+            assert ex[(vid, nid)] == cos
+    for vid, lst in per_src.items():
+        lst.sort()
+        assert [r for r, _ in lst] == list(range(1, len(lst) + 1))  # dense ranks
+        assert len(lst) <= 3
+        assert lst[0][1] <= ex_best[vid] + 1e-12  # cannot beat exact best
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
