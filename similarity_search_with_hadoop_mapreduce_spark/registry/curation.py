@@ -296,6 +296,92 @@ def curation_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle() -> str:
+    """SemDeDup-composition oracle: the multi-band embedding LSH pair
+    oracle as a subquery, recursive-CTE connected components over the
+    vector ids, the full quality-score replay, then keeper = the
+    highest-quality member of each cluster (doc id breaks round-6
+    quality ties)."""
+    from similarity_search_with_hadoop_mapreduce_spark.registry.base import (
+        ORACLES,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.registry.dedup import (
+        _COS_T,
+        _embedding_multiband_oracle,
+    )
+
+    return f"""
+WITH RECURSIVE
+ep AS (SELECT vec_a, vec_b FROM (
+{_embedding_multiband_oracle(threshold=_COS_T)}
+) mp),
+edges AS (
+  SELECT vec_a AS s, vec_b AS d FROM ep
+  UNION ALL
+  SELECT vec_b AS s, vec_a AS d FROM ep
+),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b
+),
+clusters AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+q AS (SELECT doc_id, quality FROM (
+{ORACLES["text_quality"]}
+) tq)
+SELECT c.doc_id, c.cluster_id, q.quality
+FROM clusters c JOIN q USING (doc_id)
+QUALIFY row_number() OVER (
+  PARTITION BY cluster_id ORDER BY q.quality DESC, c.doc_id
+) = 1
+"""
+
+
+@register("curation_semantic_dedup", oracle=_semantic_dedup_oracle())
+def curation_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end to end: multi-band
+    hyperplane-LSH embedding near-dup pairs (threshold 0.4, the dedup
+    family's exact-tier cut) -> large-star/small-star
+    connected components -> keep the HIGHEST-QUALITY member of each
+    semantic cluster (not min-id — the curation-grade keeper rule),
+    doc id breaking round-6 quality ties so the cut is engine-stable.
+    One lazy DAG: banded candidate equi-joins, the components fixpoint,
+    a broadcast-sized quality join, and one per-cluster window."""
+    from pyspark.sql import Window
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        duplicate_clusters,
+        embedding_dup_pairs_lsh_multiband,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        quality_score,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.registry.dedup import (
+        _COS_T,
+        _EMB_BANDS,
+        _EMB_ROWS,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs_lsh_multiband(
+        emb, threshold=_COS_T, bands=_EMB_BANDS, rows_per_band=_EMB_ROWS
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    clusters = duplicate_clusters(ids, pairs=pairs)
+    q = quality_score(table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "quality")
+    )
+
+
 @register(
     "curation_pipeline",
     oracle=None,  # built below after the imports resolve

@@ -700,7 +700,7 @@ mcand AS (
 )"""
 
 
-def _embedding_multiband_oracle() -> str:
+def _embedding_multiband_oracle(threshold: float = _COS_LSH_T) -> str:
     dot_ab = (
         "list_sum(list_transform(range(1, 65), "
         "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
@@ -711,7 +711,7 @@ WITH n AS (SELECT vec_id, embedding, {_EMB_NORM} AS nrm FROM embeddings),
 SELECT m.vec_a, m.vec_b,
        round({dot_ab} / (a.nrm * c.nrm), 6) AS cosine
 FROM mcand m JOIN n a ON a.vec_id = m.vec_a JOIN n c ON c.vec_id = m.vec_b
-WHERE round({dot_ab} / (a.nrm * c.nrm), 6) >= {_COS_LSH_T}
+WHERE round({dot_ab} / (a.nrm * c.nrm), 6) >= {threshold}
 """
 
 

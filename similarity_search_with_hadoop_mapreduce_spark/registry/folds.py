@@ -1995,6 +1995,11 @@ def _register_curation_suite() -> None:
             "'decontaminate' AS shape, doc_id, hit_ratio AS a, "
             "CAST(n_hits AS DOUBLE) AS b",
         ),
+        (
+            "curation_semantic_dedup",
+            "'semantic' AS shape, doc_id, CAST(cluster_id AS DOUBLE) AS a, "
+            "quality AS b",
+        ),
     ]
 
     @register("curation_suite", oracle=_union_oracle(parts))
@@ -2003,8 +2008,11 @@ def _register_curation_suite() -> None:
         exact-dedup keeper pipeline, the r4 near-dup pipeline
         (star-capped MinHash pairs -> connected components -> keeper
         semi-join), and the r6 benchmark-decontamination pass (n-gram
-        overlap vs a held-out eval slice) (members: curation_pipeline,
-        curation_pipeline_neardup, text_decontamination)."""
+        overlap vs a held-out eval slice), and the r6 SemDeDup-style
+        semantic pass (embedding-LSH pairs -> components ->
+        highest-quality keeper) (members: curation_pipeline,
+        curation_pipeline_neardup, text_decontamination,
+        curation_semantic_dedup)."""
         ex = _q("curation_pipeline")(spark, sf_dir).select(
             F.lit("exact").alias("shape"),
             F.col("doc_id"),
@@ -2023,7 +2031,13 @@ def _register_curation_suite() -> None:
             F.col("hit_ratio").alias("a"),
             F.col("n_hits").cast("double").alias("b"),
         )
-        return _union_spark([ex, nd, dc])
+        sm = _q("curation_semantic_dedup")(spark, sf_dir).select(
+            F.lit("semantic").alias("shape"),
+            F.col("doc_id"),
+            F.col("cluster_id").cast("double").alias("a"),
+            F.col("quality").alias("b"),
+        )
+        return _union_spark([ex, nd, dc, sm])
 
 
 _register_curation_suite()

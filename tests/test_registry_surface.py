@@ -34,7 +34,11 @@ FOLDED = {
     "curation_pipeline": "curation_suite",
     "curation_pipeline_neardup": "curation_suite",
     "text_decontamination": "curation_suite",
+    "curation_semantic_dedup": "curation_suite",
     "sample_pack_sequences": "sample_splits",
+    "sample_mixture": "sample_splits",
+    "ann_knn_graph": "ann_ivf_suite",
+    "ann_knn_graph_lsh": "ann_ivf_suite",
     "dedup_minhash_lsh": "dedup_minhash_lsh_suite",
     "dedup_minhash_lsh_capped": "dedup_minhash_lsh_suite",
     "dedup_incremental": "dedup_incremental_suite",
