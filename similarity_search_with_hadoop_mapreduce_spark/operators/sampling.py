@@ -129,6 +129,7 @@ def mixture_sample(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     buckets: int = 10000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Resample strata to a target mixture — the domain/language
     rebalancing step of a training-data recipe ("30% en, 25% es, …"),
@@ -153,6 +154,16 @@ def mixture_sample(
     per-stratum thresholds derive from that tiny frame, and the rates
     come back as a BROADCAST inner join + map-only filter — no wide
     shuffle of the corpus, no driver collect in the row path.
+
+    With ``weight_col``, the census and the targets are measured in that
+    column's INTEGER mass instead of row count — the token-share mode a
+    real recipe is written in ("30% of training TOKENS are en"). Weights
+    must be non-negative integers: integer sums are exact in any engine,
+    so the derived double thresholds stay bit-identical to the oracle's
+    (a double-weighted census would be summation-order-dependent).
+    NULL or negative weights fail loudly at execution. The keep decision
+    is still per-row by id hash, so the achieved token share matches the
+    recipe in expectation (exactly as doc-count mode matches doc share).
     """
     for g, t in targets.items():
         if not (isinstance(t, (int, float)) and t == t and 0.0 < float(t) < float("inf")):
@@ -163,10 +174,28 @@ def mixture_sample(
         raise ValueError("mixture_sample: targets must be non-empty")
 
     s_col = F.col(strata_col)
+    if weight_col is None:
+        mass = F.count(F.lit(1))
+    else:
+        wc = F.col(weight_col).cast("long")
+        mass = F.sum(
+            F.when(
+                wc.isNull() | (wc < 0),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "mixture_sample: weight must be a non-negative"
+                            " integer, got "
+                        ),
+                        F.coalesce(wc.cast("string"), F.lit("NULL")),
+                    )
+                ).cast("long"),
+            ).otherwise(wc)
+        )
     census = (
         df.filter(s_col.isin(*targets.keys()))
         .groupBy(s_col.alias("__stratum"))
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(mass.alias("__n"))
     )
     t_col = None
     for g, t in sorted(targets.items()):

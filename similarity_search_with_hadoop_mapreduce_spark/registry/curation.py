@@ -141,6 +141,66 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _mixture_tokens_oracle() -> str:
+    """Token-mass mixture oracle: replay the Java-split token count,
+    census the strata in exact integer token sums, and re-derive the
+    same double thresholds."""
+    from similarity_search_with_hadoop_mapreduce_spark.registry.sim import (
+        TOKENS_CTE,
+    )
+
+    return (
+        "WITH "
+        + TOKENS_CTE
+        + f"""
+, w AS (
+  SELECT d.doc_id, d.lang, CAST(len(tok) AS BIGINT) AS wt
+  FROM tokens JOIN documents d USING (doc_id)
+),
+census AS (
+  SELECT lang AS stratum, CAST(sum(wt) AS BIGINT) AS n,
+         {_MIXTURE_CASE} AS target
+  FROM w WHERE lang IN ('en', 'es', 'fr', 'zh') GROUP BY lang
+),
+s AS (SELECT min(n / target) AS scale FROM census),
+r AS (
+  SELECT stratum,
+         CAST(floor(least(CAST(1.0 AS DOUBLE), (s.scale * c.target) / c.n)
+              * 10000) AS BIGINT) AS thr
+  FROM census c, s
+)
+SELECT w.doc_id, w.lang
+FROM w JOIN r ON w.lang = r.stratum
+WHERE {_BUCKET.replace("doc_id", "w.doc_id")} < r.thr
+"""
+    )
+
+
+@register("sample_mixture_tokens", oracle=_mixture_tokens_oracle())
+def sample_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same language recipe measured in TOKEN mass (the unit real
+    training recipes are written in): the census sums exact integer
+    Java-split token counts per stratum, so the derived double
+    thresholds are bit-identical across engines; the keep decision is
+    still the per-doc md5 hash."""
+    from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
+        java_split_tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(java_split_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return mixture_sample(
+        docs,
+        targets=_MIXTURE_TARGETS,
+        strata_col="lang",
+        id_col="doc_id",
+        weight_col="n_tokens",
+    ).select("doc_id", "lang")
+
+
 def _quality_weighted_oracle() -> str:
     """Replay the quality score, then the deterministic weighted keep:
     row kept iff md5-bucket(doc_id) < quality * 10000 — same double

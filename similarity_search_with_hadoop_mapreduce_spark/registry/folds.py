@@ -651,6 +651,10 @@ def _register_sample_splits() -> None:
         ("sample_stratified", "'stratified' AS shape, doc_id, lang AS tag"),
         ("sample_mixture", "'mixture' AS shape, doc_id, lang AS tag"),
         (
+            "sample_mixture_tokens",
+            "'mixture_tokens' AS shape, doc_id, lang AS tag",
+        ),
+        (
             # integer-string tag: double->string formatting differs
             # between engines, bigint does not
             "sample_quality_weighted",
@@ -668,10 +672,11 @@ def _register_sample_splits() -> None:
     @register("sample_splits", oracle=_union_oracle(parts))
     def sample_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Tagged union of the deterministic 80/10/10 hash split, the
-        language-stratified downsample, the target-mixture resample,
-        the quality-weighted keep with its round-6 quality pinned as an
-        integer tag, and the r6 pack-then-chunk sequence layout
-        (members: sample_hash_split, sample_stratified, sample_mixture,
+        language-stratified downsample, the target-mixture resamples
+        (doc-count and token-mass census), the quality-weighted keep
+        with its round-6 quality pinned as an integer tag, and the r6
+        pack-then-chunk sequence layout (members: sample_hash_split,
+        sample_stratified, sample_mixture, sample_mixture_tokens,
         sample_quality_weighted, sample_pack_sequences)."""
         hs = _q("sample_hash_split")(spark, sf_dir).select(
             F.lit("hash_split").alias("shape"),
@@ -685,6 +690,11 @@ def _register_sample_splits() -> None:
         )
         mx = _q("sample_mixture")(spark, sf_dir).select(
             F.lit("mixture").alias("shape"),
+            "doc_id",
+            F.col("lang").alias("tag"),
+        )
+        mxt = _q("sample_mixture_tokens")(spark, sf_dir).select(
+            F.lit("mixture_tokens").alias("shape"),
             "doc_id",
             F.col("lang").alias("tag"),
         )
@@ -703,7 +713,7 @@ def _register_sample_splits() -> None:
                 ":", "shard", "bin_id", "bin_offset", "n_tokens"
             ).alias("tag"),
         )
-        return _union_spark([hs, st, mx, qw, pk])
+        return _union_spark([hs, st, mx, mxt, qw, pk])
 
 
 # ---------------------------------------------------------------------------

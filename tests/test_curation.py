@@ -290,3 +290,43 @@ def test_mixture_sample_broadcasts_rates_and_validates(spark):
     for bad in ({"en": 0.0}, {"en": float("nan")}, {"en": float("inf")}, {}):
         with _pytest.raises(ValueError):
             mixture_sample(df, bad)
+
+
+def test_mixture_sample_token_mass_mode(spark):
+    """weight_col switches the census to integer mass: equal doc counts
+    but unequal token masses flip which stratum limits the recipe, and
+    NULL / negative weights fail loudly."""
+    import pytest as _pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    # 100 docs per stratum; en docs carry 10 tokens, fr docs 1.
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+        F.when(F.col("id") % 2 == 0, 10).otherwise(1).alias("n_tokens"),
+    )
+    targets = {"en": 1.0, "fr": 1.0}
+    by_count = mixture_sample(df, targets, strata_col="lang")
+    by_mass = mixture_sample(df, targets, strata_col="lang", weight_col="n_tokens")
+
+    def census(out):
+        c = {}
+        for r in out.collect():
+            c[r.lang] = c.get(r.lang, 0) + 1
+        return c
+    cc = census(by_count)
+    cm = census(by_mass)
+    # doc-count mode: equal counts -> both strata keep everything
+    assert cc == {"en": 100, "fr": 100}
+    # token-mass mode: fr (mass 100) limits; en (mass 1000) thins to
+    # threshold floor(100/1000 * 10000) = 1000 buckets (~10 docs)
+    assert cm["fr"] == 100
+    assert 3 <= cm["en"] <= 25
+    bad = df.withColumn(
+        "n_tokens", F.when(F.col("doc_id") == 7, -1).otherwise(F.col("n_tokens"))
+    )
+    with _pytest.raises(Exception, match="non-negative"):
+        mixture_sample(bad, targets, strata_col="lang", weight_col="n_tokens").collect()

@@ -37,6 +37,7 @@ FOLDED = {
     "curation_semantic_dedup": "curation_suite",
     "sample_pack_sequences": "sample_splits",
     "sample_mixture": "sample_splits",
+    "sample_mixture_tokens": "sample_splits",
     "ann_knn_graph": "ann_ivf_suite",
     "ann_knn_graph_lsh": "ann_ivf_suite",
     "dedup_minhash_lsh": "dedup_minhash_lsh_suite",
