@@ -202,8 +202,15 @@ def mixture_sample(
         cond = F.col("__stratum") == g
         t_col = F.when(cond, F.lit(float(t))) if t_col is None else t_col.when(cond, F.lit(float(t)))
     census = census.withColumn("__target", t_col)
-    scale = census.agg(F.min(F.col("__n") / F.col("__target")).alias("__scale"))
-    rates = census.crossJoin(F.broadcast(scale)).select(
+    # global min over the tiny (≤ |strata| rows) census via an
+    # unpartitioned window — NOT agg + crossJoin, which would duplicate
+    # the census subtree and re-scan the corpus once per branch
+    from pyspark.sql import Window
+
+    scale_w = Window.partitionBy()
+    rates = census.withColumn(
+        "__scale", F.min(F.col("__n") / F.col("__target")).over(scale_w)
+    ).select(
         F.col("__stratum"),
         F.floor(
             F.least(
