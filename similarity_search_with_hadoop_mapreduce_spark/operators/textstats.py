@@ -591,3 +591,138 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("top").cast("double") / total, 6), F.lit(0.0)
         ).alias("top_trigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub pass a public-web training corpus runs before
+# anything else ships (the BigCode/StarCoder-style regex tier; an ML NER
+# tier would slot behind the same column contract).
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB oracle): character classes + bounded repetition only — no
+# lookaround, no backreferences, no \d//\w shorthand (ASCII vs Unicode
+# semantics differ across engines).
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_PATTERN = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE_PATTERN = r"[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and NANP-style phone numbers;
+    return the scrubbed text plus per-category match counts.
+
+    (doc_id, clean_text, n_emails, n_ipv4, n_phones, n_pii).
+
+    The three passes are SEQUENTIAL — each category is counted on the
+    text as left by the previous redaction, then replaced — so every
+    character is redacted (and counted) at most once: digits inside an
+    already-redacted email can never re-match the address or phone
+    patterns. Pure
+    map stage: three ``regexp_count`` + three ``regexp_replace`` JVM
+    expressions per row, no shuffle, scan-speed at any corpus size. NULL
+    text propagates NULL through counts and clean_text (the engine's
+    regexp semantics on NULL input, identical in both engines —
+    pytest-pinned).
+    """
+    t = F.col(text_col)
+    n_em = F.regexp_count(t, F.lit(PII_EMAIL_PATTERN)).alias("n_emails")
+    t1 = F.regexp_replace(t, PII_EMAIL_PATTERN, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4_PATTERN)).alias("n_ipv4")
+    t2 = F.regexp_replace(t1, PII_IPV4_PATTERN, "<IP>")
+    n_ph = F.regexp_count(t2, F.lit(PII_PHONE_PATTERN)).alias("n_phones")
+    t3 = F.regexp_replace(t2, PII_PHONE_PATTERN, "<PHONE>")
+    out = fan_out(documents).select(
+        "doc_id", t3.alias("clean_text"), n_em, n_ip, n_ph
+    )
+    return out.withColumn(
+        "n_pii", F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span mass — the "how much of this document
+# exists verbatim elsewhere in the corpus" dial (the metric behind exact
+# substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+# Language Models Better"; the suffix-array formulation is single-machine,
+# this is the distributed fixed-window realization).
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(
+    documents: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    span_key: str = "xxhash64",
+) -> DataFrame:
+    """Per-document fraction of ``w``-token windows that also occur in at
+    least one OTHER document: (doc_id, n_spans, dup_spans, dup_span_frac).
+
+    Windows are DISTINCT per document — a span repeated inside one doc is
+    within-doc repetition (:func:`repetition_stats`' job); this operator
+    measures cross-corpus sharing, the signal exact-substring dedup
+    thresholds on (docs above ~0.8 are boilerplate/mirrors; the planted
+    near-duplicates in the fixture corpus light up at any w).
+
+    Plan: staged tokenize → per-doc distinct window keys (map-only) →
+    explode → one exchange on the span key (the document-frequency
+    window count) → one partial-aggregated exchange on doc_id (the
+    per-doc reduce) → left join back to the doc spine for zero rows —
+    two exchanges, the minimum for a per-doc rollup of a cross-doc
+    frequency (same topology as ``repetition_stats``). Shuffle
+    payload is one fixed-width hash per token position, not the w-word
+    string: ``span_key='xxhash64'`` (production, codegen'd);
+    ``'md5'`` for cross-engine oracle digest parity; ``'raw'`` keeps the
+    span text for debugging. No df cap is needed — unlike the pair
+    families nothing fans out quadratically; a universally-common span
+    costs one counter, and skewed span partitions are AQE-splittable.
+    """
+    if w < 1:
+        raise ValueError(f"window must be >= 1 token, got {w}")
+    keyers = {
+        "xxhash64": lambda c: f"xxhash64({c})",
+        "md5": lambda c: f"md5({c})",
+        "raw": lambda c: c,
+    }
+    if span_key not in keyers:
+        raise ValueError(f"span_key must be one of {sorted(keyers)}")
+    base = _stage_tokens(documents, text_col, "doc_id")
+    span = "concat_ws(' ', " + ", ".join(
+        f"element_at(_toks, i + {j})" for j in range(w)
+    ) + ")"
+    key_type = "BIGINT" if span_key == "xxhash64" else "STRING"
+    wins_expr = (
+        f"CASE WHEN size(_toks) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(_toks) - {w - 1}), "
+        f"i -> {keyers[span_key](span)})) "
+        f"ELSE CAST(array() AS ARRAY<{key_type}>) END"
+    )
+    wins = base.select("doc_id", F.explode(F.expr(wins_expr)).alias("win"))
+    from pyspark.sql import Window
+
+    df_count = F.count(F.lit(1)).over(Window.partitionBy("win"))
+    per_doc = (
+        wins.select("doc_id", (df_count > 1).cast("int").alias("is_dup"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("is_dup").cast("bigint").alias("dup_spans"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.coalesce(
+                F.round(
+                    F.col("dup_spans").cast("double")
+                    / F.col("n_spans").cast("double"),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("dup_span_frac"),
+        )
+    )

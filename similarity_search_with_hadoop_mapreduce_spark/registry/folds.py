@@ -494,20 +494,26 @@ SELECT t.doc_id, t.n_tokens, t.n_bpe_tokens, t.n_chars,
        q.punct_ratio, q.mean_token_len, q.quality,
        f.fingerprint, f.norm_len,
        r.n_trigrams, r.n_distinct_trigrams,
-       r.dup_trigram_frac, r.top_trigram_frac
+       r.dup_trigram_frac, r.top_trigram_frac,
+       s.n_spans, s.dup_spans, s.dup_span_frac,
+       p.n_emails, p.n_ipv4, p.n_phones, p.n_pii
 FROM (\n{ORACLES["text_token_count"]}\n) t
 JOIN (\n{ORACLES["text_lang_id"]}\n) l USING (doc_id)
 JOIN (\n{ORACLES["text_quality"]}\n) q USING (doc_id)
 JOIN (\n{ORACLES["text_fingerprint"]}\n) f USING (doc_id)
 JOIN (\n{ORACLES["text_repetition"]}\n) r USING (doc_id)
+JOIN (\n{ORACLES["text_dup_spans"]}\n) s USING (doc_id)
+JOIN (\n{ORACLES["text_pii_scrub"]}\n) p USING (doc_id)
 """
 
     @register("text_doc_metrics", oracle=oracle)
     def text_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Wide per-document merge of the five text-analysis operators
+        """Wide per-document merge of the seven text-analysis operators
         (members: text_token_count, text_lang_id, text_quality,
-        text_fingerprint, text_repetition) — the feature row a curation
-        pipeline computes per doc, all columns value-pinned at once."""
+        text_fingerprint, text_repetition, text_dup_spans — cross-doc
+        duplicated-span mass — and text_pii_scrub's redaction counters)
+        — the feature row a curation pipeline computes per doc, all
+        columns value-pinned at once."""
         tc = _q("text_token_count")(spark, sf_dir)
         li = _q("text_lang_id")(spark, sf_dir).select(
             "doc_id", "stop_ratio", "predicted_lang"
@@ -517,11 +523,17 @@ JOIN (\n{ORACLES["text_repetition"]}\n) r USING (doc_id)
         )
         fp = _q("text_fingerprint")(spark, sf_dir)
         rp = _q("text_repetition")(spark, sf_dir)
+        ds = _q("text_dup_spans")(spark, sf_dir)
+        pi = _q("text_pii_scrub")(spark, sf_dir).select(
+            "doc_id", "n_emails", "n_ipv4", "n_phones", "n_pii"
+        )
         return (
             tc.join(li, "doc_id")
             .join(qs, "doc_id")
             .join(fp, "doc_id")
             .join(rp, "doc_id")
+            .join(ds, "doc_id")
+            .join(pi, "doc_id")
         )
 
 

@@ -7,6 +7,7 @@ RE2 regexes that agree with the Java patterns on this ASCII corpus.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.operators import textstats as T
 from similarity_search_with_hadoop_mapreduce_spark.registry.base import register, table
@@ -296,4 +297,125 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(docs.doc_id % 17 != 0),
         docs.filter(docs.doc_id % 17 == 0),
         n=3,
+    )
+
+
+# Deterministic synthetic-PII augmentation: the fixture corpus is a clean
+# shared-vocabulary synthetic (zero emails/IPs/phones), so the scrub entry
+# plants PII derived from doc_id — IN BOTH ENGINES — and verifies the
+# redaction output and counts on non-trivial input. Every 3rd doc is left
+# untouched to pin the zero-count path.
+_PII_AUG_SQL = """
+aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text
+         ELSE text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.0.1 call 555-867-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end'
+    END AS text
+  FROM documents
+)
+"""
+
+
+@register(
+    "text_pii_scrub",
+    oracle="WITH "
+    + _PII_AUG_SQL
+    + rf"""
+, p1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{T.PII_EMAIL_PATTERN}')) AS INTEGER)
+      AS n_emails,
+    regexp_replace(text, '{T.PII_EMAIL_PATTERN}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+p2 AS (
+  SELECT doc_id, n_emails,
+    CAST(len(regexp_extract_all(t1, '{T.PII_IPV4_PATTERN}')) AS INTEGER)
+      AS n_ipv4,
+    regexp_replace(t1, '{T.PII_IPV4_PATTERN}', '<IP>', 'g') AS t2
+  FROM p1
+),
+p3 AS (
+  SELECT doc_id, n_emails, n_ipv4,
+    CAST(len(regexp_extract_all(t2, '{T.PII_PHONE_PATTERN}')) AS INTEGER)
+      AS n_phones,
+    regexp_replace(t2, '{T.PII_PHONE_PATTERN}', '<PHONE>', 'g') AS t3
+  FROM p2
+)
+SELECT doc_id, t3 AS clean_text, n_emails, n_ipv4, n_phones,
+       n_emails + n_ipv4 + n_phones AS n_pii
+FROM p3
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phone numbers) with per-category
+    counts — the scrub pass a public-web corpus runs before training.
+    The fixture text is PII-free, so both engines first plant identical
+    doc_id-derived PII in 2/3 of the docs (see ``_PII_AUG_SQL``); the
+    entry then value-pins the full redacted text and all four counters,
+    including the untouched-doc zero path."""
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.when(d % 3 == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                d.cast("string"),
+                F.lit("@mail.example.com or 10."),
+                (d % 200).cast("string"),
+                F.lit(".0.1 call 555-867-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+                F.lit(" end"),
+            )
+        )
+        .alias("text"),
+    )
+    return T.pii_scrub(aug)
+
+
+@register(
+    "text_dup_spans",
+    oracle="WITH "
+    + TOKENS_CTE
+    + """
+, wins AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tok) >= 5 THEN
+      list_distinct(list_transform(range(1, len(tok) - 3),
+        i -> md5(tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' '
+                 || tok[i+3] || ' ' || tok[i+4])))
+    ELSE [] END) AS win
+  FROM tokens
+),
+dfc AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY win) AS df FROM wins
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+  FROM dfc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(per.dup_spans, 0) AS BIGINT) AS dup_spans,
+       coalesce(round(CAST(per.dup_spans AS DOUBLE)
+                      / CAST(per.n_spans AS DOUBLE), 6), 0.0) AS dup_span_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span mass (Lee et al. 2022 exact
+    substring dedup, fixed-window realization): fraction of each doc's
+    distinct 5-token windows that occur verbatim in at least one OTHER
+    document. The fixture's planted near-duplicates light up; unique
+    docs pin 0.0. ``span_key='md5'`` for cross-engine digest parity
+    (production default is codegen'd xxhash64)."""
+    return T.dup_span_stats(
+        table(spark, sf_dir, "documents"), w=5, span_key="md5"
     )

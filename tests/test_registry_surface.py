@@ -63,6 +63,8 @@ FOLDED = {
     "text_quality": "text_doc_metrics",
     "text_fingerprint": "text_doc_metrics",
     "text_repetition": "text_doc_metrics",
+    "text_dup_spans": "text_doc_metrics",
+    "text_pii_scrub": "text_doc_metrics",
     "text_corpus_composition": "text_corpus_stats",
     "text_vocab_stats": "text_corpus_stats",
     "events_tumbling_window": "events_time_windows",

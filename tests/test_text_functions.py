@@ -274,3 +274,88 @@ def test_benchmark_contamination_flags_overlapping_docs(spark):
     plan = explain_string(out, "formatted")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Sequential email -> IPv4 -> phone passes: each character redacted
+    at most once; NULL text propagates NULL; PII-free docs pin zeros."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        pii_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org ping 10.0.3.17 "
+                "tel 555-867-5309 done"),
+            # host is a dotted quad with no alpha TLD: not an email by the
+            # pattern; the quad is redacted by the IP pass instead
+            (2, "a@10.0.0.1 plain"),
+            (3, None),
+            (4, "no pii at all"),
+            # two of one category
+            (5, "x@y.io and z@w.org"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows[1].clean_text == "mail <EMAIL> ping <IP> tel <PHONE> done"
+    assert (rows[1].n_emails, rows[1].n_ipv4, rows[1].n_phones,
+            rows[1].n_pii) == (1, 1, 1, 3)
+    assert rows[2].clean_text == "a@<IP> plain"
+    assert (rows[2].n_emails, rows[2].n_ipv4) == (0, 1)
+    assert rows[3].clean_text is None and rows[3].n_pii is None
+    assert rows[4].clean_text == "no pii at all" and rows[4].n_pii == 0
+    assert rows[5].n_emails == 2 and rows[5].n_pii == 2
+
+
+def test_dup_span_stats_cross_doc_only(spark):
+    """Windows are distinct per doc; a span shared with ANOTHER doc counts,
+    a span repeated only within one doc does not; short docs pin zeros."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        dup_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            # shares the first 5-token window with doc 1, adds one unique
+            (2, "alpha beta gamma delta epsilon omega nu"),
+            # internal repetition only: "p q r s t" twice within one doc
+            (3, "p q r s t p q r s t"),
+            (4, "four tokens only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_stats(docs, w=5).collect()}
+    # doc 1: windows {a b g d e, b g d e z} -> first shared with doc 2
+    assert out[1].n_spans == 2 and out[1].dup_spans == 1
+    assert out[1].dup_span_frac == 0.5
+    # doc 2: 3 windows, 1 shared
+    assert out[2].n_spans == 3 and out[2].dup_spans == 1
+    # doc 3: 6 window positions but "p q r s t" repeats -> 5 distinct
+    # (repetition collapses), none cross-doc
+    assert out[3].n_spans == 5 and out[3].dup_spans == 0
+    assert out[4].n_spans == 0 and out[4].dup_span_frac == 0.0
+
+
+def test_dup_span_stats_key_modes_agree(spark):
+    """xxhash64 / md5 / raw span keys produce identical statistics (the
+    key only changes the shuffle payload), and bad args fail loudly."""
+    import pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        dup_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} a b c d e f tail{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    ref = sorted(map(tuple, dup_span_stats(docs, w=4, span_key="raw").collect()))
+    for mode in ("xxhash64", "md5"):
+        got = sorted(map(tuple, dup_span_stats(docs, w=4, span_key=mode).collect()))
+        assert got == ref, mode
+    with pytest.raises(ValueError):
+        dup_span_stats(docs, w=0)
+    with pytest.raises(ValueError):
+        dup_span_stats(docs, span_key="sha1")
