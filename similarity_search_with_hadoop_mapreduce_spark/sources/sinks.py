@@ -114,3 +114,151 @@ def write_range_partitioned(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard export: the pipeline's last mile. A curated corpus ships
+# as N deterministic shards plus a content manifest, so a training job can
+# (a) assign shards to data-loader workers without coordination, (b) verify
+# nothing was lost or corrupted between curation and training, and (c)
+# reproduce the exact byte split from the id column alone.
+# ---------------------------------------------------------------------------
+
+MANIFEST_NAME = "_training_manifest.json"
+
+
+def _shard_col(id_col: str, n_shards: int):
+    """Deterministic shard in [0, n_shards) — md5 hash-of-id, the same
+    engine-independent machinery as the split/samplers in
+    :mod:`operators.sampling` (NOT ``df.sample``/partition RNGs: a
+    document's shard must be a pure function of its identity so backfills
+    and re-exports land it in the same shard). NULL ids fail loudly — a
+    silent null shard would write a Hive default partition and break the
+    manifest's completeness contract."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    c = F.col(id_col)
+    return F.when(
+        c.isNull(),
+        F.raise_error(
+            F.lit(f"write_training_shards: NULL {id_col}; shards require ids")
+        ).cast("long"),
+    ).otherwise(hash_bucket(c, n_shards))
+
+
+def shard_manifest(df: DataFrame, shard_col: str = "shard") -> DataFrame:
+    """(shard, n_rows, content_hash) per shard — the verification digest.
+
+    ``content_hash`` is the exact decimal SUM of per-row
+    ``xxhash64(to_json(struct(<columns sorted by name>)))``: insensitive
+    to row order and partitioning (sum commutes), sensitive to any value
+    change, duplicate, or loss (unlike XOR, duplicated rows do not
+    cancel), and overflow-free (decimal(38,0) accumulator). One
+    partial-aggregated exchange on the shard key."""
+    cols = sorted(c for c in df.columns if c != shard_col)
+    h = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    return df.groupBy(F.col(shard_col).cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("content_hash"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> dict:
+    """Export ``df`` as ``n_shards`` deterministic parquet shards under
+    ``path`` (``shard=K/`` directories, ONE file per shard) and write a
+    content manifest (row count + order-insensitive content hash per
+    shard, empty shards included) the reader verifies against.
+
+    Layout: assign ``shard = md5-bucket(id)``, repartition ON the shard
+    column (each shard's rows land wholly in one task, so each directory
+    holds exactly one file — no small-file spray), write partitioned by
+    shard. One exchange total; the manifest aggregation is O(n_shards)
+    driver state, like a codebook. The manifest file is written
+    driver-side — the contract expects a driver-visible filesystem (local
+    or fuse-mounted; a pure-HDFS deployment would swap in the Hadoop FS
+    API at this single seam).
+
+    Returns the manifest dict; :func:`read_training_shards` re-derives it
+    from the stored bytes and refuses to serve a corpus that drifted.
+    """
+    import json
+    import os
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if id_col not in df.columns:
+        raise ValueError(f"id column {id_col!r} not in {df.columns}")
+    sharded = df.withColumn("shard", _shard_col(id_col, n_shards))
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+    stats = {
+        int(r["shard"]): (int(r["n_rows"]), r["content_hash"])
+        for r in shard_manifest(sharded).collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "columns": sorted(c for c in df.columns),
+        "total_rows": sum(n for n, _ in stats.values()),
+        "shards": {
+            str(k): {
+                "n_rows": stats.get(k, (0, None))[0],
+                "content_hash": stats.get(k, (0, None))[1],
+            }
+            for k in range(n_shards)
+        },
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_training_shards(spark, path: str, verify: bool = True) -> DataFrame:
+    """Read a shard export back; with ``verify`` (default), recompute the
+    per-shard row counts and content hashes from the stored bytes and
+    raise ``ValueError`` naming every drifted shard — a partial write,
+    manual deletion, or bit rot is refused at load time, not discovered
+    mid-training. Verification is one aggregation over the export (scan
+    speed); pass ``verify=False`` to skip it on a hot path that trusts
+    the store."""
+    import json
+    import os
+
+    df = spark.read.parquet(path)
+    if not verify:
+        return df
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    got = {
+        int(r["shard"]): (int(r["n_rows"]), r["content_hash"])
+        for r in shard_manifest(df).collect()
+    }
+    bad = []
+    for k_str, want in manifest["shards"].items():
+        k = int(k_str)
+        g_rows, g_hash = got.get(k, (0, None))
+        if g_rows != want["n_rows"] or g_hash != want["content_hash"]:
+            bad.append(
+                f"shard {k}: rows {g_rows} vs {want['n_rows']}, "
+                f"hash {g_hash} vs {want['content_hash']}"
+            )
+    extra = sorted(set(got) - {int(k) for k in manifest["shards"]})
+    if extra:
+        bad.append(f"unmanifested shards present: {extra}")
+    if bad:
+        raise ValueError(
+            "training shard verification failed:\n  " + "\n  ".join(bad)
+        )
+    return df

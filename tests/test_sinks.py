@@ -199,3 +199,76 @@ def test_orc_scan_pushes_down_predicates(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,1000.0)" in plan
     # partition filter never reaches the data filter list — pruned at listing
     assert "o_orderpriority" not in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_training_shards_deterministic_complete_one_file(spark, tmp_path):
+    """Export → exactly one parquet file per shard dir, union of shards ==
+    input, and a re-export produces the identical manifest (shard
+    assignment is a pure function of the id)."""
+    import glob
+
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import (
+        read_training_shards,
+        write_training_shards,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "shards")
+    m1 = write_training_shards(docs, out, n_shards=8)
+    assert m1["total_rows"] == docs.count()
+    for k in range(8):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) <= 1, (k, files)  # one file, or empty shard
+        assert (len(files) == 1) == (m1["shards"][str(k)]["n_rows"] > 0)
+    back = read_training_shards(spark, out)  # verify=True passes
+    assert sorted(map(tuple, back.drop("shard").collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+    out2 = str(tmp_path / "shards2")
+    m2 = write_training_shards(docs, out2, n_shards=8)
+    assert m1["shards"] == m2["shards"]
+
+
+def test_training_shards_verify_catches_drift(spark, tmp_path):
+    """A dropped shard and a value edit are both refused at load time."""
+    import glob
+    import os
+
+    import pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=4)
+    # tamper: remove one shard's file entirely
+    victim = glob.glob(f"{out}/shard=2/*.parquet")[0]
+    os.remove(victim)
+    with pytest.raises(ValueError, match="shard 2"):
+        read_training_shards(spark, out)
+    # verify=False trusts the store (documented hot-path escape hatch)
+    assert read_training_shards(spark, out, verify=False).count() < 200
+
+
+def test_training_shards_null_id_and_bad_args_fail_loudly(spark, tmp_path):
+    import pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import (
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "s")
+    df = spark.createDataFrame([(1, "a"), (None, "b")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        write_training_shards(df, out, n_shards=2)
+    good = df.filter("doc_id IS NOT NULL")
+    with pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(good, out, n_shards=0)
+    with pytest.raises(ValueError, match="id column"):
+        write_training_shards(good, out, id_col="nope")
