@@ -286,3 +286,39 @@ def pack_sequences(
         F.floor(before / F.lit(max_tokens)).alias("bin_id"),
         (before % F.lit(max_tokens)).alias("bin_offset"),
     )
+
+
+def cluster_safe_split(
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    train: float = 0.8,
+    val: float = 0.1,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the CLUSTER id, not the
+    document id, so every member of a near-duplicate cluster lands in the
+    same split.
+
+    :func:`train_val_test_split` on raw doc ids silently leaks when the
+    corpus contains near-duplicates — two copies of the same document can
+    land in train and test, and the eval measures memorization of the
+    training copy instead of generalization. The fix is split-after-dedup
+    -clustering: ``clusters`` is :func:`operators.dedup.duplicate_clusters`
+    output (one row per doc, ``cluster_id`` = min doc id of its connected
+    component; singletons are their own cluster), and the split decision
+    hashes ``cluster_col`` with the same engine-independent md5 bucket as
+    every other sampler here — a pure function of the cluster, so all
+    members agree by construction and the assignment is stable under
+    corpus growth that does not merge clusters. Map-only over the
+    clusters frame.
+
+    Returns ``clusters`` with a ``split`` column appended.
+    """
+    b = hash_bucket(F.col(cluster_col), buckets)
+    split = (
+        F.when(b < int(train * buckets), F.lit("train"))
+        .when(b < int((train + val) * buckets), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return clusters.withColumn("split", split)

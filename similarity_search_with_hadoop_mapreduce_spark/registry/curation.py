@@ -659,3 +659,41 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         table(spark, sf_dir, "documents"), max_tokens=256, n_shards=8
     )
+
+
+def _cluster_safe_split_oracle() -> str:
+    from similarity_search_with_hadoop_mapreduce_spark.registry.base import ORACLES
+
+    cbucket = _BUCKET.replace(
+        "md5(CAST(doc_id AS VARCHAR))", "md5(CAST(cluster_id AS VARCHAR))"
+    )
+    return f"""
+SELECT doc_id, cluster_id,
+       CASE WHEN {cbucket} < 8000 THEN 'train'
+            WHEN {cbucket} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+{ORACLES["dedup_clusters"]}
+) c
+"""
+
+
+@register("sample_cluster_safe_split", oracle=_cluster_safe_split_oracle())
+def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split: near-duplicate clustering first
+    (SimHash pairs → connected components, the dedup_clusters machinery),
+    then the split decision hashes the CLUSTER id — every member of a
+    duplicate cluster lands in the same split, so an eval document can
+    never have a near-copy in train. The oracle replays the full
+    composition: recursive-CTE components feeding the md5 bucket rule."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    clusters = duplicate_clusters(
+        table(spark, sf_dir, "documents"), base_hash="md5", max_bucket=None
+    )
+    return cluster_safe_split(clusters)

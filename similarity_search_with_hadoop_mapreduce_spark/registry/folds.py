@@ -679,6 +679,11 @@ def _register_sample_splits() -> None:
             "shard || ':' || bin_id || ':' || bin_offset || ':' || n_tokens"
             " AS tag",
         ),
+        (
+            "sample_cluster_safe_split",
+            "'cluster_safe' AS shape, doc_id, "
+            "split || ':' || CAST(cluster_id AS VARCHAR) AS tag",
+        ),
     ]
 
     @register("sample_splits", oracle=_union_oracle(parts))
@@ -687,9 +692,11 @@ def _register_sample_splits() -> None:
         language-stratified downsample, the target-mixture resamples
         (doc-count and token-mass census), the quality-weighted keep
         with its round-6 quality pinned as an integer tag, and the r6
-        pack-then-chunk sequence layout (members: sample_hash_split,
+        pack-then-chunk sequence layout, and the leakage-safe
+        cluster-keyed split (members: sample_hash_split,
         sample_stratified, sample_mixture, sample_mixture_tokens,
-        sample_quality_weighted, sample_pack_sequences)."""
+        sample_quality_weighted, sample_pack_sequences,
+        sample_cluster_safe_split)."""
         hs = _q("sample_hash_split")(spark, sf_dir).select(
             F.lit("hash_split").alias("shape"),
             "doc_id",
@@ -725,7 +732,14 @@ def _register_sample_splits() -> None:
                 ":", "shard", "bin_id", "bin_offset", "n_tokens"
             ).alias("tag"),
         )
-        return _union_spark([hs, st, mx, mxt, qw, pk])
+        cs = _q("sample_cluster_safe_split")(spark, sf_dir).select(
+            F.lit("cluster_safe").alias("shape"),
+            "doc_id",
+            F.concat_ws(":", "split", F.col("cluster_id").cast("string")).alias(
+                "tag"
+            ),
+        )
+        return _union_spark([hs, st, mx, mxt, qw, pk, cs])
 
 
 # ---------------------------------------------------------------------------

@@ -330,3 +330,36 @@ def test_mixture_sample_token_mass_mode(spark):
     )
     with _pytest.raises(Exception, match="non-negative"):
         mixture_sample(bad, targets, strata_col="lang", weight_col="n_tokens").collect()
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    """Every member of a duplicate cluster gets the SAME split — including
+    a planted cluster whose members' raw doc-id hashes would straddle
+    splits (the leakage the naive per-doc split commits); singleton docs
+    follow their own id exactly like train_val_test_split."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        cluster_safe_split,
+        train_val_test_split,
+    )
+
+    # synthetic cluster map: docs 0..199; docs 0..49 form one big cluster
+    # (cluster_id 0), the rest are singletons
+    rows = [(i, 0 if i < 50 else i) for i in range(200)]
+    clusters = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = cluster_safe_split(clusters).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_cluster.values()), by_cluster
+    # the naive split WOULD have leaked the big cluster across splits
+    naive = train_val_test_split(
+        clusters.filter("cluster_id = 0"), id_col="doc_id"
+    ).collect()
+    assert len({r.split for r in naive}) > 1
+    # singletons: cluster hash == id hash -> identical to the naive split
+    singles = {r.doc_id: r.split for r in out if r.cluster_id >= 50}
+    naive_all = {
+        r.doc_id: r.split
+        for r in train_val_test_split(clusters, id_col="doc_id").collect()
+    }
+    assert all(naive_all[d] == s for d, s in singles.items())

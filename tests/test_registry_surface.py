@@ -64,6 +64,7 @@ FOLDED = {
     "text_fingerprint": "text_doc_metrics",
     "text_repetition": "text_doc_metrics",
     "text_dup_spans": "text_doc_metrics",
+    "sample_cluster_safe_split": "sample_splits",
     "text_pii_scrub": "text_doc_metrics",
     "text_corpus_composition": "text_corpus_stats",
     "text_vocab_stats": "text_corpus_stats",
