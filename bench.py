@@ -55,6 +55,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_quality",
     "text_top_ngrams",
+    "text_dup_spans",
     "events_sliding_window",
 ]
 
@@ -104,6 +105,9 @@ def _production_impls():
         ),
         "text_quality": lambda spark, sf: T.quality_score_arrow(
             load_table(spark, sf, "documents")
+        ),
+        "text_dup_spans": lambda spark, sf: T.dup_span_stats(
+            load_table(spark, sf, "documents"), w=5, span_key="xxhash64"
         ),
     }
 

@@ -242,3 +242,118 @@ def test_pack_sequences_single_shard_exchange(spark):
     plan = explain_string(df)
     assert shuffle_exchange_count(df) == 1, plan
     assert "Join" not in plan
+
+
+def test_dup_span_stats_two_exchanges_staged_tokens(spark):
+    """Cross-doc duplicated-span mass: one exchange on the span key (the
+    document-frequency window), one partial-aggregated exchange on doc_id
+    (the per-doc reduce) — plus the zero-row spine join, which AQE turns
+    into a broadcast at runtime, never a third full shuffle of the span
+    stream. The tokenizer is staged once (a single `split` in the plan),
+    and the shuffled span payload is the fixed-width xxhash64, not the
+    w-word string."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        dup_span_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = dup_span_stats(docs, w=5, span_key="xxhash64")
+    plan = explain_string(df)
+    # two shuffles for the computation; the doc-spine join may add its own
+    # small exchanges pre-AQE but must not reshuffle the span stream
+    assert shuffle_exchange_count(df) <= 4, plan
+    assert plan.count("xxhash64") >= 1, plan
+    # the spine join broadcasts the small per-doc aggregate — the span
+    # stream is never reshuffled a third time for it
+    assert "BroadcastHashJoin" in plan, plan
+    # windows are derived from the staged token attribute (_toks), so the
+    # tokenizer runs once per row, not once per window position
+    assert "_toks" in plan, plan
+
+
+def test_scale_audit_detects_killers(spark):
+    """The audit flags each scale-killer shape on a crafted plan and
+    stays silent on a clean aggregation."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.window import Window
+
+    from similarity_search_with_hadoop_mapreduce_spark.plans import (
+        assert_scalable,
+        scale_audit,
+    )
+
+    a = spark.range(100).withColumnRenamed("id", "x")
+    b = spark.range(100).withColumnRenamed("id", "y")
+
+    codes = lambda df: {f["code"] for f in scale_audit(df)}
+
+    # cross join -> cartesian (or nested-loop, depending on sizes/hints)
+    cart = a.crossJoin(b)
+    assert codes(cart) & {"cartesian_product", "nested_loop_join"}, codes(cart)
+
+    # non-equi theta join -> broadcast nested loop
+    theta = a.join(b, a.x < b.y)
+    assert "nested_loop_join" in codes(theta)
+
+    # row-at-a-time python UDF -> fatal; Arrow/pandas paths are exempt
+    plus = udf(lambda v: v + 1, "long")
+    assert "python_row_udf" in codes(a.select(plus("x")))
+
+    # window with no partitionBy -> everything in one task
+    w = Window.orderBy("x")
+    ranked = a.withColumn("rn", F.row_number().over(w))
+    assert "single_partition_exchange" in codes(ranked)
+
+    # global orderBy -> range exchange (sort a derived key: Range output
+    # is already ordered by id, so orderBy("x") is eliminated outright)
+    assert "global_sort" in codes(a.orderBy((F.col("x") % 7).asc()))
+
+    # clean partial-aggregated groupBy: no findings at all
+    clean = a.groupBy((F.col("x") % 7).alias("k")).count()
+    assert scale_audit(clean) == []
+    assert_scalable(clean)
+
+    # assert_scalable raises with the rule names; allow-list silences
+    try:
+        assert_scalable(theta)
+    except AssertionError as e:
+        assert "nested_loop_join" in str(e)
+    else:
+        raise AssertionError("expected audit failure")
+    assert_scalable(theta, allow=("nested_loop_join",))
+
+
+def test_bench_headline_queries_pass_scale_audit(spark):
+    """Every headline bench query is free of fatal plan shapes — no
+    cartesian products, no nested-loop joins, no row-at-a-time Python
+    UDFs anywhere in the suite that represents this engine's perf story.
+    (Warn-level findings are asserted empty too: the suite's top-k
+    queries use TakeOrderedAndProject, never a global sort.)"""
+    from bench import HEADLINE
+    from similarity_search_with_hadoop_mapreduce_spark.plans import scale_audit
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    # the single-query entries legitimately nested-loop against a ONE-ROW
+    # broadcast side (the reference's driver-held-query pattern, O(n*1))
+    allowed = {
+        "flagship_containment_parity": {"nested_loop_join"},
+        "flagship_topk": {"nested_loop_join"},
+        "ann_cosine_topk": {"nested_loop_join"},
+        # the gapfill span probe and the multi-query term union cross a
+        # ONE-ROW scalar aggregate with the data stream — scalar side,
+        # linear (their single-partition exchanges are recognized as
+        # scalar aggregates by the audit itself)
+        "events_gapfill_locf": {"nested_loop_join"},
+        "flagship_multi_query": {"nested_loop_join"},
+    }
+    offenders = {}
+    for name in HEADLINE:
+        findings = [
+            f
+            for f in scale_audit(QUERIES[name](spark, sf))
+            if f["code"] not in allowed.get(name, set())
+        ]
+        if findings:
+            offenders[name] = findings
+    assert offenders == {}, offenders
