@@ -726,3 +726,215 @@ def dup_span_stats(
             ).alias("dup_span_frac"),
         )
     )
+
+
+def lm_bigram_score(
+    documents: DataFrame, k: int = 1, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the CCNet/KenLM
+    perplexity-filter pattern (Wenzek et al. 2020) with the model
+    trained on the corpus itself: documents whose token transitions are
+    atypical for the corpus score a high average negative log
+    likelihood and can be filtered or re-weighted downstream.
+
+    Model: add-``k`` smoothed bigram ML estimate over Java-``\\W+``
+    tokens,  ``p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)``  with ``V``
+    the corpus unigram vocabulary size. Per document the score is the
+    mean of ``-ln p`` over its adjacent token pairs (``avg_nll``;
+    perplexity is ``exp(avg_nll)``, left to the caller — no second
+    transcendental in the checked output).
+
+    Cross-engine determinism: every count is an exact integer, the
+    probability is one correctly-rounded IEEE division, and the single
+    transcendental (``ln``) is computed ONCE PER DISTINCT BIGRAM TYPE,
+    quantized to 6 decimals, and summed as DECIMAL(25,6) — an exact,
+    order-independent accumulation (the same pattern as
+    ``text_corpus_composition``'s mean-quality sum), so a DuckDB oracle
+    replays the value bit-for-bit without depending on float summation
+    order.
+
+    100 TB shape: three shuffles that all scale with the token stream,
+    none with its square — (1) unigram counts, (2) bigram counts
+    (map-side partial combine collapses both to the distinct-type
+    grain), (3) the score join of the doc-bigram stream against the
+    bigram model on ``(w1, w2)`` followed by the per-doc aggregation.
+    The vocabulary scalar ``V`` rides in as a broadcast single-row
+    frame (no collect, no crossJoin re-scan of the corpus subtree —
+    the census-window lesson from mixture_sample applied to a 1-row
+    census). The model table is Zipf-bounded by distinct bigram types,
+    far below the token stream; the join is AQE-splittable on skewed
+    head words.
+    """
+    staged = _stage_tokens(documents, text_col, "doc_id")
+    pairs = staged.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(_toks) >= 2 THEN "
+            "  transform(sequence(0, size(_toks) - 2), "
+            "            i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2)) "
+            "ELSE array() END"
+        ).alias("_bi"),
+    )
+    bi = pairs.select("doc_id", F.explode("_bi").alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    uni = (
+        staged.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.select(F.count(F.lit(1)).alias("_v"))
+    model = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    (F.col("c12") + F.lit(k)).cast("double")
+                    / (F.col("c1") + F.lit(k) * F.col("_v")).cast("double")
+                ),
+                6,
+            ).alias("nll6"),
+        )
+    )
+    per_doc = (
+        bi.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("nll6").cast("decimal(25,6)")).alias("_s"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(
+                F.round(F.col("_s").cast("double"), 6), F.lit(0.0)
+            ).alias("nll_sum"),
+            F.coalesce(
+                F.round(
+                    F.col("_s").cast("double")
+                    / F.col("n_bigrams").cast("double"),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def tfidf_keywords(
+    documents: DataFrame, top_k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-``top_k`` keywords by a tf-idf weighting —
+    the representative-terms view a corpus card or a topic drill-down
+    needs (and the cheap feature behind keyword-based near-dup triage).
+
+    Weighting: ``score = tf · (N + 1) / (df + 1)`` over Java-``\\W+``
+    tokens with the English function words (EN_STOPWORDS) and empty
+    tokens removed; ``tf`` is the in-document occurrence count, ``df``
+    the number of distinct documents containing the term, ``N`` the
+    number of documents with at least one kept term. The RATIONAL idf
+    variant ``(N+1)/(df+1)`` (Salton's idf family without the log) is
+    deliberate: every score is integer arithmetic plus two
+    correctly-rounded IEEE operations, so the per-document ranking is
+    bit-identical in any engine — a log idf would hang tie-breaks on
+    the last ulp of a transcendental. Ordering: score desc, term asc;
+    ``rk`` is dense 1..top_k by row_number.
+
+    100 TB shape: tf is one (doc_id, term) aggregation of the token
+    stream (map-side combined); df reuses tf's distinct grain (no
+    second pass over tokens); the scalar N rides in as a broadcast
+    1-row frame; and the final per-doc top-k filter on
+    ``row_number() <= top_k`` compiles to a WindowGroupLimit — Spark
+    pushes a partial top-k below the window shuffle, so the sort state
+    per document is O(top_k), not O(terms).
+    """
+    staged = _stage_tokens(documents, text_col, "doc_id")
+    terms = (
+        staged.select("doc_id", F.explode("_toks").alias("term"))
+        .filter(
+            (F.length("term") > 0) & (~F.col("term").isin(*EN_STOPWORDS))
+        )
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select(F.count_distinct("doc_id").alias("_n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("_score_raw"), F.asc("term")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (
+                    (F.col("_n") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                )
+            ).alias("_score_raw"),
+        )
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("_score_raw", 6).alias("score"),
+        )
+    )
+
+
+def source_quality_cap(
+    documents: DataFrame, cap: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Per-source contribution cap: keep at most ``cap`` documents from
+    each ``source``, preferring the highest quality_score — the
+    deterministic-rank counterpart of mixture_sample's hash-rate
+    downsampling (a recipe says "at most N documents from domain X,
+    best first", not "a random N").
+
+    Ordering is (quality desc, doc_id asc) on the ROUNDED quality so
+    both engines rank the same integers-and-ratios arithmetic; doc_id
+    breaks exact quality ties. Returns the kept rows with their
+    within-source rank.
+
+    100 TB shape: one shuffle on ``source`` — and because the filter is
+    ``row_number() <= cap``, Spark's WindowGroupLimit rewrites it into
+    a map-side partial top-``cap`` per source BEFORE the exchange, so a
+    skewed mega-source ships ~``cap`` rows per input task rather than
+    its entire population through one reducer (plan-asserted in the
+    tests; the same optimization window_row_number_topn leans on).
+    """
+    q = _quality_exprs(F.col(text_col), F.col("_toks"))
+    scored = _stage_tokens(documents, text_col, "doc_id", "source").select(
+        "doc_id", "source", F.round(q["quality"], 6).alias("quality")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "source", "quality", F.col("rk").cast("int").alias("rk"))
+    )

@@ -496,7 +496,8 @@ SELECT t.doc_id, t.n_tokens, t.n_bpe_tokens, t.n_chars,
        r.n_trigrams, r.n_distinct_trigrams,
        r.dup_trigram_frac, r.top_trigram_frac,
        s.n_spans, s.dup_spans, s.dup_span_frac,
-       p.n_emails, p.n_ipv4, p.n_phones, p.n_pii
+       p.n_emails, p.n_ipv4, p.n_phones, p.n_pii,
+       m.n_bigrams, m.nll_sum, m.avg_nll
 FROM (\n{ORACLES["text_token_count"]}\n) t
 JOIN (\n{ORACLES["text_lang_id"]}\n) l USING (doc_id)
 JOIN (\n{ORACLES["text_quality"]}\n) q USING (doc_id)
@@ -504,16 +505,18 @@ JOIN (\n{ORACLES["text_fingerprint"]}\n) f USING (doc_id)
 JOIN (\n{ORACLES["text_repetition"]}\n) r USING (doc_id)
 JOIN (\n{ORACLES["text_dup_spans"]}\n) s USING (doc_id)
 JOIN (\n{ORACLES["text_pii_scrub"]}\n) p USING (doc_id)
+JOIN (\n{ORACLES["text_lm_score"]}\n) m USING (doc_id)
 """
 
     @register("text_doc_metrics", oracle=oracle)
     def text_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Wide per-document merge of the seven text-analysis operators
+        """Wide per-document merge of the eight text-analysis operators
         (members: text_token_count, text_lang_id, text_quality,
         text_fingerprint, text_repetition, text_dup_spans — cross-doc
-        duplicated-span mass — and text_pii_scrub's redaction counters)
-        — the feature row a curation pipeline computes per doc, all
-        columns value-pinned at once."""
+        duplicated-span mass — text_pii_scrub's redaction counters, and
+        text_lm_score's bigram-LM negative log likelihood) — the feature
+        row a curation pipeline computes per doc, all columns
+        value-pinned at once."""
         tc = _q("text_token_count")(spark, sf_dir)
         li = _q("text_lang_id")(spark, sf_dir).select(
             "doc_id", "stop_ratio", "predicted_lang"
@@ -527,6 +530,9 @@ JOIN (\n{ORACLES["text_pii_scrub"]}\n) p USING (doc_id)
         pi = _q("text_pii_scrub")(spark, sf_dir).select(
             "doc_id", "n_emails", "n_ipv4", "n_phones", "n_pii"
         )
+        lm = _q("text_lm_score")(spark, sf_dir).select(
+            "doc_id", "n_bigrams", "nll_sum", "avg_nll"
+        )
         return (
             tc.join(li, "doc_id")
             .join(qs, "doc_id")
@@ -534,6 +540,7 @@ JOIN (\n{ORACLES["text_pii_scrub"]}\n) p USING (doc_id)
             .join(rp, "doc_id")
             .join(ds, "doc_id")
             .join(pi, "doc_id")
+            .join(lm, "doc_id")
         )
 
 
@@ -555,13 +562,23 @@ def _register_text_corpus_stats() -> None:
             "CAST(NULL AS VARCHAR) AS lang, n_docs, vocab_size AS n2, "
             "total_terms AS n3, mean_set_size AS v1, CAST(NULL AS DOUBLE) AS v2",
         ),
+        (
+            # slot reuse: source <- term, lang <- doc_id (as text),
+            # n_docs <- tf, n2 <- df, n3 <- rank, v1 <- score
+            "text_tfidf_keywords",
+            "'tfidf' AS shape, term AS source, "
+            "CAST(doc_id AS VARCHAR) AS lang, tf AS n_docs, df AS n2, "
+            "CAST(rk AS BIGINT) AS n3, score AS v1, "
+            "CAST(NULL AS DOUBLE) AS v2",
+        ),
     ]
 
     @register("text_corpus_stats", oracle=_union_oracle(parts))
     def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Tagged union of the per-(source, lang) dataset-card rollup and
-        the corpus vocabulary summary (members: text_corpus_composition,
-        text_vocab_stats)."""
+        """Tagged union of the per-(source, lang) dataset-card rollup,
+        the corpus vocabulary summary, and the per-document top-3
+        tf-idf keywords (members: text_corpus_composition,
+        text_vocab_stats, text_tfidf_keywords)."""
         comp = _q("text_corpus_composition")(spark, sf_dir).select(
             F.lit("composition").alias("shape"),
             "source",
@@ -582,7 +599,17 @@ def _register_text_corpus_stats() -> None:
             F.col("mean_set_size").alias("v1"),
             _null("v2", "double"),
         )
-        return _union_spark([comp, voc])
+        tk = _q("text_tfidf_keywords")(spark, sf_dir).select(
+            F.lit("tfidf").alias("shape"),
+            F.col("term").alias("source"),
+            F.col("doc_id").cast("string").alias("lang"),
+            F.col("tf").alias("n_docs"),
+            F.col("df").alias("n2"),
+            F.col("rk").cast("bigint").alias("n3"),
+            F.col("score").alias("v1"),
+            _null("v2", "double"),
+        )
+        return _union_spark([comp, voc, tk])
 
 
 # ---------------------------------------------------------------------------
@@ -684,6 +711,15 @@ def _register_sample_splits() -> None:
             "'cluster_safe' AS shape, doc_id, "
             "split || ':' || CAST(cluster_id AS VARCHAR) AS tag",
         ),
+        (
+            # rank + integer-quality tag (double->string formatting
+            # differs between engines; bigint does not)
+            "sample_source_cap",
+            "'source_cap' AS shape, doc_id, "
+            "source || ':' || CAST(rk AS VARCHAR) || ':' || "
+            "CAST(CAST(round(quality * 1000000.0, 0) AS BIGINT) AS VARCHAR)"
+            " AS tag",
+        ),
     ]
 
     @register("sample_splits", oracle=_union_oracle(parts))
@@ -691,12 +727,13 @@ def _register_sample_splits() -> None:
         """Tagged union of the deterministic 80/10/10 hash split, the
         language-stratified downsample, the target-mixture resamples
         (doc-count and token-mass census), the quality-weighted keep
-        with its round-6 quality pinned as an integer tag, and the r6
-        pack-then-chunk sequence layout, and the leakage-safe
-        cluster-keyed split (members: sample_hash_split,
+        with its round-6 quality pinned as an integer tag, the r6
+        pack-then-chunk sequence layout, the leakage-safe
+        cluster-keyed split, and the per-source quality-ranked
+        contribution cap (members: sample_hash_split,
         sample_stratified, sample_mixture, sample_mixture_tokens,
         sample_quality_weighted, sample_pack_sequences,
-        sample_cluster_safe_split)."""
+        sample_cluster_safe_split, sample_source_cap)."""
         hs = _q("sample_hash_split")(spark, sf_dir).select(
             F.lit("hash_split").alias("shape"),
             "doc_id",
@@ -739,7 +776,19 @@ def _register_sample_splits() -> None:
                 "tag"
             ),
         )
-        return _union_spark([hs, st, mx, mxt, qw, pk, cs])
+        sc = _q("sample_source_cap")(spark, sf_dir).select(
+            F.lit("source_cap").alias("shape"),
+            "doc_id",
+            F.concat_ws(
+                ":",
+                "source",
+                F.col("rk").cast("string"),
+                F.round(F.col("quality") * 1000000.0, 0)
+                .cast("bigint")
+                .cast("string"),
+            ).alias("tag"),
+        )
+        return _union_spark([hs, st, mx, mxt, qw, pk, cs, sc])
 
 
 # ---------------------------------------------------------------------------

@@ -419,3 +419,90 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.dup_span_stats(
         table(spark, sf_dir, "documents"), w=5, span_key="md5"
     )
+
+
+@register(
+    "text_lm_score",
+    oracle="WITH "
+    + TOKENS_CTE
+    + r"""
+, bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tok)), i -> tok[i])) AS w1,
+         unnest(list_transform(range(1, len(tok)), i -> tok[i+1])) AS w2
+  FROM tokens
+),
+uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(tok) AS w1 FROM tokens)
+  GROUP BY w1
+),
+voc AS (SELECT count(*) AS v FROM uni),
+bg AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+model AS (
+  SELECT b.w1, b.w2,
+         round(-ln(CAST(b.c12 + 1 AS DOUBLE)
+                   / CAST(u.c1 + 1 * voc.v AS DOUBLE)), 6) AS nll6
+  FROM bg b JOIN uni u USING (w1) CROSS JOIN voc
+),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(CAST(nll6 AS DECIMAL(25,6))) AS s
+  FROM bi JOIN model USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(round(CAST(per.s AS DOUBLE), 6), 0.0) AS nll_sum,
+       coalesce(round(CAST(per.s AS DOUBLE)
+                      / CAST(per.n_bigrams AS DOUBLE), 6), 0.0) AS avg_nll
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-1 bigram LM negative-log-likelihood scoring
+    (the CCNet perplexity-filter pattern); the oracle replays the model
+    training AND the quantized-decimal score accumulation."""
+    return T.lm_bigram_score(table(spark, sf_dir, "documents"), k=1)
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle="WITH "
+    + TOKENS_CTE
+    + f"""
+, terms AS (
+  SELECT doc_id, unnest(tok) AS term FROM tokens
+),
+kept AS (
+  SELECT doc_id, term FROM terms
+  WHERE length(term) > 0 AND NOT list_contains({_STOPS_SQL}, term)
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM kept GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf AS DOUBLE) * (CAST(nd.n + 1 AS DOUBLE)
+                                 / CAST(d.df + 1 AS DOUBLE)) AS score_raw
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd
+),
+rk AS (
+  SELECT doc_id, term, tf, df, score_raw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_raw DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df,
+       round(score_raw, 6) AS score
+FROM rk WHERE rk <= 3
+""",
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by the rational tf-idf weighting
+    (score = tf·(N+1)/(df+1), stopwords removed); ranking is pure
+    integer-ratio IEEE arithmetic so both engines agree bit-for-bit."""
+    return T.tfidf_keywords(table(spark, sf_dir, "documents"), top_k=3)

@@ -65,9 +65,12 @@ FOLDED = {
     "text_repetition": "text_doc_metrics",
     "text_dup_spans": "text_doc_metrics",
     "sample_cluster_safe_split": "sample_splits",
+    "sample_source_cap": "sample_splits",
     "text_pii_scrub": "text_doc_metrics",
+    "text_lm_score": "text_doc_metrics",
     "text_corpus_composition": "text_corpus_stats",
     "text_vocab_stats": "text_corpus_stats",
+    "text_tfidf_keywords": "text_corpus_stats",
     "events_tumbling_window": "events_time_windows",
     "events_ohlc": "events_time_windows",
     "events_sliding_window": "events_time_windows",

@@ -3,6 +3,7 @@ including Java String.split edge semantics (SURVEY §2.3 Q6)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -359,3 +360,132 @@ def test_dup_span_stats_key_modes_agree(spark):
         dup_span_stats(docs, w=0)
     with pytest.raises(ValueError):
         dup_span_stats(docs, span_key="sha1")
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    """Add-1 bigram LM on a 3-doc toy corpus, checked against a pure-
+    Python reproduction of the model (counts, smoothing, quantized
+    decimal accumulation)."""
+    import math
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        lm_bigram_score,
+    )
+
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "solo"), (4, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lm_bigram_score(docs, k=1).collect()}
+
+    # model from scratch
+    toks = {1: ["a", "b", "a", "b"], 2: ["a", "b", "c"], 3: ["solo"], 4: [""]}
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for x, y in zip(ts, ts[1:]):
+            big[(x, y)] = big.get((x, y), 0) + 1
+    V = len(uni)
+    def nll6(pair):
+        p = (big[pair] + 1) / (uni[pair[0]] + V)
+        return round(-math.log(p), 6)
+    for doc_id, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        got = out[doc_id]
+        assert got.n_bigrams == len(pairs)
+        if pairs:
+            s = round(sum(nll6(p) for p in pairs), 6)
+            assert got.nll_sum == pytest.approx(s, abs=2e-6)
+            assert got.avg_nll == pytest.approx(round(s / len(pairs), 6), abs=2e-6)
+        else:
+            assert got.nll_sum == 0.0 and got.avg_nll == 0.0
+
+
+def test_lm_bigram_score_orders_duplicates_low(spark):
+    """A document made of the corpus's dominant transitions scores a
+    lower avg_nll than one made of rare transitions."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        lm_bigram_score,
+    )
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(10)]
+        + [(100, common), (101, "zeta qoph xylem vug kwyjibo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_bigram_score(docs).collect()}
+    assert out[100].avg_nll < out[101].avg_nll
+
+
+def test_tfidf_keywords_ranking_and_stopwords(spark):
+    """tf dominates within a doc; corpus-common terms are discounted by
+    df; stopwords and empty tokens never appear."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the apple apple apple banana shared"),
+            (2, "banana banana cherry shared"),
+            (3, "cherry date shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, top_k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.rk)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=3 df=1 beats banana tf=1 df=2; "the" filtered
+    assert [r.term for r in by_doc[1]] == ["apple", "banana"]
+    assert by_doc[1][0].tf == 3 and by_doc[1][0].df == 1
+    # "shared" df=3 discounts below any df=1 term with equal tf
+    assert all(r.term != "the" for r in out)
+    assert all(len(r_) <= 2 for r_ in by_doc.values())
+    # score formula: tf * (N+1)/(df+1), N=3 docs
+    assert by_doc[1][0].score == pytest.approx(3 * 4 / 2, abs=1e-6)
+
+
+def test_source_quality_cap_keeps_best_and_caps(spark):
+    """Each source keeps its cap best-quality docs; rank is contiguous
+    from 1; higher-quality docs displace lower."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        quality_score,
+        source_quality_cap,
+    )
+
+    # src A: 4 docs of increasing length (quality rises with tokens);
+    # src B: 1 doc (under cap)
+    rows = [
+        (i, "tok " * (5 * (i + 1)), "A") for i in range(4)
+    ] + [(10, "one two three", "B")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_quality_cap(docs, cap=2).collect()
+    a = sorted([r for r in out if r.source == "A"], key=lambda r: r.rk)
+    b = [r for r in out if r.source == "B"]
+    assert len(a) == 2 and [r.rk for r in a] == [1, 2]
+    assert len(b) == 1 and b[0].rk == 1
+    q = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    kept = {r.doc_id for r in a}
+    dropped = {0, 1, 2, 3} - kept
+    assert all(q[k] >= q[d] for k in kept for d in dropped)
+
+
+def test_source_quality_cap_plan_group_limit(spark):
+    """The rk <= cap filter must compile to WindowGroupLimit (map-side
+    partial top-k below the source exchange) — the property that makes
+    a skewed mega-source safe at scale."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        source_quality_cap,
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}", f"s{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    plan = source_quality_cap(docs, cap=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    plan2 = tfidf_keywords(docs, top_k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan2, plan2
