@@ -766,17 +766,26 @@ def lm_bigram_score(
     head words.
     """
     staged = _stage_tokens(documents, text_col, "doc_id")
+    # Bigrams as arrays_zip(tokens[:-1], tokens[1:]) — two slices, no
+    # indexed lambda. This matters under sessions WITHOUT the package's
+    # InferFiltersFromGenerate exclusion (session.py:55): the inferred
+    # size(...)>0 filter inlines the staged token expression into the
+    # scan filter, and an indexed transform lambda there re-evaluates
+    # the whole split chain PER BIGRAM INDEX — O(len²) per document
+    # (measured 40.8 s vs 1.8 s at sf0.1). The slice/zip form inlines
+    # to a constant number of linear passes and stays native codegen.
     pairs = staged.select(
         "doc_id",
         F.expr(
-            "CASE WHEN size(_toks) >= 2 THEN "
-            "  transform(sequence(0, size(_toks) - 2), "
-            "            i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2)) "
-            "ELSE array() END"
+            "arrays_zip("
+            "  slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+            "  slice(_toks, 2, greatest(size(_toks) - 1, 0)))"
         ).alias("_bi"),
     )
     bi = pairs.select("doc_id", F.explode("_bi").alias("b")).select(
-        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        "doc_id",
+        F.col("b").getField("0").alias("w1"),
+        F.col("b").getField("1").alias("w2"),
     )
     uni = (
         staged.select(F.explode("_toks").alias("w1"))
