@@ -947,3 +947,135 @@ def source_quality_cap(
         .filter(F.col("rk") <= cap)
         .select("doc_id", "source", "quality", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def nb_classify(
+    documents: DataFrame,
+    label_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial Naive Bayes document classifier, trained and applied
+    as one dataflow — the closed-form stand-in for the fastText-style
+    quality/domain classifier every LLM data pipeline runs (train on a
+    labeled slice, score the corpus; here the corpus doubles as the
+    labeled slice, so the entry also yields a resubstitution-accuracy
+    signal ``is_correct``).
+
+    Model: add-1 smoothed token likelihoods per class,
+    ``p(w|c) = (cnt(w,c)+1) / (tok_c + V)``, priors ``n_c / N``; a
+    document's class score is ``ln prior + Σ_w tf_w · ln p(w|c)`` and
+    the prediction is the argmax (ties broken by class name).
+
+    Cross-engine determinism, same contract as :func:`lm_bigram_score`:
+    all counts are integers, each ``ln`` is computed once per distinct
+    (term, class) — or once per class for the unseen-pair default —
+    quantized to DECIMAL(18,6), and accumulated with ``tf`` cast to
+    DECIMAL(12,0) so the (30,6) product and its sum stay under both
+    engines' 38-digit cap (every step exact), and class
+    scores and the argmax replay bit-for-bit in any engine.
+
+    100 TB shape: token-stream-linear aggregations for the model (the
+    (term, class) grain is Zipf-bounded); the class table (priors +
+    totals + unseen defaults) is |classes| rows and broadcasts; scoring
+    fans the per-doc term grain out by |classes| (explicit, documented
+    cost — 20 classes → 20×) through one broadcast nested-loop, then a
+    shuffle join against the (term, class) likelihood table and one
+    per-doc aggregation. The argmax is ``row_number() <= 1`` —
+    WindowGroupLimit, map-side partial top-1.
+    """
+    staged = _stage_tokens(documents, text_col, "doc_id", label_col)
+    toks = staged.select(
+        "doc_id", F.col(label_col).alias("_cls"), F.explode("_toks").alias("term")
+    )
+    tf = toks.groupBy("doc_id", "_cls", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    wc = tf.groupBy("_cls", "term").agg(F.sum("tf").alias("cnt"))
+    vocab = wc.select(F.count_distinct("term").alias("_v"))
+    class_tok = wc.groupBy("_cls").agg(F.sum("cnt").alias("tok_c"))
+    from pyspark.sql import Window
+
+    census_w = Window.partitionBy()
+    priors = (
+        documents.groupBy(F.col(label_col).alias("_cls"))
+        .agg(F.count(F.lit(1)).alias("n_c"))
+        .withColumn("_n", F.sum("n_c").over(census_w))
+        .select(
+            "_cls",
+            F.round(
+                F.log(F.col("n_c").cast("double") / F.col("_n").cast("double")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("prior6"),
+        )
+    )
+    classes = (
+        class_tok.crossJoin(F.broadcast(vocab))
+        .join(priors, "_cls")
+        .select(
+            "_cls",
+            "prior6",
+            (F.col("tok_c") + F.col("_v")).alias("denom"),
+            F.round(
+                F.log(
+                    F.lit(1.0) / (F.col("tok_c") + F.col("_v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("dflt6"),
+        )
+    )
+    llk = (
+        wc.join(classes.select("_cls", "denom"), "_cls")
+        .select(
+            "_cls",
+            "term",
+            F.round(
+                F.log(
+                    (F.col("cnt") + F.lit(1)).cast("double")
+                    / F.col("denom").cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("llk6"),
+        )
+    )
+    doc_terms = tf.select("doc_id", F.col("_cls").alias("_actual"), "term", "tf")
+    scored = (
+        doc_terms.crossJoin(
+            F.broadcast(classes.select("_cls", "prior6", "dflt6"))
+        )
+        .join(llk, ["_cls", "term"], "left")
+        .select(
+            "doc_id",
+            "_actual",
+            "_cls",
+            "prior6",
+            (
+                F.col("tf").cast("decimal(12,0)")
+                * F.coalesce("llk6", "dflt6")
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id", "_actual", "_cls")
+        .agg((F.first("prior6") + F.sum("contrib")).alias("score_d"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_d"), F.asc("_cls")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("_cls").alias("pred_label"),
+            F.col("_actual").alias("actual_label"),
+            F.round(F.col("score_d").cast("double"), 6).alias("nb_score"),
+            F.when(F.col("_cls") == F.col("_actual"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_correct"),
+        )
+    )

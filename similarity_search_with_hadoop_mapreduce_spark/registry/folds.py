@@ -497,7 +497,8 @@ SELECT t.doc_id, t.n_tokens, t.n_bpe_tokens, t.n_chars,
        r.dup_trigram_frac, r.top_trigram_frac,
        s.n_spans, s.dup_spans, s.dup_span_frac,
        p.n_emails, p.n_ipv4, p.n_phones, p.n_pii,
-       m.n_bigrams, m.nll_sum, m.avg_nll
+       m.n_bigrams, m.nll_sum, m.avg_nll,
+       b.pred_label, b.nb_score, b.is_correct
 FROM (\n{ORACLES["text_token_count"]}\n) t
 JOIN (\n{ORACLES["text_lang_id"]}\n) l USING (doc_id)
 JOIN (\n{ORACLES["text_quality"]}\n) q USING (doc_id)
@@ -506,17 +507,19 @@ JOIN (\n{ORACLES["text_repetition"]}\n) r USING (doc_id)
 JOIN (\n{ORACLES["text_dup_spans"]}\n) s USING (doc_id)
 JOIN (\n{ORACLES["text_pii_scrub"]}\n) p USING (doc_id)
 JOIN (\n{ORACLES["text_lm_score"]}\n) m USING (doc_id)
+JOIN (\n{ORACLES["text_nb_source"]}\n) b USING (doc_id)
 """
 
     @register("text_doc_metrics", oracle=oracle)
     def text_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Wide per-document merge of the eight text-analysis operators
+        """Wide per-document merge of the nine text-analysis operators
         (members: text_token_count, text_lang_id, text_quality,
         text_fingerprint, text_repetition, text_dup_spans — cross-doc
-        duplicated-span mass — text_pii_scrub's redaction counters, and
-        text_lm_score's bigram-LM negative log likelihood) — the feature
-        row a curation pipeline computes per doc, all columns
-        value-pinned at once."""
+        duplicated-span mass — text_pii_scrub's redaction counters,
+        text_lm_score's bigram-LM negative log likelihood, and
+        text_nb_source's Naive-Bayes prediction) — the feature row a
+        curation pipeline computes per doc, all columns value-pinned at
+        once."""
         tc = _q("text_token_count")(spark, sf_dir)
         li = _q("text_lang_id")(spark, sf_dir).select(
             "doc_id", "stop_ratio", "predicted_lang"
@@ -533,6 +536,9 @@ JOIN (\n{ORACLES["text_lm_score"]}\n) m USING (doc_id)
         lm = _q("text_lm_score")(spark, sf_dir).select(
             "doc_id", "n_bigrams", "nll_sum", "avg_nll"
         )
+        nb = _q("text_nb_source")(spark, sf_dir).select(
+            "doc_id", "pred_label", "nb_score", "is_correct"
+        )
         return (
             tc.join(li, "doc_id")
             .join(qs, "doc_id")
@@ -541,6 +547,7 @@ JOIN (\n{ORACLES["text_lm_score"]}\n) m USING (doc_id)
             .join(ds, "doc_id")
             .join(pi, "doc_id")
             .join(lm, "doc_id")
+            .join(nb, "doc_id")
         )
 
 

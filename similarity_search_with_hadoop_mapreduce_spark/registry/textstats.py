@@ -506,3 +506,68 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score = tf·(N+1)/(df+1), stopwords removed); ranking is pure
     integer-ratio IEEE arithmetic so both engines agree bit-for-bit."""
     return T.tfidf_keywords(table(spark, sf_dir, "documents"), top_k=3)
+
+
+@register(
+    "text_nb_source",
+    oracle="WITH "
+    + TOKENS_CTE
+    + r"""
+, toks AS (
+  SELECT t.doc_id, d.source AS cls, unnest(t.tok) AS term
+  FROM tokens t JOIN documents d USING (doc_id)
+),
+tf AS (
+  SELECT doc_id, cls, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, cls, term
+),
+wc AS (
+  SELECT cls, term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY cls, term
+),
+voc AS (SELECT count(DISTINCT term) AS v FROM wc),
+ct AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS tok_c FROM wc GROUP BY cls),
+pri AS (
+  SELECT cls,
+         CAST(round(ln(CAST(n_c AS DOUBLE)
+                       / CAST(sum(n_c) OVER () AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS prior6
+  FROM (SELECT source AS cls, count(*) AS n_c FROM documents GROUP BY source)
+),
+classes AS (
+  SELECT ct.cls, pri.prior6, ct.tok_c + voc.v AS denom,
+         CAST(round(ln(1.0 / CAST(ct.tok_c + voc.v AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS dflt6
+  FROM ct CROSS JOIN voc JOIN pri USING (cls)
+),
+llk AS (
+  SELECT w.cls, w.term,
+         CAST(round(ln(CAST(w.cnt + 1 AS DOUBLE) / CAST(c.denom AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS llk6
+  FROM wc w JOIN classes c USING (cls)
+),
+sc AS (
+  SELECT dt.doc_id, dt.cls AS actual, c.cls,
+         c.prior6 + sum(CAST(dt.tf AS DECIMAL(12,0))
+                        * coalesce(l.llk6, c.dflt6)) AS score_d
+  FROM tf dt CROSS JOIN classes c
+  LEFT JOIN llk l ON l.cls = c.cls AND l.term = dt.term
+  GROUP BY dt.doc_id, dt.cls, c.cls, c.prior6
+),
+rnk AS (
+  SELECT doc_id, actual, cls, score_d,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_d DESC, cls) AS rk
+  FROM sc
+)
+SELECT doc_id, cls AS pred_label, actual AS actual_label,
+       round(CAST(score_d AS DOUBLE), 6) AS nb_score,
+       CAST(CASE WHEN cls = actual THEN 1 ELSE 0 END AS INTEGER) AS is_correct
+FROM rnk WHERE rk = 1
+""",
+)
+def text_nb_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source classifier trained and applied in
+    one dataflow (the fastText-style domain/quality-classifier slot);
+    the oracle replays model training, the quantized-decimal score
+    accumulation, and the argmax."""
+    return T.nb_classify(table(spark, sf_dir, "documents"), label_col="source")

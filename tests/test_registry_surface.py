@@ -68,6 +68,7 @@ FOLDED = {
     "sample_source_cap": "sample_splits",
     "text_pii_scrub": "text_doc_metrics",
     "text_lm_score": "text_doc_metrics",
+    "text_nb_source": "text_doc_metrics",
     "text_corpus_composition": "text_corpus_stats",
     "text_vocab_stats": "text_corpus_stats",
     "text_tfidf_keywords": "text_corpus_stats",

@@ -489,3 +489,56 @@ def test_source_quality_cap_plan_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     plan2 = tfidf_keywords(docs, top_k=3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan2, plan2
+
+
+def test_nb_classify_hand_computed(spark):
+    """NB on a 4-doc, 2-class toy corpus, checked against a pure-Python
+    reproduction (counts, add-1 smoothing, quantized decimal sums)."""
+    import math
+    from decimal import Decimal
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        nb_classify,
+    )
+
+    rows = [
+        (1, "spam spam offer", "junk"),
+        (2, "offer spam now", "junk"),
+        (3, "meeting notes agenda", "work"),
+        (4, "agenda for meeting", "work"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in nb_classify(docs, label_col="source").collect()}
+
+    toks = {i: t.split() for i, t, _ in rows}
+    lbl = {i: c for i, _, c in rows}
+    classes = sorted(set(lbl.values()))
+    wc: dict[tuple[str, str], int] = {}
+    tokc: dict[str, int] = {}
+    for i, ts in toks.items():
+        for t in ts:
+            wc[(lbl[i], t)] = wc.get((lbl[i], t), 0) + 1
+            tokc[lbl[i]] = tokc.get(lbl[i], 0) + 1
+    V = len({t for (_, t) in wc})
+    n_c = {c: sum(1 for v in lbl.values() if v == c) for c in classes}
+    N = len(rows)
+
+    def q6(x: float) -> Decimal:
+        return Decimal(str(round(x, 6)))
+
+    def score(i: int, c: str) -> Decimal:
+        s = q6(math.log(n_c[c] / N))
+        for t in toks[i]:
+            p = (wc.get((c, t), 0) + 1) / (tokc[c] + V)
+            s += q6(math.log(p))
+        return s
+
+    for i in toks:
+        best = min(classes, key=lambda c: (-score(i, c), c))
+        got = out[i]
+        assert got.pred_label == best, (i, got)
+        assert got.actual_label == lbl[i]
+        assert got.is_correct == int(best == lbl[i])
+        assert got.nb_score == pytest.approx(float(score(i, best)), abs=2e-6)
+    # the toy corpus is separable: everything self-classifies
+    assert all(out[i].is_correct == 1 for i in toks)
