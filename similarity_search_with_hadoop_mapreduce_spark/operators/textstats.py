@@ -1079,3 +1079,72 @@ def nb_classify(
             .alias("is_correct"),
         )
     )
+
+
+def gopher_rules(
+    documents: DataFrame,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 5.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style rule-set quality filter (Rae et al. 2021, table A1
+    realization): per-document boolean gates on word count, mean word
+    length, symbol-to-word ratio, alphabetic-word fraction, and
+    function-word count, plus the conjunction ``passes`` — the cheap
+    rule filter a pipeline runs before any model-based scoring.
+
+    Every signal is a count or a single IEEE division of counts and
+    every gate compares those exact doubles against literal thresholds,
+    so the flags replay bit-for-bit in any engine. Map-only: one
+    codegen'd projection per document, zero shuffles — scan-speed at
+    100 TB like the rest of this module.
+    """
+    toks = F.col("_toks")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mwl = F.when(
+        n_words > 0, sum_len.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_sym = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[#…]"), 0)
+    )
+    sym_ratio = F.when(
+        n_words > 0, n_sym.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+    ok_sym = sym_ratio <= max_symbol_ratio
+    ok_alpha = alpha_frac >= min_alpha_frac
+    ok_stop = n_stop >= min_stop_hits
+
+    def _i(c) -> Column:
+        return F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("int")
+
+    return _stage_tokens(documents, text_col, "doc_id").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.cast("int").alias("n_stop_hits"),
+        _i(ok_words).alias("ok_words"),
+        _i(ok_mwl).alias("ok_mean_word_len"),
+        _i(ok_sym).alias("ok_symbol_ratio"),
+        _i(ok_alpha).alias("ok_alpha_frac"),
+        _i(ok_stop).alias("ok_stop_hits"),
+        _i(ok_words & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("passes"),
+    )

@@ -498,7 +498,9 @@ SELECT t.doc_id, t.n_tokens, t.n_bpe_tokens, t.n_chars,
        s.n_spans, s.dup_spans, s.dup_span_frac,
        p.n_emails, p.n_ipv4, p.n_phones, p.n_pii,
        m.n_bigrams, m.nll_sum, m.avg_nll,
-       b.pred_label, b.nb_score, b.is_correct
+       b.pred_label, b.nb_score, b.is_correct,
+       g.ok_words, g.ok_mean_word_len, g.ok_symbol_ratio,
+       g.ok_alpha_frac, g.ok_stop_hits, g.passes AS gopher_passes
 FROM (\n{ORACLES["text_token_count"]}\n) t
 JOIN (\n{ORACLES["text_lang_id"]}\n) l USING (doc_id)
 JOIN (\n{ORACLES["text_quality"]}\n) q USING (doc_id)
@@ -508,16 +510,18 @@ JOIN (\n{ORACLES["text_dup_spans"]}\n) s USING (doc_id)
 JOIN (\n{ORACLES["text_pii_scrub"]}\n) p USING (doc_id)
 JOIN (\n{ORACLES["text_lm_score"]}\n) m USING (doc_id)
 JOIN (\n{ORACLES["text_nb_source"]}\n) b USING (doc_id)
+JOIN (\n{ORACLES["text_gopher_rules"]}\n) g USING (doc_id)
 """
 
     @register("text_doc_metrics", oracle=oracle)
     def text_doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Wide per-document merge of the nine text-analysis operators
+        """Wide per-document merge of the ten text-analysis operators
         (members: text_token_count, text_lang_id, text_quality,
         text_fingerprint, text_repetition, text_dup_spans — cross-doc
         duplicated-span mass — text_pii_scrub's redaction counters,
-        text_lm_score's bigram-LM negative log likelihood, and
-        text_nb_source's Naive-Bayes prediction) — the feature row a
+        text_lm_score's bigram-LM negative log likelihood,
+        text_nb_source's Naive-Bayes prediction, and
+        text_gopher_rules' rule-set gates) — the feature row a
         curation pipeline computes per doc, all columns value-pinned at
         once."""
         tc = _q("text_token_count")(spark, sf_dir)
@@ -539,6 +543,15 @@ JOIN (\n{ORACLES["text_nb_source"]}\n) b USING (doc_id)
         nb = _q("text_nb_source")(spark, sf_dir).select(
             "doc_id", "pred_label", "nb_score", "is_correct"
         )
+        gr = _q("text_gopher_rules")(spark, sf_dir).select(
+            "doc_id",
+            "ok_words",
+            "ok_mean_word_len",
+            "ok_symbol_ratio",
+            "ok_alpha_frac",
+            "ok_stop_hits",
+            F.col("passes").alias("gopher_passes"),
+        )
         return (
             tc.join(li, "doc_id")
             .join(qs, "doc_id")
@@ -548,6 +561,7 @@ JOIN (\n{ORACLES["text_nb_source"]}\n) b USING (doc_id)
             .join(pi, "doc_id")
             .join(lm, "doc_id")
             .join(nb, "doc_id")
+            .join(gr, "doc_id")
         )
 
 

@@ -571,3 +571,47 @@ def text_nb_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays model training, the quantized-decimal score
     accumulation, and the argmax."""
     return T.nb_classify(table(spark, sf_dir, "documents"), label_col="source")
+
+
+@register(
+    "text_gopher_rules",
+    oracle="WITH "
+    + TOKENS_CTE
+    + rf"""
+, sig AS (
+  SELECT d.doc_id,
+    len(tok) AS n_words,
+    CASE WHEN len(tok) > 0
+         THEN CAST(list_sum(list_transform(tok, x -> length(x))) AS DOUBLE)
+              / CAST(len(tok) AS DOUBLE) ELSE 0.0 END AS mwl,
+    CASE WHEN len(tok) > 0
+         THEN CAST(len(regexp_extract_all(d.text, '[#…]')) AS DOUBLE)
+              / CAST(len(tok) AS DOUBLE) ELSE 0.0 END AS sym,
+    CASE WHEN len(tok) > 0
+         THEN CAST(len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+              / CAST(len(tok) AS DOUBLE) ELSE 0.0 END AS alpha,
+    len(list_filter(tok, x -> list_contains({_STOPS_SQL}, x))) AS n_stop
+  FROM tokens JOIN documents d USING (doc_id)
+)
+SELECT doc_id,
+  CAST(n_words AS INTEGER) AS n_words,
+  round(mwl, 6) AS mean_word_len,
+  round(sym, 6) AS symbol_ratio,
+  round(alpha, 6) AS alpha_frac,
+  CAST(n_stop AS INTEGER) AS n_stop_hits,
+  CAST(CASE WHEN n_words >= 30 AND n_words <= 100000 THEN 1 ELSE 0 END AS INTEGER) AS ok_words,
+  CAST(CASE WHEN mwl >= 3.0 AND mwl <= 5.0 THEN 1 ELSE 0 END AS INTEGER) AS ok_mean_word_len,
+  CAST(CASE WHEN sym <= 0.1 THEN 1 ELSE 0 END AS INTEGER) AS ok_symbol_ratio,
+  CAST(CASE WHEN alpha >= 0.8 THEN 1 ELSE 0 END AS INTEGER) AS ok_alpha_frac,
+  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INTEGER) AS ok_stop_hits,
+  CAST(CASE WHEN n_words >= 30 AND n_words <= 100000
+             AND mwl >= 3.0 AND mwl <= 5.0 AND sym <= 0.1
+             AND alpha >= 0.8 AND n_stop >= 2 THEN 1 ELSE 0 END AS INTEGER) AS passes
+FROM sig
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-set quality gates (word count, mean word
+    length, symbol ratio, alphabetic fraction, function-word count) +
+    the conjunction; all signals and flags value-pinned."""
+    return T.gopher_rules(table(spark, sf_dir, "documents"))

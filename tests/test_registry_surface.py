@@ -69,6 +69,7 @@ FOLDED = {
     "text_pii_scrub": "text_doc_metrics",
     "text_lm_score": "text_doc_metrics",
     "text_nb_source": "text_doc_metrics",
+    "text_gopher_rules": "text_doc_metrics",
     "text_corpus_composition": "text_corpus_stats",
     "text_vocab_stats": "text_corpus_stats",
     "text_tfidf_keywords": "text_corpus_stats",

@@ -542,3 +542,29 @@ def test_nb_classify_hand_computed(spark):
         assert got.nb_score == pytest.approx(float(score(i, best)), abs=2e-6)
     # the toy corpus is separable: everything self-classifies
     assert all(out[i].is_correct == 1 for i in toks)
+
+
+def test_gopher_rules_gates(spark):
+    """Each gate trips on its own adversarial doc; the clean doc passes
+    every gate."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        gopher_rules,
+    )
+
+    good = "the quick brown alpha beta gamma delta epsilon " * 5  # 40 words
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                   # passes all
+            (2, "the of and short text here"),           # too few words
+            (3, ("hyperlongwordform " * 40)),            # mean len > 5, no stops
+            (4, ("x1 " * 40) + "the of"),                # fine but mwl < 3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert out[1].passes == 1 and out[1].ok_words == 1 and out[1].ok_stop_hits == 1
+    assert out[2].ok_words == 0 and out[2].passes == 0
+    assert out[3].ok_mean_word_len == 0 and out[3].ok_stop_hits == 0
+    assert out[4].ok_mean_word_len == 0 and out[4].passes == 0
+    # signals are exact ratios
+    assert out[2].n_words == 6 and out[2].n_stop_hits == 3
