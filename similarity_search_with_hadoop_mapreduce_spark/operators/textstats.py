@@ -818,6 +818,13 @@ def lm_bigram_score(
             F.sum(F.col("nll6").cast("decimal(25,6)")).alias("_s"),
         )
     )
+    # avg_nll is FLOOR-quantized at the 6th decimal via exact integer
+    # division of the decimal sum's micro-units — NOT round(sum/n, 6):
+    # a 6-dp decimal divided by an integer lands exactly ON the .5e-6
+    # midpoint whenever n's factors divide out (measured at sf0.1: one
+    # doc with sum/n = 3.4140895 flipped between engines — round-half
+    # rules on doubles are engine-divergent at exact midpoints; floor
+    # of an exact integer quotient cannot be).
     return (
         documents.select("doc_id")
         .join(per_doc, "doc_id", "left")
@@ -828,10 +835,9 @@ def lm_bigram_score(
                 F.round(F.col("_s").cast("double"), 6), F.lit(0.0)
             ).alias("nll_sum"),
             F.coalesce(
-                F.round(
-                    F.col("_s").cast("double")
-                    / F.col("n_bigrams").cast("double"),
-                    6,
+                F.expr(
+                    "CAST((CAST(_s * 1000000 AS BIGINT) DIV n_bigrams)"
+                    " AS DOUBLE) / 1000000.0"
                 ),
                 F.lit(0.0),
             ).alias("avg_nll"),
@@ -907,7 +913,13 @@ def tfidf_keywords(
             "term",
             F.col("tf").cast("bigint").alias("tf"),
             F.col("df").cast("bigint").alias("df"),
-            F.round("_score_raw", 6).alias("score"),
+            # floor-quantized at the 6th decimal: round-half rules on
+            # doubles are engine-divergent at exact midpoints (which
+            # tf·(N+1)/(df+1) CAN hit when df+1 is a power of 2·5);
+            # floor of the identical double has no tie to disagree on
+            (F.floor(F.col("_score_raw") * F.lit(1000000.0)) / F.lit(1000000.0)).alias(
+                "score"
+            ),
         )
     )
 

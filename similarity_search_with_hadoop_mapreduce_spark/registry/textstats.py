@@ -454,8 +454,8 @@ per AS (
 SELECT d.doc_id,
        CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        coalesce(round(CAST(per.s AS DOUBLE), 6), 0.0) AS nll_sum,
-       coalesce(round(CAST(per.s AS DOUBLE)
-                      / CAST(per.n_bigrams AS DOUBLE), 6), 0.0) AS avg_nll
+       coalesce(CAST(CAST(per.s * 1000000 AS BIGINT) // per.n_bigrams
+                     AS DOUBLE) / 1000000.0, 0.0) AS avg_nll
 FROM documents d LEFT JOIN per USING (doc_id)
 """,
 )
@@ -497,7 +497,7 @@ rk AS (
   FROM scored
 )
 SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df,
-       round(score_raw, 6) AS score
+       floor(score_raw * 1000000.0) / 1000000.0 AS score
 FROM rk WHERE rk <= 3
 """,
 )

@@ -389,14 +389,18 @@ def test_lm_bigram_score_hand_computed(spark):
     def nll6(pair):
         p = (big[pair] + 1) / (uni[pair[0]] + V)
         return round(-math.log(p), 6)
+    from decimal import Decimal
+
     for doc_id, ts in toks.items():
         pairs = list(zip(ts, ts[1:]))
         got = out[doc_id]
         assert got.n_bigrams == len(pairs)
         if pairs:
-            s = round(sum(nll6(p) for p in pairs), 6)
-            assert got.nll_sum == pytest.approx(s, abs=2e-6)
-            assert got.avg_nll == pytest.approx(round(s / len(pairs), 6), abs=2e-6)
+            s = sum(Decimal(str(nll6(p))) for p in pairs)
+            assert got.nll_sum == pytest.approx(float(s), abs=2e-6)
+            # avg is FLOOR-quantized at 6dp via exact integer division
+            want_avg = int(s * 1_000_000) // len(pairs) / 1e6
+            assert got.avg_nll == pytest.approx(want_avg, abs=2e-6)
         else:
             assert got.nll_sum == 0.0 and got.avg_nll == 0.0
 
