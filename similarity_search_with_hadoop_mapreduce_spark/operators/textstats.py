@@ -65,13 +65,39 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _stop_ratio(tokens: Column) -> Column:
+def _stop_occurrences(tokens: Column) -> Column:
+    """Occurrence count of EN_STOPWORDS tokens (shared by the stopword
+    ratio and gopher_rules' function-word gate)."""
     stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(stops, x)))
+
+
+def _mean_token_len(tokens: Column) -> Column:
+    """Mean token length as one exact long fold / one IEEE division
+    (shared by _quality_exprs and gopher_rules)."""
     n = F.size(tokens)
-    hits = F.size(F.array_intersect(F.array_distinct(tokens), stops))
+    return F.when(
+        n > 0,
+        F.aggregate(
+            tokens, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def _floor6(x: Column) -> Column:
+    """FLOOR-quantize a double at the 6th decimal — the midpoint-free
+    emission rule (SCALE.md ground rules): round(double, 6) is
+    engine-divergent at exact .5e-6 midpoints, floor of the identical
+    double is not."""
+    return F.floor(x * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+def _stop_ratio(tokens: Column) -> Column:
+    n = F.size(tokens)
     # ratio of *distinct* stopwords present scaled by token count is noisy;
     # use occurrence ratio: count tokens that are stopwords
-    occ = F.size(F.filter(tokens, lambda x: F.array_contains(stops, x)))
+    occ = _stop_occurrences(tokens)
     return F.when(n > 0, occ.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -121,13 +147,7 @@ def _quality_exprs(t: Column, toks: Column) -> dict[str, Column]:
         n_chars > 0, punct.cast("double") / n_chars.cast("double")
     ).otherwise(F.lit(0.0))
     stop_ratio = _stop_ratio(toks)
-    mean_tok_len = F.when(
-        n_tok > 0,
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        ).cast("double")
-        / n_tok.cast("double"),
-    ).otherwise(F.lit(0.0))
+    mean_tok_len = _mean_token_len(toks)
     score = (
         F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.4
         + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
@@ -756,8 +776,10 @@ def lm_bigram_score(
     100 TB shape: three shuffles that all scale with the token stream,
     none with its square — (1) unigram counts, (2) bigram counts
     (map-side partial combine collapses both to the distinct-type
-    grain), (3) the score join of the doc-bigram stream against the
-    bigram model on ``(w1, w2)`` followed by the per-doc aggregation.
+    grain), (3) the score join of the PRE-AGGREGATED (doc, bigram-type,
+    count) grain against the bigram model on ``(w1, w2)`` followed by
+    the per-doc reduce — the shuffle carries distinct types per doc,
+    not the token stream.
     The vocabulary scalar ``V`` rides in as a broadcast single-row
     frame (no collect, no crossJoin re-scan of the corpus subtree —
     the census-window lesson from mixture_sample applied to a 1-row
@@ -810,12 +832,28 @@ def lm_bigram_score(
             ).alias("nll6"),
         )
     )
+    # Pre-aggregate the occurrence stream to the (doc, bigram-type)
+    # grain BEFORE the model join: the shuffle then carries only the
+    # Zipf-bounded distinct types per doc, not every token transition,
+    # and the exact-decimal sum accumulates cnt·nll6 (still exact:
+    # DECIMAL(12,0) × DECIMAL(25,6) stays under the 38-digit cap).
+    doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     per_doc = (
-        bi.join(model, ["w1", "w2"])
+        doc_bi.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("nll6").cast("decimal(25,6)")).alias("_s"),
+            F.sum("cnt").alias("n_bigrams"),
+            # cast the (38,6) sum back to (25,6) — exact at any real
+            # document size, and keeps the ×1e6 micro-unit conversion
+            # below inside the 38-digit cap with scale preserved
+            F.sum(
+                F.col("cnt").cast("decimal(12,0)")
+                * F.col("nll6").cast("decimal(25,6)")
+            )
+            .cast("decimal(25,6)")
+            .alias("_s"),
         )
     )
     # avg_nll is FLOOR-quantized at the 6th decimal via exact integer
@@ -1077,15 +1115,41 @@ def nb_classify(
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_d"), F.asc("_cls")
     )
-    return (
+    best = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(
             "doc_id",
-            F.col("_cls").alias("pred_label"),
+            F.col("_cls").alias("_pred"),
+            F.round(F.col("score_d").cast("double"), 6).alias("_score"),
+        )
+    )
+    # Zero-token documents (all-delimiter / empty / NULL text) produce
+    # no term rows, so their score is the prior alone — argmax over
+    # priors (class-name tie-break), filled from a 1-row broadcast so
+    # every input document keeps its feature row (the text_doc_metrics
+    # wide merge inner-joins on doc_id).
+    prior_best = (
+        classes.select("_cls", "prior6")
+        .orderBy(F.desc("prior6"), F.asc("_cls"))
+        .limit(1)
+        .select(
+            F.col("_cls").alias("_bp_cls"),
+            F.round(F.col("prior6").cast("double"), 6).alias("_bp_score"),
+        )
+    )
+    return (
+        documents.select("doc_id", F.col(label_col).alias("_actual"))
+        .join(best, "doc_id", "left")
+        .crossJoin(F.broadcast(prior_best))
+        .select(
+            "doc_id",
+            F.coalesce("_pred", "_bp_cls").alias("pred_label"),
             F.col("_actual").alias("actual_label"),
-            F.round(F.col("score_d").cast("double"), 6).alias("nb_score"),
-            F.when(F.col("_cls") == F.col("_actual"), F.lit(1))
+            F.coalesce("_score", "_bp_score").alias("nb_score"),
+            F.when(
+                F.coalesce("_pred", "_bp_cls") == F.col("_actual"), F.lit(1)
+            )
             .otherwise(F.lit(0))
             .cast("int")
             .alias("is_correct"),
@@ -1110,23 +1174,64 @@ def gopher_rules(
     function-word count, plus the conjunction ``passes`` — the cheap
     rule filter a pipeline runs before any model-based scoring.
 
-    Every signal is a count or a single IEEE division of counts and
-    every gate compares those exact doubles against literal thresholds,
-    so the flags replay bit-for-bit in any engine. Map-only: one
-    codegen'd projection per document, zero shuffles — scan-speed at
-    100 TB like the rest of this module.
+    Every signal is a count or a single IEEE division of counts; the
+    GATES compare those exact unquantized doubles against literal
+    thresholds, and the emitted signal columns are floor-quantized at
+    the 6th decimal (`_floor6` — round(double, 6) is engine-divergent
+    at exact .5e-6 midpoints, which an integer ratio like 2241/640 =
+    3.5015625 lands on; SCALE.md ground rules). Map-only: one codegen'd
+    projection per document, zero shuffles — scan-speed at 100 TB like
+    the rest of this module.
     """
+    sig, flags = _gopher_signals(
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        max_symbol_ratio,
+        min_alpha_frac,
+        min_stop_hits,
+        text_col,
+    )
+
+    def _i(c) -> Column:
+        return F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("int")
+
+    return _stage_tokens(documents, text_col, "doc_id").select(
+        "doc_id",
+        sig["n_words"].alias("n_words"),
+        _floor6(sig["mwl"]).alias("mean_word_len"),
+        _floor6(sig["sym_ratio"]).alias("symbol_ratio"),
+        _floor6(sig["alpha_frac"]).alias("alpha_frac"),
+        sig["n_stop"].cast("int").alias("n_stop_hits"),
+        _i(flags["ok_words"]).alias("ok_words"),
+        _i(flags["ok_mwl"]).alias("ok_mean_word_len"),
+        _i(flags["ok_sym"]).alias("ok_symbol_ratio"),
+        _i(flags["ok_alpha"]).alias("ok_alpha_frac"),
+        _i(flags["ok_stop"]).alias("ok_stop_hits"),
+        _i(flags["passes"]).alias("passes"),
+    )
+
+
+def _gopher_signals(
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    min_alpha_frac: float,
+    min_stop_hits: int,
+    text_col: str,
+) -> tuple[dict[str, Column], dict[str, Column]]:
+    """The shared (signals, gates) column expressions over a STAGED
+    token frame — consumed by :func:`gopher_rules` (the scored view)
+    and :func:`gopher_pass_filter` (the map-only streaming-ingest
+    gate). Reuses the module helpers (`_mean_token_len`,
+    `_stop_occurrences`) so the signal definitions exist once."""
     toks = F.col("_toks")
     n_words = F.size(toks)
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    mwl = F.when(
-        n_words > 0, sum_len.cast("double") / n_words.cast("double")
-    ).otherwise(F.lit(0.0))
-    n_sym = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"[#…]"), 0)
-    )
+    mwl = _mean_token_len(toks)
+    n_sym = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[#…]"), 0))
     sym_ratio = F.when(
         n_words > 0, n_sym.cast("double") / n_words.cast("double")
     ).otherwise(F.lit(0.0))
@@ -1134,29 +1239,60 @@ def gopher_rules(
     alpha_frac = F.when(
         n_words > 0, n_alpha.cast("double") / n_words.cast("double")
     ).otherwise(F.lit(0.0))
-    stops = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
-
+    n_stop = _stop_occurrences(toks)
     ok_words = (n_words >= min_words) & (n_words <= max_words)
     ok_mwl = (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
     ok_sym = sym_ratio <= max_symbol_ratio
     ok_alpha = alpha_frac >= min_alpha_frac
     ok_stop = n_stop >= min_stop_hits
+    return (
+        {
+            "n_words": n_words,
+            "mwl": mwl,
+            "sym_ratio": sym_ratio,
+            "alpha_frac": alpha_frac,
+            "n_stop": n_stop,
+        },
+        {
+            "ok_words": ok_words,
+            "ok_mwl": ok_mwl,
+            "ok_sym": ok_sym,
+            "ok_alpha": ok_alpha,
+            "ok_stop": ok_stop,
+            "passes": ok_words & ok_mwl & ok_sym & ok_alpha & ok_stop,
+        },
+    )
 
-    def _i(c) -> Column:
-        return F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("int")
 
-    return _stage_tokens(documents, text_col, "doc_id").select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        F.round(sym_ratio, 6).alias("symbol_ratio"),
-        F.round(alpha_frac, 6).alias("alpha_frac"),
-        n_stop.cast("int").alias("n_stop_hits"),
-        _i(ok_words).alias("ok_words"),
-        _i(ok_mwl).alias("ok_mean_word_len"),
-        _i(ok_sym).alias("ok_symbol_ratio"),
-        _i(ok_alpha).alias("ok_alpha_frac"),
-        _i(ok_stop).alias("ok_stop_hits"),
-        _i(ok_words & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("passes"),
+def gopher_pass_filter(
+    documents: DataFrame,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 5.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """MAP-ONLY rule gate: return the input rows (original columns)
+    whose :func:`gopher_rules` conjunction passes — one staged
+    projection + one filter, no join, no second scan of the input; the
+    shape the streaming ingest loop needs (cheapest-gate-first)."""
+    cols = documents.columns
+    _, flags = _gopher_signals(
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        max_symbol_ratio,
+        min_alpha_frac,
+        min_stop_hits,
+        text_col,
+    )
+    keep = [c for c in cols if c != text_col]
+    return (
+        _stage_tokens(documents, text_col, *keep)
+        .filter(flags["passes"])
+        .select(*cols)
     )

@@ -700,50 +700,30 @@ def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _source_cap_oracle() -> str:
-    """Replay the quality score per (doc, source), then the deterministic
-    per-source rank cut: row_number over (quality desc, doc_id) <= cap —
-    the same rounded-rational ordering both engines compute bit-for-bit."""
-    from similarity_search_with_hadoop_mapreduce_spark.registry.sim import (
-        TOKENS_CTE,
-    )
-    from similarity_search_with_hadoop_mapreduce_spark.registry.textstats import (
-        _STOPS_SQL,
+    """Replay the quality score (REUSED from the registered text_quality
+    oracle — one SQL definition of the formula, the _semantic_dedup
+    pattern), then the deterministic per-source rank cut: row_number
+    over (quality desc, doc_id) <= cap — the same rounded-rational
+    ordering both engines compute bit-for-bit."""
+    from similarity_search_with_hadoop_mapreduce_spark.registry.base import (
+        ORACLES,
     )
 
-    return (
-        "WITH "
-        + TOKENS_CTE
-        + rf"""
-, feats AS (
-  SELECT d.doc_id, d.source,
-    CAST(len(tok) AS INTEGER) AS n_tokens,
-    CASE WHEN length(d.text) > 0
-         THEN CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9_\s]')) AS DOUBLE)
-              / CAST(length(d.text) AS DOUBLE)
-         ELSE 0.0 END AS punct_ratio_raw,
-    CASE WHEN len(tok) > 0
-         THEN CAST(len(list_filter(tok, t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
-              / CAST(len(tok) AS DOUBLE)
-         ELSE 0.0 END AS stop_ratio_raw
-  FROM tokens JOIN documents d USING (doc_id)
-),
-q AS (
-  SELECT doc_id, source,
-       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-             + (1.0 - least(punct_ratio_raw * 5.0, 1.0)) * 0.3
-             + least(stop_ratio_raw * 10.0, 1.0) * 0.3, 6) AS quality
-  FROM feats
+    return f"""
+WITH q AS (
+  SELECT doc_id, quality FROM (
+{ORACLES["text_quality"]}
+  )
 ),
 r AS (
-  SELECT doc_id, source, quality,
-         row_number() OVER (PARTITION BY source
-                            ORDER BY quality DESC, doc_id) AS rk
-  FROM q
+  SELECT d.doc_id, d.source, q.quality,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY q.quality DESC, d.doc_id) AS rk
+  FROM q JOIN documents d USING (doc_id)
 )
 SELECT doc_id, source, quality, CAST(rk AS INTEGER) AS rk
 FROM r WHERE rk <= 10
 """
-    )
 
 
 @register("sample_source_cap", oracle=_source_cap_oracle())

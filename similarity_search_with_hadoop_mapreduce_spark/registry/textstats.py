@@ -554,15 +554,23 @@ sc AS (
   GROUP BY dt.doc_id, dt.cls, c.cls, c.prior6
 ),
 rnk AS (
-  SELECT doc_id, actual, cls, score_d,
+  SELECT doc_id, cls, score_d,
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY score_d DESC, cls) AS rk
   FROM sc
+),
+best AS (SELECT doc_id, cls, score_d FROM rnk WHERE rk = 1),
+prior_best AS (
+  SELECT cls AS bp_cls, round(CAST(prior6 AS DOUBLE), 6) AS bp_score
+  FROM pri ORDER BY prior6 DESC, cls LIMIT 1
 )
-SELECT doc_id, cls AS pred_label, actual AS actual_label,
-       round(CAST(score_d AS DOUBLE), 6) AS nb_score,
-       CAST(CASE WHEN cls = actual THEN 1 ELSE 0 END AS INTEGER) AS is_correct
-FROM rnk WHERE rk = 1
+SELECT d.doc_id,
+       coalesce(b.cls, pb.bp_cls) AS pred_label,
+       d.source AS actual_label,
+       coalesce(round(CAST(b.score_d AS DOUBLE), 6), pb.bp_score) AS nb_score,
+       CAST(CASE WHEN coalesce(b.cls, pb.bp_cls) = d.source
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_correct
+FROM documents d LEFT JOIN best b USING (doc_id) CROSS JOIN prior_best pb
 """,
 )
 def text_nb_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,9 +603,9 @@ def text_nb_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT doc_id,
   CAST(n_words AS INTEGER) AS n_words,
-  round(mwl, 6) AS mean_word_len,
-  round(sym, 6) AS symbol_ratio,
-  round(alpha, 6) AS alpha_frac,
+  floor(mwl * 1000000.0) / 1000000.0 AS mean_word_len,
+  floor(sym * 1000000.0) / 1000000.0 AS symbol_ratio,
+  floor(alpha * 1000000.0) / 1000000.0 AS alpha_frac,
   CAST(n_stop AS INTEGER) AS n_stop_hits,
   CAST(CASE WHEN n_words >= 30 AND n_words <= 100000 THEN 1 ELSE 0 END AS INTEGER) AS ok_words,
   CAST(CASE WHEN mwl >= 3.0 AND mwl <= 5.0 THEN 1 ELSE 0 END AS INTEGER) AS ok_mean_word_len,

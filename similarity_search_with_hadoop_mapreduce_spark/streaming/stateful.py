@@ -308,7 +308,7 @@ def streaming_curation_loop_demo(
     stored index). Deterministic, so crash-replay reproduces the same
     kept set."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
-        gopher_rules,
+        gopher_pass_filter,
     )
     from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
         append_dedup_index,
@@ -326,10 +326,8 @@ def streaming_curation_loop_demo(
 
     def curate_epoch(batch_df, epoch_id: int) -> None:
         if rule_gate is not None:
-            kept = gopher_rules(batch_df, **rule_gate).filter(
-                F.col("passes") == 1
-            )
-            batch_df = batch_df.join(kept.select("doc_id"), "doc_id", "semi")
+            # map-only: staged projection + filter, no join, one scan
+            batch_df = gopher_pass_filter(batch_df, **rule_gate)
         batch_df = batch_df.persist()  # probed AND filtered: two consumers
         try:
             # exclude_epoch: a replay whose previous attempt crashed

@@ -557,7 +557,13 @@ def test_streaming_curation_loop_rule_gate(spark, tmp_path):
     # 400 passes+accepted; 401 gated; 500 gated (same rule);
     # 501 rejected as near-dup of 400 via the appended index
     assert accepted == {400}
-    # and with a gate that passes everything, 401's twin WOULD have been
-    # caught — sanity that the gate (not dedup) did the rejecting above:
-    docs = spark.table("loop_dedup_index_digest").count()
-    assert docs >= 1
+    # gated-out docs must never have entered the index: the digest
+    # table's representatives are exactly the seed corpus doc + the
+    # one accepted doc
+    idx_ids = {
+        r.dup_of
+        for r in spark.table("loop_dedup_index_digest")
+        .select("dup_of")
+        .collect()
+    }
+    assert idx_ids == {1, 400}

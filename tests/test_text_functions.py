@@ -572,3 +572,57 @@ def test_gopher_rules_gates(spark):
     assert out[4].ok_mean_word_len == 0 and out[4].passes == 0
     # signals are exact ratios
     assert out[2].n_words == 6 and out[2].n_stop_hits == 3
+
+
+def test_nb_classify_keeps_zero_token_docs(spark):
+    """All-delimiter / empty / NULL text docs keep a feature row: the
+    prediction falls back to the prior argmax (class-name tie-break)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        nb_classify,
+    )
+
+    rows = [
+        (1, "spam spam offer", "junk"),
+        (2, "offer spam now", "junk"),
+        (3, "meeting notes agenda", "work"),
+        (4, "!!! ...", "work"),    # all-delimiter -> Java split edge
+        (5, None, "junk"),         # NULL text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in nb_classify(docs, label_col="source").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # priors: junk 3/5, work 2/5 -> prior argmax is junk
+    assert out[5].pred_label == "junk" and out[5].is_correct == 1
+    # doc 4: '!!! ...' splits to [''] (leading empty KEPT) -> has one
+    # token, so it scores through the model, not the prior fallback;
+    # doc 5 (NULL) is the true zero-token path
+    assert out[4].pred_label in ("junk", "work")
+    import math
+    assert out[5].nb_score == pytest.approx(round(math.log(3 / 5), 6), abs=2e-6)
+
+
+def test_gopher_pass_filter_equals_rules_conjunction(spark):
+    """The map-only filter keeps exactly the docs gopher_rules marks
+    passes=1, preserving the input columns."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        gopher_pass_filter,
+        gopher_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown alpha beta gamma delta epsilon " * 5, "a"),
+            (2, "the of and short", "b"),
+            (3, "hyperlongwordform " * 40, "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    want = {
+        r.doc_id for r in gopher_rules(docs).filter("passes = 1").collect()
+    }
+    got = gopher_pass_filter(docs)
+    assert set(got.columns) == {"doc_id", "text", "source"}
+    assert {r.doc_id for r in got.collect()} == want
+    # and truly join-free: no Join node in the physical plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
