@@ -867,6 +867,66 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_topk_refined(
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    **ivfpq_kwargs,
+) -> DataFrame:
+    """Two-stage retrieval: ADC shortlist, exact rerank — the standard
+    IVF-PQ serving refinement (Jegou et al. 2011 §V): the compressed
+    index prices ``refine_factor·k`` candidates with lookup tables,
+    then ONLY those candidates' raw vectors are fetched and scored with
+    the exact cosine, and the top ``k`` by exact score are returned.
+    Recovers most of the quantization error at the cost of
+    ``refine_factor·k`` raw-vector reads per query — independent of
+    corpus size, so the refine stage stays O(k) at 100 TB.
+
+    Plan shape: the shortlist (tiny by construction) broadcasts into a
+    hash join against the raw table — no shuffle of the corpus; the
+    exact cosine reuses the broadcast 1-row query side of
+    :func:`cosine_topk`. Returns ``(vec_id, pq_score, cosine)`` so the
+    pinned values witness BOTH stages.
+    """
+    if refine_factor < 1:
+        raise ValueError(
+            f"refine_factor must be >= 1, got {refine_factor}"
+        )
+    shortlist = ivfpq_topk(
+        embeddings, query_vec_id, k=k * refine_factor, id_col=id_col,
+        **ivfpq_kwargs,
+    ).select("vec_id", "pq_score")
+    if id_col != "vec_id":
+        shortlist = shortlist.withColumnRenamed("vec_id", id_col)
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col) == F.lit(query_vec_id)).select(
+            F.col("embedding").alias("q_emb"),
+            l2_norm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    cos = F.round(
+        F.coalesce(
+            dot(F.col("embedding"), F.col("q_emb"))
+            / F.nullif(l2_norm(F.col("embedding")) * F.col("q_nrm"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        embeddings.join(F.broadcast(shortlist), id_col)
+        .join(q)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            "pq_score",
+            cos.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def _adc_exprs(
     pq_books: list,
     q: list[float],

@@ -505,11 +505,13 @@ LIMIT {_K}
     )
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(k: int = _K) -> str:
     """ann_ivfpq_topk oracle: coarse Lloyd replay + assignment (the IVF
     oracle's CTEs) prunes to the query's nprobe inverted lists; the PQ
     subspace replays + ADC fragments price the survivors — the SQL twin
-    of :func:`operators.ann.ivfpq_topk`, both trainings included."""
+    of :func:`operators.ann.ivfpq_topk`, both trainings included.
+    ``k`` parameterizes the final LIMIT so the refined entry can reuse
+    this oracle as its shortlist subquery."""
     parts = [
         f"n AS MATERIALIZED (SELECT vec_id, embedding, {_NORM} AS nrm "
         "FROM embeddings)"
@@ -542,7 +544,7 @@ JOIN probed USING (centroid_id)
 {joins}, q
 WHERE a.vec_id != 0
 ORDER BY pq_score DESC, a.vec_id
-LIMIT {_K}
+LIMIT {k}
 """
     )
 
@@ -1111,4 +1113,49 @@ def ann_ivf_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=_NPROBE,
         book=_trained_book(spark, sf_dir),
         sample_fraction=0.5,
+    )
+
+
+_REFINE = 4
+
+
+@register(
+    "ann_ivfpq_refined_topk",
+    oracle=f"""
+WITH short AS MATERIALIZED (
+{_ivfpq_oracle(k=_K * _REFINE)}
+),
+n AS (SELECT vec_id, embedding, {_NORM} AS nrm FROM embeddings),
+q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)
+SELECT s.vec_id, s.pq_score,
+       round(coalesce(list_sum(list_transform(range(1, {_DIM} + 1),
+             i -> CAST(n.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+             / nullif(n.nrm * q.q_nrm, 0.0), 0.0), 6) AS cosine
+FROM short s JOIN n USING (vec_id), q
+ORDER BY cosine DESC, s.vec_id
+LIMIT {_K}
+""",
+)
+def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ serving: ADC shortlist of 4·k candidates from
+    the compressed index, exact-cosine rerank of only those raw
+    vectors, top-k by exact score — both stages value-pinned (pq_score
+    witnesses the shortlist pricing, cosine the rerank). The oracle
+    embeds the full ivfpq oracle (coarse + PQ Lloyd replays) as its
+    shortlist subquery."""
+    coarse, pq_books, index = _ivfpq_index(spark, sf_dir)
+    return A.ivfpq_topk_refined(
+        table(spark, sf_dir, "embeddings"),
+        0,
+        k=_K,
+        refine_factor=_REFINE,
+        n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE,
+        m=_PQ_M,
+        sub_dim=_PQ_W,
+        k_sub=_PQ_K,
+        coarse_book=coarse,
+        pq_books=pq_books,
+        index=index,
+        probe_state=_ivf_probe(spark, sf_dir, 0),
     )

@@ -389,6 +389,15 @@ def _register_ann_ivf_suite() -> None:
             "'knn_lsh' AS shape, vec_id, "
             "neighbor_id * 10 + rank AS centroid_id, cosine AS v",
         ),
+        (
+            # pq_score rides the bigint slot as micro-units (round-6
+            # double * 1e6 -> exact integer, the sample_splits pattern);
+            # v pins the exact-rerank cosine
+            "ann_ivfpq_refined_topk",
+            "'ivfpq_refined' AS shape, vec_id, "
+            "CAST(round(pq_score * 1000000.0, 0) AS BIGINT) AS centroid_id, "
+            "cosine AS v",
+        ),
     ]
 
     @register("ann_ivf_suite", oracle=_union_oracle(parts))
@@ -405,7 +414,9 @@ def _register_ann_ivf_suite() -> None:
         raw-vs-residual serving recall that pins its accuracy gain;
         r6 adds ann_knn_graph / ann_knn_graph_lsh — the exact and
         LSH-candidate k-NN graphs semantic dedup consumes, neighbor and
-        rank packed into one slot)."""
+        rank packed into one slot — and ann_ivfpq_refined_topk, the
+        two-stage ADC-shortlist + exact-rerank serving pattern with the
+        shortlist pricing in the bigint slot as micro-units)."""
         topk = _q("ann_ivf_topk")(spark, sf_dir).select(
             F.lit("topk").alias("shape"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -476,9 +487,17 @@ def _register_ann_ivf_suite() -> None:
              + F.col("rank").cast("bigint")).alias("centroid_id"),
             F.col("cosine").alias("v"),
         )
+        refined = _q("ann_ivfpq_refined_topk")(spark, sf_dir).select(
+            F.lit("ivfpq_refined").alias("shape"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.round(F.col("pq_score") * 1000000.0, 0)
+            .cast("bigint")
+            .alias("centroid_id"),
+            F.col("cosine").alias("v"),
+        )
         return _union_spark(
             [topk, rec, pq, ivfpq, pq_rec, rec_s, ivfpq_res, ipq_rec,
-             ipq_res_rec, knn, knn_l]
+             ipq_res_rec, knn, knn_l, refined]
         )
 
 

@@ -764,3 +764,41 @@ def test_knn_graph_lsh_is_candidate_bounded_and_no_cartesian(spark):
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_refined_reranks_shortlist_with_exact_cosine(spark):
+    """The refined result must (a) be a subset of the ADC shortlist,
+    (b) carry the EXACT cosine for every returned vector (numpy check),
+    (c) order by exact cosine — and its exact-score quality must be at
+    least the plain ivfpq top-k's (rerank can only improve the served
+    neighbors within the shortlist)."""
+    import pytest
+
+    df, vecs = _emb_df(spark, n=60, dim=8)
+    m, w, k_sub, nc, nprobe, k, rf = 2, 4, 4, 4, 2, 5, 3
+    coarse = A.kmeans_codebook(df, n_centroids=nc, iters=1)
+    pq_books = A.pq_codebooks(df, m=m, sub_dim=w, k_sub=k_sub, iters=1)
+    kw = dict(n_centroids=nc, nprobe=nprobe, m=m, sub_dim=w, k_sub=k_sub,
+              coarse_book=coarse, pq_books=pq_books)
+    shortlist = {
+        r.vec_id
+        for r in A.ivfpq_topk(df, 0, k=k * rf, **kw).collect()
+    }
+    got = A.ivfpq_topk_refined(df, 0, k=k, refine_factor=rf, **kw).collect()
+    assert len(got) == k
+    assert {r.vec_id for r in got} <= shortlist
+    q = vecs[0]
+
+    def exact(i):
+        v = vecs[i]
+        return round(float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q))), 6)
+
+    for r in got:
+        assert r.cosine == pytest.approx(exact(r.vec_id), abs=2e-6)
+    cos_list = [r.cosine for r in got]
+    assert cos_list == sorted(cos_list, reverse=True)
+    # rerank quality: the refined set's exact-cosine sum >= plain ivfpq's
+    plain = [exact(r.vec_id) for r in A.ivfpq_topk(df, 0, k=k, **kw).collect()]
+    assert sum(cos_list) >= sum(plain) - 1e-9
+    with pytest.raises(ValueError):
+        A.ivfpq_topk_refined(df, 0, k=k, refine_factor=0, **kw)
