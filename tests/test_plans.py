@@ -357,3 +357,34 @@ def test_bench_headline_queries_pass_scale_audit(spark):
         if findings:
             offenders[name] = findings
     assert offenders == {}, offenders
+
+
+def test_round6_text_ann_entries_pass_scale_audit(spark):
+    """The round-6 entries carry no fatal plan shapes; their warn-level
+    findings are exactly the documented ones — 1-row / |classes|-row
+    broadcast cross joins (the driver-held-scalar pattern: LM vocab
+    size, tf-idf N, NB class table, the refined query vector) and NB's
+    tiny census windows (priors over ≤|classes| rows, the prior-argmax
+    LIMIT 1)."""
+    from similarity_search_with_hadoop_mapreduce_spark.plans import scale_audit
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    allowed = {
+        "text_lm_score": {"nested_loop_join"},
+        "text_tfidf_keywords": {"nested_loop_join"},
+        "text_gopher_rules": set(),
+        "sample_source_cap": set(),
+        "ann_ivfpq_refined_topk": {"nested_loop_join"},
+        "text_nb_source": {"nested_loop_join", "single_partition_exchange"},
+    }
+    offenders = {}
+    for name, allow in allowed.items():
+        findings = [
+            f
+            for f in scale_audit(QUERIES[name](spark, sf))
+            if f["code"] not in allow or f["severity"] == "fatal"
+        ]
+        if findings:
+            offenders[name] = findings
+    assert offenders == {}, offenders
