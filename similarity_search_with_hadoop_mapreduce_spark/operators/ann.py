@@ -1157,6 +1157,7 @@ def ivfpq_recall_multi(
     index: DataFrame | None = None,
     id_col: str = "vec_id",
     sample_fraction: float | None = None,
+    refine_factor: int | None = None,
 ) -> DataFrame:
     """Mean serving recall@k of the composed IVF-PQ rank (probe pruning
     + ADC scoring, raw-space or residual) against the exact brute-force
@@ -1238,15 +1239,38 @@ def ivfpq_recall_multi(
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
     samp = _recall_sample_filter("vec_id", sample_fraction)
     idx_side = index if samp is None else index.filter(samp)
-    approx = (
+    adc_ranked = (
         idx_side.join(probes, ["centroid_id"])
         .join(q_df, ["qid"])
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", adc_score.alias("c"))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "vec_id")
     )
+    if refine_factor is None:
+        approx = adc_ranked.filter(F.col("rn") <= k).select("qid", "vec_id")
+    else:
+        # two-stage serving (ivfpq_topk_refined): ADC shortlist of
+        # refine_factor*k per query, exact-cosine rerank of only those
+        # raw vectors, top-k by exact score — so this metric measures
+        # what the REFINED deployment serves
+        if refine_factor < 1:
+            raise ValueError(
+                f"refine_factor must be >= 1, got {refine_factor}"
+            )
+        shortlist = adc_ranked.filter(
+            F.col("rn") <= k * refine_factor
+        ).select("qid", "vec_id")
+        approx = (
+            shortlist.join(
+                embeddings.select(F.col(id_col).alias("vec_id"), "embedding"),
+                ["vec_id"],
+            )
+            .join(q_df.select("qid", "q_emb", "q_nrm"), ["qid"])
+            .select("qid", "vec_id", _recall_cos_expr().alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "vec_id")
+        )
     exact = _exact_topk_per_query(
         embeddings, q_df, w, k, id_col, sample_fraction
     )

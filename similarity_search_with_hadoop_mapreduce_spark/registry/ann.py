@@ -834,10 +834,14 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_recall_oracle(residual: bool) -> str:
+def _ivfpq_recall_oracle(
+    residual: bool, refine_factor: int | None = None
+) -> str:
     """Serving recall@k oracle for the composed IVF-PQ rank (probe
     pruning + ADC, raw or residual) vs exact — the SQL twin of
-    :func:`operators.ann.ivfpq_recall_multi`."""
+    :func:`operators.ann.ivfpq_recall_multi`. With ``refine_factor``
+    the ADC rank keeps refine_factor·k per query and an exact-cosine
+    rerank CTE picks the served top-k (the two-stage serving mode)."""
     dot_nq = (
         f"list_sum(list_transform(range(1, {_DIM} + 1), "
         "i -> CAST(nv.embedding[i] AS DOUBLE) * q.q_emb[i]))"
@@ -906,15 +910,34 @@ def _ivfpq_recall_oracle(residual: bool) -> str:
   WHERE a.vec_id != q.qid
 )"""
     )
+    adc_limit = _K if refine_factor is None else _K * refine_factor
     parts.append(
         f"""adc AS (
   SELECT qid, vec_id FROM (
     SELECT qid, vec_id,
            row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
     FROM pq_scored
-  ) WHERE rn <= {_K}
+  ) WHERE rn <= {adc_limit}
 )"""
     )
+    served = "adc"
+    if refine_factor is not None:
+        served = "refined"
+        parts.append(
+            f"""refined AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, nv.vec_id,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY round(coalesce({dot_nq}
+                        / nullif(nv.nrm * q.q_nrm, 0.0), 0.0), 6) DESC,
+                      nv.vec_id) AS rn
+    FROM adc s
+    JOIN n nv ON nv.vec_id = s.vec_id
+    JOIN qs q ON q.qid = s.qid
+  ) WHERE rn <= {_K}
+)"""
+        )
     parts.append(
         f"""exact AS (
   SELECT qid, vec_id FROM (
@@ -933,7 +956,7 @@ def _ivfpq_recall_oracle(residual: bool) -> str:
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT CAST((SELECT count(*) FROM adc JOIN exact USING (qid, vec_id)) AS DOUBLE)
+SELECT CAST((SELECT count(*) FROM {served} JOIN exact USING (qid, vec_id)) AS DOUBLE)
          / nullif(CAST((SELECT count(*) FROM exact) AS DOUBLE), 0.0)
            AS recall_at_k,
        CAST({_K} AS INTEGER) AS k,
@@ -1158,4 +1181,24 @@ def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_books=pq_books,
         index=index,
         probe_state=_ivf_probe(spark, sf_dir, 0),
+    )
+
+
+@register(
+    "ann_ivfpq_refined_recall",
+    oracle=_ivfpq_recall_oracle(residual=False, refine_factor=_REFINE),
+)
+def ann_ivfpq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving recall@10 of the TWO-STAGE mode (ADC shortlist of 4·k,
+    exact-cosine rerank) — pins the refinement's accuracy gain against
+    ann_ivfpq_recall on the same probes: within the probed lists the
+    rerank recovers quantization error exactly, so the remaining loss
+    is probe pruning alone. The oracle replays both stages."""
+    coarse, books, index = _ivfpq_index(spark, sf_dir)
+    return A.ivfpq_recall_multi(
+        table(spark, sf_dir, "embeddings"),
+        n_queries=_N_QUERIES, k=_K, n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE, m=_PQ_M, sub_dim=_PQ_W, k_sub=_PQ_K,
+        residual=False, coarse_book=coarse, pq_books=books, index=index,
+        refine_factor=_REFINE,
     )

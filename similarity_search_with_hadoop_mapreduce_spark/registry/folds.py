@@ -390,6 +390,11 @@ def _register_ann_ivf_suite() -> None:
             "neighbor_id * 10 + rank AS centroid_id, cosine AS v",
         ),
         (
+            "ann_ivfpq_refined_recall",
+            "'ivfpq_ref_recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
+            "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
+        ),
+        (
             # pq_score rides the bigint slot as micro-units (round-6
             # double * 1e6 -> exact integer, the sample_splits pattern);
             # v pins the exact-rerank cosine
@@ -414,9 +419,12 @@ def _register_ann_ivf_suite() -> None:
         raw-vs-residual serving recall that pins its accuracy gain;
         r6 adds ann_knn_graph / ann_knn_graph_lsh — the exact and
         LSH-candidate k-NN graphs semantic dedup consumes, neighbor and
-        rank packed into one slot — and ann_ivfpq_refined_topk, the
-        two-stage ADC-shortlist + exact-rerank serving pattern with the
-        shortlist pricing in the bigint slot as micro-units)."""
+        rank packed into one slot — and ann_ivfpq_refined_topk +
+        ann_ivfpq_refined_recall, the two-stage ADC-shortlist +
+        exact-rerank serving pattern with the shortlist pricing in the
+        bigint slot as micro-units, and its serving recall — 0.60 vs
+        0.26 raw on the same probes, pinning that the rerank removes
+        quantization loss and leaves probe pruning as the only loss)."""
         topk = _q("ann_ivf_topk")(spark, sf_dir).select(
             F.lit("topk").alias("shape"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -487,6 +495,12 @@ def _register_ann_ivf_suite() -> None:
              + F.col("rank").cast("bigint")).alias("centroid_id"),
             F.col("cosine").alias("v"),
         )
+        ref_rec = _q("ann_ivfpq_refined_recall")(spark, sf_dir).select(
+            F.lit("ivfpq_ref_recall").alias("shape"),
+            F.col("k").cast("bigint").alias("vec_id"),
+            F.col("n_queries").cast("bigint").alias("centroid_id"),
+            F.col("recall_at_k").alias("v"),
+        )
         refined = _q("ann_ivfpq_refined_topk")(spark, sf_dir).select(
             F.lit("ivfpq_refined").alias("shape"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -497,7 +511,7 @@ def _register_ann_ivf_suite() -> None:
         )
         return _union_spark(
             [topk, rec, pq, ivfpq, pq_rec, rec_s, ivfpq_res, ipq_rec,
-             ipq_res_rec, knn, knn_l, refined]
+             ipq_res_rec, knn, knn_l, ref_rec, refined]
         )
 
 

@@ -802,3 +802,28 @@ def test_ivfpq_refined_reranks_shortlist_with_exact_cosine(spark):
     assert sum(cos_list) >= sum(plain) - 1e-9
     with pytest.raises(ValueError):
         A.ivfpq_topk_refined(df, 0, k=k, refine_factor=0, **kw)
+
+
+def test_refined_recall_at_least_plain_ivfpq(spark):
+    """The two-stage serving recall must dominate plain ADC serving on
+    the same probes — the rerank can only improve which of the probed
+    candidates get served; with a shortlist covering the whole probed
+    set it equals the probe-pruning ceiling."""
+    df, _ = _emb_df(spark, n=60, dim=8)
+    m, w, k_sub, nc, nprobe = 2, 4, 4, 4, 2
+    coarse = A.kmeans_codebook(df, n_centroids=nc, iters=1)
+    pq_books = A.pq_codebooks(df, m=m, sub_dim=w, k_sub=k_sub, iters=1)
+    kw = dict(n_queries=5, k=5, n_centroids=nc, nprobe=nprobe, m=m,
+              sub_dim=w, k_sub=k_sub, coarse_book=coarse, pq_books=pq_books)
+    plain = A.ivfpq_recall_multi(df, **kw).collect()[0].recall_at_k
+    refined = A.ivfpq_recall_multi(df, refine_factor=3, **kw).collect()[0].recall_at_k
+    assert refined >= plain - 1e-9
+    # shortlist covering every probed vector: recall == probe ceiling ==
+    # recall of IVF with exact scoring at the same nprobe
+    refined_all = A.ivfpq_recall_multi(
+        df, refine_factor=12, **kw
+    ).collect()[0].recall_at_k
+    ivf_exact = A.ivf_recall_multi(
+        df, n_queries=5, k=5, n_centroids=nc, nprobe=nprobe, book=coarse
+    ).collect()[0].recall_at_k
+    assert refined_all == ivf_exact
