@@ -739,3 +739,126 @@ def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return source_quality_cap(table(spark, sf_dir, "documents"), cap=10)
+
+
+def _recipe_v2_oracle() -> str:
+    """The full round-6 recipe as one composed SQL statement — every
+    stage is the already-registered member oracle as a subquery (single
+    source of truth per formula): rule gates, near-dup keepers, quality
+    + LM filters, per-source cap, deterministic split."""
+    from similarity_search_with_hadoop_mapreduce_spark.registry.base import (
+        ORACLES,
+    )
+
+    return f"""
+WITH g AS (
+  SELECT doc_id FROM (
+{ORACLES["text_gopher_rules"]}
+  ) WHERE passes = 1
+),
+keepers AS (
+  SELECT doc_id FROM (
+{ORACLES["dedup_clusters"]}
+  ) WHERE doc_id = cluster_id
+),
+q AS (
+  SELECT doc_id, quality FROM (
+{ORACLES["text_quality"]}
+  )
+),
+lm AS (
+  SELECT doc_id, avg_nll FROM (
+{ORACLES["text_lm_score"]}
+  )
+),
+sp AS (
+  SELECT doc_id, split FROM (
+{ORACLES["sample_hash_split"]}
+  )
+),
+kept AS (
+  SELECT d.doc_id, d.source, d.lang, q.quality
+  FROM documents d
+  JOIN q USING (doc_id)
+  JOIN lm USING (doc_id)
+  JOIN g USING (doc_id)
+  JOIN keepers USING (doc_id)
+  WHERE q.quality >= 0.6 AND lm.avg_nll <= 3.45
+),
+capped AS (
+  SELECT doc_id, source, lang, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rk
+  FROM kept
+)
+SELECT c.doc_id, c.source, c.lang, c.quality,
+       CAST(c.rk AS INTEGER) AS rk, sp.split
+FROM capped c JOIN sp USING (doc_id)
+WHERE c.rk <= 8
+"""
+
+
+@register("curation_recipe_v2", oracle=_recipe_v2_oracle())
+def curation_recipe_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 training-data recipe end to end in ONE lazy DAG —
+    cheapest-gate-first, exactly the production ordering:
+
+    1. Gopher rule gates (map-only projection) drop rule-failing docs;
+    2. near-dup keepers (SimHash pairs -> connected components, keeper
+       = min-id fixpoint) drop every non-representative duplicate;
+    3. model-based filters: composite quality >= 0.6 AND corpus-trained
+       bigram-LM avg_nll <= 3.45 (atypical-for-the-corpus docs out);
+    4. per-source contribution cap (best 8 by quality,
+       WindowGroupLimit);
+    5. deterministic 80/10/10 hash split stamped on the survivors.
+
+    Every stage reuses the registered operator (and its oracle reuses
+    the registered member oracle), so this entry pins the COMPOSITION —
+    the joins, the filter order, the funnel — not re-derived formulas.
+    """
+    from pyspark.sql import Window
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        train_val_test_split,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        gopher_rules,
+        lm_bigram_score,
+        quality_score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    g = gopher_rules(docs).filter(F.col("passes") == 1).select("doc_id")
+    keepers = (
+        duplicate_clusters(docs, base_hash="md5", max_bucket=None)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    q = quality_score(docs).select("doc_id", "quality")
+    lm = lm_bigram_score(docs).select("doc_id", "avg_nll")
+    kept = (
+        docs.select("doc_id", "source", "lang")
+        .join(q, "doc_id")
+        .join(lm, "doc_id")
+        .join(g, "doc_id", "semi")
+        .join(keepers, "doc_id", "semi")
+        .filter((F.col("quality") >= 0.6) & (F.col("avg_nll") <= 3.45))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    capped = (
+        kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+    )
+    return train_val_test_split(capped).select(
+        "doc_id",
+        "source",
+        "lang",
+        "quality",
+        F.col("rk").cast("int").alias("rk"),
+        "split",
+    )

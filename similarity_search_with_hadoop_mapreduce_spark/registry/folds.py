@@ -2139,6 +2139,13 @@ def _register_curation_suite() -> None:
             "'semantic' AS shape, doc_id, CAST(cluster_id AS DOUBLE) AS a, "
             "quality AS b",
         ),
+        (
+            # rank and split share slot b: rk*4 + split code (<=34)
+            "curation_recipe_v2",
+            "'recipe_v2' AS shape, doc_id, quality AS a, "
+            "CAST(rk * 4 + CASE split WHEN 'train' THEN 0 "
+            "WHEN 'val' THEN 1 ELSE 2 END AS DOUBLE) AS b",
+        ),
     ]
 
     @register("curation_suite", oracle=_union_oracle(parts))
@@ -2149,9 +2156,12 @@ def _register_curation_suite() -> None:
         semi-join), and the r6 benchmark-decontamination pass (n-gram
         overlap vs a held-out eval slice), and the r6 SemDeDup-style
         semantic pass (embedding-LSH pairs -> components ->
-        highest-quality keeper) (members: curation_pipeline,
-        curation_pipeline_neardup, text_decontamination,
-        curation_semantic_dedup)."""
+        highest-quality keeper), and the r6 composed RECIPE (rule gates
+        -> near-dup keepers -> quality+LM filters -> per-source cap ->
+        hash split; rank and split packed into slot b) (members:
+        curation_pipeline, curation_pipeline_neardup,
+        text_decontamination, curation_semantic_dedup,
+        curation_recipe_v2)."""
         ex = _q("curation_pipeline")(spark, sf_dir).select(
             F.lit("exact").alias("shape"),
             F.col("doc_id"),
@@ -2176,7 +2186,18 @@ def _register_curation_suite() -> None:
             F.col("cluster_id").cast("double").alias("a"),
             F.col("quality").alias("b"),
         )
-        return _union_spark([ex, nd, dc, sm])
+        rc = _q("curation_recipe_v2")(spark, sf_dir).select(
+            F.lit("recipe_v2").alias("shape"),
+            F.col("doc_id"),
+            F.col("quality").alias("a"),
+            (
+                F.col("rk").cast("double") * 4.0
+                + F.when(F.col("split") == "train", F.lit(0.0))
+                .when(F.col("split") == "val", F.lit(1.0))
+                .otherwise(F.lit(2.0))
+            ).alias("b"),
+        )
+        return _union_spark([ex, nd, dc, sm, rc])
 
 
 _register_curation_suite()

@@ -35,6 +35,7 @@ FOLDED = {
     "curation_pipeline_neardup": "curation_suite",
     "text_decontamination": "curation_suite",
     "curation_semantic_dedup": "curation_suite",
+    "curation_recipe_v2": "curation_suite",
     "sample_pack_sequences": "sample_splits",
     "sample_mixture": "sample_splits",
     "sample_mixture_tokens": "sample_splits",
