@@ -377,6 +377,11 @@ def test_round6_text_ann_entries_pass_scale_audit(spark):
         "sample_source_cap": set(),
         "ann_ivfpq_refined_topk": {"nested_loop_join"},
         "text_nb_source": {"nested_loop_join", "single_partition_exchange"},
+        # recipe: the LM stage's 1-row vocab cross join; refined recall:
+        # the query-battery / probe-table broadcast cross joins every
+        # recall metric carries (O(n_queries) rows, driver-held)
+        "curation_recipe_v2": {"nested_loop_join"},
+        "ann_ivfpq_refined_recall": {"nested_loop_join"},
     }
     offenders = {}
     for name, allow in allowed.items():
