@@ -749,13 +749,23 @@ def dup_span_stats(
 
 
 def lm_bigram_score(
-    documents: DataFrame, k: int = 1, text_col: str = "text"
+    documents: DataFrame,
+    k: int = 1,
+    text_col: str = "text",
+    model_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-trained bigram language-model scoring — the CCNet/KenLM
     perplexity-filter pattern (Wenzek et al. 2020) with the model
-    trained on the corpus itself: documents whose token transitions are
-    atypical for the corpus score a high average negative log
-    likelihood and can be filtered or re-weighted downstream.
+    trained on the corpus itself (default) or on a separate
+    ``model_docs`` slice — the real CCNet deployment trains on a
+    held-out high-quality slice and scores the crawl against it:
+    documents whose token transitions are atypical for the MODEL side
+    score a high average negative log likelihood and can be filtered or
+    re-weighted downstream. With a separate model, bigrams unseen in
+    training back off add-``k``-style: a known head word ``w1`` prices
+    the unseen pair at ``k/(c(w1)+k·V)``, an unknown head at ``1/V``
+    (the ``c1=0`` case of the same formula) — the fallback ``ln`` is
+    quantized to the same 6-decimal grid before the exact sum.
 
     Model: add-``k`` smoothed bigram ML estimate over Java-``\\W+``
     tokens,  ``p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)``  with ``V``
@@ -788,6 +798,11 @@ def lm_bigram_score(
     head words.
     """
     staged = _stage_tokens(documents, text_col, "doc_id")
+    tr_staged = (
+        staged
+        if model_docs is None
+        else _stage_tokens(model_docs, text_col, "doc_id")
+    )
     # Bigrams as arrays_zip(tokens[:-1], tokens[1:]) — two slices, no
     # indexed lambda. This matters under sessions WITHOUT the package's
     # InferFiltersFromGenerate exclusion (session.py:55): the inferred
@@ -809,14 +824,29 @@ def lm_bigram_score(
         F.col("b").getField("0").alias("w1"),
         F.col("b").getField("1").alias("w2"),
     )
+    if model_docs is None:
+        tr_bi = bi
+    else:
+        tr_pairs = tr_staged.select(
+            "doc_id",
+            F.expr(
+                "arrays_zip("
+                "  slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+                "  slice(_toks, 2, greatest(size(_toks) - 1, 0)))"
+            ).alias("_bi"),
+        )
+        tr_bi = tr_pairs.select(F.explode("_bi").alias("b")).select(
+            F.col("b").getField("0").alias("w1"),
+            F.col("b").getField("1").alias("w2"),
+        )
     uni = (
-        staged.select(F.explode("_toks").alias("w1"))
+        tr_staged.select(F.explode("_toks").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     vocab = uni.select(F.count(F.lit(1)).alias("_v"))
     model = (
-        bi.groupBy("w1", "w2")
+        tr_bi.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
@@ -840,8 +870,28 @@ def lm_bigram_score(
     doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    if model_docs is None:
+        # self-trained: every scored bigram exists in the model by
+        # construction — plain inner join, no fallback branch in the plan
+        scored = doc_bi.join(model, ["w1", "w2"])
+    else:
+        fallback = F.round(
+            -F.log(
+                F.lit(float(k))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("_v")).cast(
+                    "double"
+                )
+            ),
+            6,
+        )
+        scored = (
+            doc_bi.join(model, ["w1", "w2"], "left")
+            .join(uni, "w1", "left")
+            .crossJoin(F.broadcast(vocab))
+            .withColumn("nll6", F.coalesce("nll6", fallback))
+        )
     per_doc = (
-        doc_bi.join(model, ["w1", "w2"])
+        scored
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_bigrams"),

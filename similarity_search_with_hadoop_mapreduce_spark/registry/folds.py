@@ -617,6 +617,15 @@ def _register_text_corpus_stats() -> None:
             "total_terms AS n3, mean_set_size AS v1, CAST(NULL AS DOUBLE) AS v2",
         ),
         (
+            # slot reuse: lang <- doc_id (as text), n_docs <- n_bigrams,
+            # v1 <- nll_sum, v2 <- avg_nll
+            "text_lm_heldout",
+            "'lm_heldout' AS shape, CAST(NULL AS VARCHAR) AS source, "
+            "CAST(doc_id AS VARCHAR) AS lang, n_bigrams AS n_docs, "
+            "CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3, "
+            "nll_sum AS v1, avg_nll AS v2",
+        ),
+        (
             # slot reuse: source <- term, lang <- doc_id (as text),
             # n_docs <- tf, n2 <- df, n3 <- rank, v1 <- score
             "text_tfidf_keywords",
@@ -630,9 +639,11 @@ def _register_text_corpus_stats() -> None:
     @register("text_corpus_stats", oracle=_union_oracle(parts))
     def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Tagged union of the per-(source, lang) dataset-card rollup,
-        the corpus vocabulary summary, and the per-document top-3
+        the corpus vocabulary summary, the train-on-slice LM scores
+        (model trained on every 7th doc, the rest scored with add-1
+        backoff — the real CCNet shape), and the per-document top-3
         tf-idf keywords (members: text_corpus_composition,
-        text_vocab_stats, text_tfidf_keywords)."""
+        text_vocab_stats, text_lm_heldout, text_tfidf_keywords)."""
         comp = _q("text_corpus_composition")(spark, sf_dir).select(
             F.lit("composition").alias("shape"),
             "source",
@@ -653,6 +664,16 @@ def _register_text_corpus_stats() -> None:
             F.col("mean_set_size").alias("v1"),
             _null("v2", "double"),
         )
+        lmh = _q("text_lm_heldout")(spark, sf_dir).select(
+            F.lit("lm_heldout").alias("shape"),
+            _null("source", "string"),
+            F.col("doc_id").cast("string").alias("lang"),
+            F.col("n_bigrams").alias("n_docs"),
+            _null("n2", "bigint"),
+            _null("n3", "bigint"),
+            F.col("nll_sum").alias("v1"),
+            F.col("avg_nll").alias("v2"),
+        )
         tk = _q("text_tfidf_keywords")(spark, sf_dir).select(
             F.lit("tfidf").alias("shape"),
             F.col("term").alias("source"),
@@ -663,7 +684,7 @@ def _register_text_corpus_stats() -> None:
             F.col("score").alias("v1"),
             _null("v2", "double"),
         )
-        return _union_spark([comp, voc, tk])
+        return _union_spark([comp, voc, lmh, tk])
 
 
 # ---------------------------------------------------------------------------

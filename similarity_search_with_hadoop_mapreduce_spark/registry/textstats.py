@@ -623,3 +623,79 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, symbol ratio, alphabetic fraction, function-word count) +
     the conjunction; all signals and flags value-pinned."""
     return T.gopher_rules(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lm_heldout",
+    oracle="WITH "
+    + TOKENS_CTE
+    + r"""
+, tr AS (SELECT doc_id, tok FROM tokens WHERE doc_id % 7 = 0),
+sc AS (SELECT doc_id, tok FROM tokens WHERE doc_id % 7 <> 0),
+bi_tr AS (
+  SELECT unnest(list_transform(range(1, len(tok)), i -> tok[i])) AS w1,
+         unnest(list_transform(range(1, len(tok)), i -> tok[i+1])) AS w2
+  FROM tr
+),
+uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(tok) AS w1 FROM tr)
+  GROUP BY w1
+),
+voc AS (SELECT count(*) AS v FROM uni),
+bg AS (SELECT w1, w2, count(*) AS c12 FROM bi_tr GROUP BY w1, w2),
+model AS (
+  SELECT b.w1, b.w2,
+         round(-ln(CAST(b.c12 + 1 AS DOUBLE)
+                   / CAST(u.c1 + 1 * voc.v AS DOUBLE)), 6) AS nll6
+  FROM bg b JOIN uni u USING (w1) CROSS JOIN voc
+),
+bi_sc AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tok)), i -> tok[i])) AS w1,
+         unnest(list_transform(range(1, len(tok)), i -> tok[i+1])) AS w2
+  FROM sc
+),
+db AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+  FROM bi_sc GROUP BY doc_id, w1, w2
+),
+scored AS (
+  SELECT d.doc_id, d.cnt,
+         coalesce(m.nll6,
+                  round(-ln(CAST(1 AS DOUBLE)
+                            / CAST(coalesce(u.c1, 0) + 1 * voc.v AS DOUBLE)),
+                        6)) AS nll6
+  FROM db d
+  LEFT JOIN model m USING (w1, w2)
+  LEFT JOIN uni u USING (w1)
+  CROSS JOIN voc
+),
+per AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(nll6 AS DECIMAL(25,6)))
+              AS DECIMAL(25,6)) AS s
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(round(CAST(per.s AS DOUBLE), 6), 0.0) AS nll_sum,
+       coalesce(CAST(CAST(per.s * 1000000 AS BIGINT) // per.n_bigrams
+                     AS DOUBLE) / 1000000.0, 0.0) AS avg_nll
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id % 7 <> 0
+""",
+)
+def text_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-slice LM scoring (the real CCNet deployment shape):
+    every 7th doc plays the held-out reference slice the bigram model
+    trains on; the rest of the corpus is scored against it, with add-1
+    backoff for unseen bigrams (known head: k/(c1+V); unknown head:
+    1/V). The oracle replays the slice training AND the fallback
+    pricing."""
+    docs = table(spark, sf_dir, "documents")
+    return T.lm_bigram_score(
+        docs.filter(docs.doc_id % 7 != 0),
+        k=1,
+        model_docs=docs.filter(docs.doc_id % 7 == 0),
+    )

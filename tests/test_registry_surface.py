@@ -76,6 +76,7 @@ FOLDED = {
     "text_corpus_composition": "text_corpus_stats",
     "text_vocab_stats": "text_corpus_stats",
     "text_tfidf_keywords": "text_corpus_stats",
+    "text_lm_heldout": "text_corpus_stats",
     "events_tumbling_window": "events_time_windows",
     "events_ohlc": "events_time_windows",
     "events_sliding_window": "events_time_windows",

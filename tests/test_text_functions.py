@@ -626,3 +626,37 @@ def test_gopher_pass_filter_equals_rules_conjunction(spark):
     # and truly join-free: no Join node in the physical plan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_lm_bigram_score_heldout_backoff(spark):
+    """With a separate model slice, unseen bigrams price through the
+    add-1 backoff: known head w1 -> 1/(c1+V); unknown head -> 1/V."""
+    import math
+    from decimal import Decimal
+
+    model = spark.createDataFrame(
+        [(100, "a b a b")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "a zz"), (3, "qq rr")],
+        "doc_id long, text string",
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        lm_bigram_score,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in lm_bigram_score(score, k=1, model_docs=model).collect()
+    }
+    # model: tokens a b a b -> uni a:2 b:2, V=2; bigrams ab:2 ba:1
+    V = 2
+    def q6(x): return Decimal(str(round(x, 6)))
+    # doc 1: (a,b) seen: p=(2+1)/(2+2)=0.75
+    assert float(out[1].nll_sum) == pytest.approx(float(q6(-math.log(0.75))), abs=2e-6)
+    # doc 2: (a,zz) unseen pair, known head a: p=1/(2+2)
+    assert float(out[2].nll_sum) == pytest.approx(float(q6(-math.log(1/4))), abs=2e-6)
+    # doc 3: (qq,rr) unknown head: p=1/V
+    assert float(out[3].nll_sum) == pytest.approx(float(q6(-math.log(1/2))), abs=2e-6)
+    # all docs kept, n_bigrams = 1 each
+    assert all(out[i].n_bigrams == 1 for i in (1, 2, 3))
