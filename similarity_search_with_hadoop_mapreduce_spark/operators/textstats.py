@@ -1346,3 +1346,141 @@ def gopher_pass_filter(
         .filter(flags["passes"])
         .select(*cols)
     )
+
+
+def save_lm_model(
+    documents: DataFrame,
+    prefix: str = "lm_model",
+    k: int = 1,
+    text_col: str = "text",
+) -> None:
+    """Persist the add-``k`` bigram LM :func:`lm_bigram_score` trains —
+    the stored-model half of model-based scoring at ingest (the same
+    build-once / probe-per-epoch lifecycle as the dedup index): three
+    tables under ``prefix`` — ``{prefix}_bigrams`` (w1, w2, nll6,
+    bucketed by w1 so the per-epoch score join co-locates on the head
+    word), ``{prefix}_uni`` (w1, c1, the unseen-pair backoff side), and
+    ``{prefix}_meta`` (1 row: V and k). Training cost is paid once; an
+    epoch scores against the FROZEN model — no retraining inside the
+    streaming loop."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.skew import (
+        write_bucketed,
+    )
+
+    staged = _stage_tokens(documents, text_col, "doc_id")
+    pairs = staged.select(
+        F.expr(
+            "arrays_zip("
+            "  slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+            "  slice(_toks, 2, greatest(size(_toks) - 1, 0)))"
+        ).alias("_bi")
+    )
+    bi = pairs.select(F.explode("_bi").alias("b")).select(
+        F.col("b").getField("0").alias("w1"),
+        F.col("b").getField("1").alias("w2"),
+    )
+    uni = (
+        staged.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.select(F.count(F.lit(1)).alias("_v"))
+    model = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    (F.col("c12") + F.lit(k)).cast("double")
+                    / (F.col("c1") + F.lit(k) * F.col("_v")).cast("double")
+                ),
+                6,
+            ).alias("nll6"),
+        )
+    )
+    write_bucketed(model, f"{prefix}_bigrams", "w1")
+    write_bucketed(uni, f"{prefix}_uni", "w1")
+    vocab.select(
+        F.col("_v").alias("v"), F.lit(k).cast("int").alias("k")
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+
+
+def lm_score_from_model(
+    documents: DataFrame,
+    prefix: str = "lm_model",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a STORED :func:`save_lm_model` model —
+    the per-epoch half: same output contract as
+    :func:`lm_bigram_score` (n_bigrams, nll_sum, floor-quantized
+    avg_nll), same add-k backoff for bigrams the model never saw. Cost
+    is O(batch) joins against the frozen tables; the model-side
+    aggregations are NOT re-run (they were paid at save time)."""
+    spark = documents.sparkSession
+    model = spark.table(f"{prefix}_bigrams")
+    uni = spark.table(f"{prefix}_uni")
+    meta = F.broadcast(spark.table(f"{prefix}_meta"))
+    staged = _stage_tokens(documents, text_col, "doc_id")
+    pairs = staged.select(
+        "doc_id",
+        F.expr(
+            "arrays_zip("
+            "  slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+            "  slice(_toks, 2, greatest(size(_toks) - 1, 0)))"
+        ).alias("_bi"),
+    )
+    bi = pairs.select("doc_id", F.explode("_bi").alias("b")).select(
+        "doc_id",
+        F.col("b").getField("0").alias("w1"),
+        F.col("b").getField("1").alias("w2"),
+    )
+    doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    fallback = F.round(
+        -F.log(
+            F.col("k").cast("double")
+            / (
+                F.coalesce(F.col("c1"), F.lit(0))
+                + F.col("k") * F.col("v")
+            ).cast("double")
+        ),
+        6,
+    )
+    scored = (
+        doc_bi.join(model, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(meta)
+        .withColumn("nll6", F.coalesce("nll6", fallback))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.sum(
+            F.col("cnt").cast("decimal(12,0)")
+            * F.col("nll6").cast("decimal(25,6)")
+        )
+        .cast("decimal(25,6)")
+        .alias("_s"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(
+                F.round(F.col("_s").cast("double"), 6), F.lit(0.0)
+            ).alias("nll_sum"),
+            F.coalesce(
+                F.expr(
+                    "CAST((CAST(_s * 1000000 AS BIGINT) DIV n_bigrams)"
+                    " AS DOUBLE) / 1000000.0"
+                ),
+                F.lit(0.0),
+            ).alias("avg_nll"),
+        )
+    )

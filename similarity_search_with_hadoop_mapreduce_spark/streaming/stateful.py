@@ -260,6 +260,7 @@ def streaming_curation_loop_demo(
     threshold: float = 0.5,
     compact_every: int | None = None,
     rule_gate: dict | None = None,
+    lm_gate: tuple[str, float] | None = None,
 ) -> None:
     """The CLOSED continuous-curation loop in one streaming artifact:
     per epoch, incoming documents are probed against the stored dedup
@@ -306,9 +307,19 @@ def streaming_curation_loop_demo(
     never enter the index (cheapest-gate-first — the rule filter is a
     map-only projection while the probe costs a join against the
     stored index). Deterministic, so crash-replay reproduces the same
-    kept set."""
+    kept set.
+
+    ``lm_gate``: ``(model_prefix, max_avg_nll)`` — when set, each epoch
+    is scored against the FROZEN stored bigram LM
+    (:func:`operators.textstats.save_lm_model` built once, batch-side)
+    and documents whose ``avg_nll`` exceeds the ceiling are dropped
+    BEFORE the dedup probe — model-based filtering at ingest without
+    retraining inside the loop (gate order: rules, then LM, then
+    dedup — cheapest first). Scores are the deterministic
+    quantized-decimal kind, so crash-replay reproduces the kept set."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
         gopher_pass_filter,
+        lm_score_from_model,
     )
     from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
         append_dedup_index,
@@ -328,6 +339,12 @@ def streaming_curation_loop_demo(
         if rule_gate is not None:
             # map-only: staged projection + filter, no join, one scan
             batch_df = gopher_pass_filter(batch_df, **rule_gate)
+        if lm_gate is not None:
+            model_prefix, max_avg_nll = lm_gate
+            ok = lm_score_from_model(batch_df, prefix=model_prefix).filter(
+                F.col("avg_nll") <= max_avg_nll
+            )
+            batch_df = batch_df.join(ok.select("doc_id"), "doc_id", "semi")
         batch_df = batch_df.persist()  # probed AND filtered: two consumers
         try:
             # exclude_epoch: a replay whose previous attempt crashed

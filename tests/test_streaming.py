@@ -567,3 +567,55 @@ def test_streaming_curation_loop_rule_gate(spark, tmp_path):
         .collect()
     }
     assert idx_ids == {1, 400}
+
+
+def test_streaming_curation_loop_lm_gate(spark, tmp_path):
+    """With lm_gate set, epochs score against the FROZEN stored bigram
+    model and atypical docs (high avg_nll) are dropped before the dedup
+    probe — they never reach the output or the index."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        lm_score_from_model,
+        save_lm_model,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_curation_loop_demo,
+    )
+
+    # model corpus: ordinary-looking transitions
+    common = "the rivers and lakes of the northern mountain valleys flow east"
+    model_corpus = spark.createDataFrame(
+        [(i, common) for i in range(1, 6)], "doc_id long, text string"
+    )
+    save_lm_model(model_corpus, prefix="loop_lm_model")
+    build_dedup_index(model_corpus.limit(1), prefix="loop_dedup_index")
+    typical = "the rivers and lakes of the northern mountain valleys"
+    weird = "zx qv jj kk wq pz xx yy zz aa"
+    e1 = [(700, typical), (701, weird)]
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    spark.createDataFrame(e1, "doc_id long, text string").coalesce(1)\
+        .write.parquet(str(inc / "e1"))
+    # pick a ceiling between the two docs' scores against the model
+    scores = {
+        r.doc_id: r.avg_nll
+        for r in lm_score_from_model(
+            spark.createDataFrame(e1, "doc_id long, text string"),
+            prefix="loop_lm_model",
+        ).collect()
+    }
+    assert scores[701] > scores[700]
+    ceiling = (scores[700] + scores[701]) / 2
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
+    streaming_curation_loop_demo(
+        spark, f"{inc}/*", out, ckpt, lm_gate=("loop_lm_model", ceiling)
+    )
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert accepted == {700}
+    idx_ids = {
+        r.dup_of
+        for r in spark.table("loop_dedup_index_digest").select("dup_of").collect()
+    }
+    assert 701 not in idx_ids and 700 in idx_ids

@@ -660,3 +660,25 @@ def test_lm_bigram_score_heldout_backoff(spark):
     assert float(out[3].nll_sum) == pytest.approx(float(q6(-math.log(1/2))), abs=2e-6)
     # all docs kept, n_bigrams = 1 each
     assert all(out[i].n_bigrams == 1 for i in (1, 2, 3))
+
+
+def test_lm_score_from_model_equals_inline_heldout(spark):
+    """Scoring against the STORED model must equal the inline
+    model_docs path on the same slice split — including backoff rows."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        lm_bigram_score,
+        lm_score_from_model,
+        save_lm_model,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model_slice = docs.filter(docs.doc_id % 7 == 0)
+    score_slice = docs.filter(docs.doc_id % 7 != 0)
+    save_lm_model(model_slice, prefix="t_lm_model")
+    want = sorted(
+        map(tuple, lm_bigram_score(score_slice, model_docs=model_slice).collect())
+    )
+    got = sorted(
+        map(tuple, lm_score_from_model(score_slice, prefix="t_lm_model").collect())
+    )
+    assert got == want and len(got) > 0
