@@ -699,3 +699,30 @@ def text_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=1,
         model_docs=docs.filter(docs.doc_id % 7 == 0),
     )
+
+
+
+def _lm_stored_entry_oracle() -> str:
+    from similarity_search_with_hadoop_mapreduce_spark.registry.base import (
+        ORACLES,
+    )
+
+    return ORACLES["text_lm_heldout"]
+
+
+@register("text_lm_stored", oracle=_lm_stored_entry_oracle())
+def text_lm_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-model scoring path under the full value-hash oracle:
+    the entry saves the bigram model from the every-7th-doc slice into
+    bucketed tables (save_lm_model) and scores the rest from those
+    frozen tables (lm_score_from_model) — result-equal to the inline
+    text_lm_heldout by construction, so it shares that oracle; what
+    this entry adds is an oracle-grade pin on the persist/reload path
+    the streaming lm_gate depends on (the dedup_incremental_suite
+    pattern: stored-lifecycle surface under the same gate as the
+    inline one)."""
+    docs = table(spark, sf_dir, "documents")
+    T.save_lm_model(docs.filter(docs.doc_id % 7 == 0), prefix="oracle_lm_model")
+    return T.lm_score_from_model(
+        docs.filter(docs.doc_id % 7 != 0), prefix="oracle_lm_model"
+    )

@@ -156,6 +156,9 @@ EQUIVALENT = {
     "flagship_multi_query": "flagship_multi_query_topk",
     "flagship_multi_query_shuffled": "flagship_multi_query_topk",  # forced-plan twin
     "dedup_jaccard_prefix_filter": "dedup_ngram_jaccard",  # result-identical
+    # stored-model path, value-identical to text_lm_heldout (itself
+    # folded into text_corpus_stats)
+    "text_lm_stored": "text_corpus_stats",
 }
 
 
