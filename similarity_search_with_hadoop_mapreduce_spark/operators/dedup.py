@@ -78,6 +78,22 @@ def ngram_jaccard_pairs(
     capping df bounds the join output; this is the reference's
     non-discriminative-shingle prune (BookQuery.java:105) generalized.
     """
+    pairs = _ngram_cooccurrence(documents, max_df, text_col)
+    jac = F.col("c").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("c")
+    ).cast("double")
+    return (
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _ngram_cooccurrence(
+    documents: DataFrame, max_df: int | None, text_col: str
+) -> DataFrame:
+    """Shared inverted-index co-occurrence subplan of the exact n-gram
+    pair generators: (doc_a, doc_b, sz_a, sz_b, c) with doc_a < doc_b —
+    the metric (Jaccard / containment) is a projection on top."""
     sh = staged_shingles_frame(documents, text_col, alias="s").withColumn(
         "sz", F.size("s")
     )
@@ -96,18 +112,39 @@ def ngram_jaccard_pairs(
     b = terms.select(
         F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "term"
     )
-    pairs = (
+    return (
         a.join(b, "term")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    jac = F.col("c").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("c")
+
+
+def ngram_containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs trigram-shingle CONTAINMENT via the same inverted
+    index as :func:`ngram_jaccard_pairs` — the reference's own metric
+    (``|D∩Q| / |Q|``, BookQuery.java:162-166) generalized corpus-wide
+    with Q the smaller set of each pair: ``c / min(|A|, |B|)``. Flags
+    the one-document-(near-)contains-another duplicates Jaccard
+    under-scores (a doc embedded verbatim in a much longer doc has tiny
+    Jaccard but containment 1.0 — the classic quote/aggregation-page
+    case a crawl dedup must catch).
+
+    Same plan and the same ``max_df`` O(df²) bound; only the score
+    expression differs.
+    """
+    pairs = _ngram_cooccurrence(documents, max_df, text_col)
+    cont = F.col("c").cast("double") / F.least(
+        F.col("sz_a"), F.col("sz_b")
     ).cast("double")
     return (
-        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        pairs.select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -857,3 +857,39 @@ def ann_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_EMB_BANDS,
         rows_per_band=_EMB_ROWS,
     )
+
+
+_CONTAINMENT_T = 0.8
+
+_CONTAINMENT_ORACLE = (
+    "WITH "
+    + SHINGLES_CTE
+    + f"""
+, terms AS (
+  SELECT doc_id, len(s) AS sz, unnest(s) AS term FROM shingle_sets
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sz_a, b.sz AS sz_b,
+         count(*) AS c
+  FROM terms a JOIN terms b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE) AS containment
+FROM pairs
+WHERE CAST(c AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE)
+      >= {_CONTAINMENT_T}
+"""
+)
+
+
+@register("dedup_ngram_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide containment pairs — the reference's own similarity
+    metric (|D∩Q|/|Q|, BookQuery.java:162-166) turned into a dedup
+    operator: c/min(|A|,|B|) >= 0.8 flags one-contains-the-other
+    near-dups that Jaccard under-scores (verbatim embedding of a short
+    doc in a long one)."""
+    return D.ngram_containment_pairs(
+        table(spark, sf_dir, "documents"), threshold=_CONTAINMENT_T
+    )

@@ -232,14 +232,22 @@ def _register_minhash_lsh_suite() -> None:
             "dedup_minhash_lsh_capped",
             "'star_capped' AS shape, doc_a AS a, doc_b AS b, jaccard AS v",
         ),
+        (
+            "dedup_ngram_containment",
+            "'containment' AS shape, doc_a AS a, doc_b AS b, "
+            "containment AS v",
+        ),
     ]
 
     @register("dedup_minhash_lsh_suite", oracle=_union_oracle(parts))
     def dedup_minhash_lsh_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Tagged union of MinHash-LSH near-dup pairs, uncapped vs
-        star-capped (members: dedup_minhash_lsh,
-        dedup_minhash_lsh_capped — the second runs max_bucket=2 so the
-        hot-bucket star path is exercised and value-pinned)."""
+        """Tagged union of text near-dup pair generation:
+        MinHash-LSH pairs uncapped vs star-capped (the capped member
+        runs max_bucket=2 so the hot-bucket star path is exercised and
+        value-pinned) and the r6 exact n-gram CONTAINMENT pairs — the
+        reference's own |D∩Q|/|Q| metric corpus-wide (members:
+        dedup_minhash_lsh, dedup_minhash_lsh_capped,
+        dedup_ngram_containment)."""
         un = _q("dedup_minhash_lsh")(spark, sf_dir).select(
             F.lit("uncapped").alias("shape"),
             F.col("doc_a").alias("a"),
@@ -252,7 +260,13 @@ def _register_minhash_lsh_suite() -> None:
             F.col("doc_b").alias("b"),
             F.col("jaccard").alias("v"),
         )
-        return _union_spark([un, st])
+        ct = _q("dedup_ngram_containment")(spark, sf_dir).select(
+            F.lit("containment").alias("shape"),
+            F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("b"),
+            F.col("containment").alias("v"),
+        )
+        return _union_spark([un, st, ct])
 
 
 # ---------------------------------------------------------------------------

@@ -963,3 +963,29 @@ def test_compact_dedup_index_crash_heals_by_rerun(spark, monkeypatch):
     # epoch stamps survived both the crash and the healing rerun
     assert D._epoch_already_appended(spark, "heal_idx_bands", 1)
     assert D._epoch_already_appended(spark, "heal_idx_digest", 1)
+
+
+def test_ngram_containment_catches_embedded_doc(spark):
+    """A short doc verbatim-embedded in a long one scores containment
+    1.0 while its Jaccard stays below any useful threshold — the case
+    this metric exists for."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        short
+        + " unrelated filler words continue for quite a while now "
+        + "more and more filler tokens keep arriving here endlessly "
+        + "until the embedded fragment is a small fraction of the whole"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different content everywhere")],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b, r.containment) for r in cont] == [(1, 2, 1.0)]
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # Jaccard misses the embedding entirely

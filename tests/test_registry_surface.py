@@ -43,6 +43,7 @@ FOLDED = {
     "ann_knn_graph_lsh": "ann_ivf_suite",
     "dedup_minhash_lsh": "dedup_minhash_lsh_suite",
     "dedup_minhash_lsh_capped": "dedup_minhash_lsh_suite",
+    "dedup_ngram_containment": "dedup_minhash_lsh_suite",
     "dedup_incremental": "dedup_incremental_suite",
     "dedup_intra_batch": "dedup_incremental_suite",
     "dedup_intra_batch_capped": "dedup_incremental_suite",
