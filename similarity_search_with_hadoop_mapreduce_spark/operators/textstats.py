@@ -1367,6 +1367,23 @@ def save_lm_model(
         write_bucketed,
     )
 
+    spark = documents.sparkSession
+    for t in (f"{prefix}_bigrams", f"{prefix}_uni", f"{prefix}_meta"):
+        # A table directory can outlive the catalog entry (a fresh
+        # session over an old warehouse): DROP clears the live entry,
+        # then the stale location is deleted through the Hadoop FS so
+        # saveAsTable never dies on LOCATION_ALREADY_EXISTS.
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        jvm = spark.sparkContext._jvm
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{wh}/{t}")
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+
     staged = _stage_tokens(documents, text_col, "doc_id")
     pairs = staged.select(
         F.expr(
