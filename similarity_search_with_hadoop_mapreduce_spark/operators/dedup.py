@@ -1754,3 +1754,55 @@ def incremental_dedup_probe(
         .select("doc_id", "dup_of", F.lit("near").alias("kind"), "jaccard")
     )
     return exact.unionByName(near)
+
+
+def corpus_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_unchanged: bool = True,
+) -> DataFrame:
+    """Digest-level diff between two corpus snapshots — the data-versioning
+    primitive behind incremental reprocessing: "which documents were
+    added / removed / changed since the version this model was trained
+    on?" drives what the pipeline must re-embed, re-dedup, or re-score,
+    and the diff counts are the dataset card's changelog row.
+
+    One full-outer join on ``id_col`` comparing md5 content digests:
+
+    - ``added``     — id present only in ``new``
+    - ``removed``   — id present only in ``old``
+    - ``changed``   — id in both, digests differ
+    - ``unchanged`` — id in both, digests equal (dropped when
+      ``include_unchanged=False`` — at 100 TB the unchanged mass is the
+      overwhelming majority, and the filter rides the same join)
+
+    Returns ``(doc_id, status, old_digest, new_digest)``.
+
+    100 TB shape: the digests are map-only projections; the join is one
+    co-partitioned exchange on ``id_col`` — and when both snapshots are
+    stored bucketed by ``id_col`` (``write_bucketed``, the layout a
+    versioned corpus store should use anyway) it is a zero-shuffle
+    sort-merge over co-located buckets. Only (id, 32-byte digest) pairs
+    move, never document bodies.
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("old_digest")
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("new_digest")
+    )
+    diff = o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_digest",
+        "new_digest",
+    )
+    if not include_unchanged:
+        diff = diff.filter(F.col("status") != "unchanged")
+    return diff

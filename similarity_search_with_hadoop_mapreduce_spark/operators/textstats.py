@@ -1501,3 +1501,264 @@ def lm_score_from_model(
             ).alias("avg_nll"),
         )
     )
+
+
+def vocab_coverage(
+    documents: DataFrame,
+    coverage_ppm: int = 900000,
+    max_vocab: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-head vocabulary selection: the smallest set of terms
+    (by corpus frequency, term-asc tie-break) whose cumulative token
+    mass reaches ``coverage_ppm`` parts-per-million — the first step of
+    training any tokenizer / fixed vocabulary on a corpus, and the
+    coverage report a dataset card carries ("the top 50k types cover
+    99.2% of tokens").
+
+    Returns one row per head term, ``rank`` 1..``max_vocab``:
+    ``(rank, term, tf, cum_tf, total_tf, cum_ppm, in_vocab)`` where
+    ``cum_ppm = floor(cum_tf * 1e6 / total_tf)`` and ``in_vocab`` marks
+    the minimal coverage prefix (a term is in-vocab iff the mass BEFORE
+    it is still under ``coverage_ppm/1e6 * total_tf`` — so exactly the
+    first vocabulary that reaches the target survives). All arithmetic
+    is integer/decimal — the coverage target is an integer ppm, never a
+    float, and every division is an explicit FLOOR on an exact decimal
+    quotient — so ranks, booleans and ppm values are bit-identical on
+    any engine and any partitioning (the midpoint-free ground rule,
+    SCALE.md).
+
+    100 TB shape: one ``groupBy(term)`` count of the token stream
+    (map-side combined: the shuffle carries distinct types per task,
+    not tokens); the head selection is ``row_number() <= max_vocab``
+    over the unpartitioned (tf desc, term) order, which Spark's limit
+    pushdown rewrites into ``TakeOrderedAndProject(limit=max_vocab)``
+    BELOW the rank window — per-task top-``max_vocab`` heaps merged at
+    the coordinator, no global sort of the vocabulary at all
+    (plan-pinned in tests); the rank/running-sum windows then run over
+    the parameter-bounded head only (a prefix sum over the head equals
+    the global prefix sum — ranks below never contribute to ranks
+    above). ``total_tf`` is deliberately NOT an aggregate of the term
+    counts — that would run the term shuffle twice; the total token
+    mass is the same number counted at the DOCUMENT grain, a map-only
+    ``sum(size(tokens))`` scan that rides in as a broadcast 1-row
+    frame, no collect.
+    """
+    from pyspark.sql import Window
+
+    staged = _stage_tokens(documents, text_col, "doc_id")
+    terms = staged.select(F.explode("_toks").alias("term")).filter(
+        F.length("term") > 0
+    )
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = staged.select(
+        F.sum(F.size(F.filter(F.col("_toks"), lambda t: F.length(t) > 0)))
+        .cast("decimal(38,0)")
+        .alias("total_tf")
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    head = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max_vocab)
+        .withColumn(
+            "cum_tf",
+            F.sum("tf").over(
+                Window.orderBy(F.desc("tf"), F.asc("term")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    )
+    return head.crossJoin(F.broadcast(total)).select(
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("cum_tf").cast("bigint").alias("cum_tf"),
+        F.col("total_tf").cast("bigint").alias("total_tf"),
+        F.floor(
+            (F.col("cum_tf").cast("decimal(38,0)") * F.lit(1000000))
+            .cast("decimal(38,0)")
+            / F.col("total_tf")
+        )
+        .cast("bigint")
+        .alias("cum_ppm"),
+        (
+            (F.col("cum_tf") - F.col("tf")).cast("decimal(38,0)")
+            * F.lit(1000000)
+            < F.lit(int(coverage_ppm)).cast("decimal(38,0)")
+            * F.col("total_tf")
+        ).alias("in_vocab"),
+    )
+
+
+def _slice_token_totals(staged: DataFrame) -> DataFrame:
+    """1-row (total_a, total_b) token-mass frame from a staged
+    (_toks, _a, _b) projection — document-grain map-only counting, so
+    the drift operators never run the term-grain shuffle twice."""
+    kept = F.size(F.filter(F.col("_toks"), lambda t: F.length(t) > 0))
+    return staged.select(
+        F.sum(F.when(F.col("_a"), kept).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("total_a"),
+        F.sum(F.when(F.col("_b"), kept).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("total_b"),
+    )
+
+
+def term_drift(
+    documents: DataFrame,
+    a_filter: Column,
+    b_filter: Column | None = None,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term distribution drift between two corpus slices — the
+    monitoring dial a continuous-ingestion pipeline reads to catch a
+    source going off-distribution (new epoch vs accepted corpus, one
+    source vs the rest, this week vs last week).
+
+    For each term, compares its rate in slice A (rows matching
+    ``a_filter``) against slice B (``b_filter``, default NOT A) and
+    ranks terms by their exact total-variation contribution
+    ``|tf_a * total_b - tf_b * total_a|`` — the |p_a - p_b| numerator
+    over the common denominator ``total_a * total_b``, kept as exact
+    DECIMAL(38,0) integer arithmetic (a float p_a - p_b loses the
+    low-rate terms to cancellation; a log-ratio hangs on transcendental
+    ulps — the same reason the LM family quantizes, SCALE.md). Returns
+    the top-``top_k`` drifting terms:
+    ``(rank, term, tf_a, tf_b, rate_a_ppm, rate_b_ppm, drift_num)``
+    with per-slice rates floor-quantized to ppm.
+
+    100 TB shape: ONE shuffled pass over the token stream — the slice
+    flag is projected per document and the two counts are conditional
+    aggregates in the same ``groupBy(term)`` (map-side combined), so
+    drift costs the same shuffle as a plain vocabulary count; the two
+    totals are counted at the DOCUMENT grain (map-only
+    ``sum(size(tokens))`` per slice — never a second term shuffle) and
+    ride in as one broadcast 1-row frame; the final ranking is
+    ``row_number() <= top_k``, which limit pushdown rewrites into
+    ``TakeOrderedAndProject`` below the rank window (per-task top-k
+    heaps, no global vocabulary sort). Use :func:`corpus_drift` for
+    the scalar distance.
+    """
+    from pyspark.sql import Window
+
+    if b_filter is None:
+        b_filter = ~a_filter
+    flagged = documents.select(
+        text_col, a_filter.alias("_a"), b_filter.alias("_b")
+    ).filter(F.col("_a") | F.col("_b"))
+    staged = _stage_tokens(flagged, text_col, "_a", "_b")
+    terms = staged.select(
+        F.explode("_toks").alias("term"), "_a", "_b"
+    ).filter(F.length("term") > 0)
+    tf = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("tf_a"),
+        F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("tf_b"),
+    )
+    totals = _slice_token_totals(staged)
+    scored = tf.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "tf_a",
+        "tf_b",
+        F.abs(
+            F.col("tf_a").cast("decimal(38,0)") * F.col("total_b")
+            - F.col("tf_b").cast("decimal(38,0)") * F.col("total_a")
+        )
+        .cast("decimal(38,0)")
+        .alias("drift_num"),
+        F.floor(
+            (F.col("tf_a").cast("decimal(38,0)") * F.lit(1000000))
+            .cast("decimal(38,0)")
+            / F.col("total_a")
+        )
+        .cast("bigint")
+        .alias("rate_a_ppm"),
+        F.floor(
+            (F.col("tf_b").cast("decimal(38,0)") * F.lit(1000000))
+            .cast("decimal(38,0)")
+            / F.col("total_b")
+        )
+        .cast("bigint")
+        .alias("rate_b_ppm"),
+    )
+    w = Window.orderBy(F.desc("drift_num"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf_a").cast("bigint").alias("tf_a"),
+            F.col("tf_b").cast("bigint").alias("tf_b"),
+            "rate_a_ppm",
+            "rate_b_ppm",
+            "drift_num",
+        )
+    )
+
+
+def corpus_drift(
+    documents: DataFrame,
+    a_filter: Column,
+    b_filter: Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Scalar total-variation distance between the term distributions of
+    two corpus slices: ``TVD = 1/2 * sum_t |p_a(t) - p_b(t)|`` — the
+    one-number alert threshold over :func:`term_drift`'s per-term view
+    (0 = identical distributions, 1 = disjoint vocabularies).
+
+    Exact integer arithmetic end to end: the sum of
+    ``|tf_a * total_b - tf_b * total_a|`` over all terms divided by
+    ``2 * total_a * total_b``, emitted floor-quantized as ``tvd_ppm``
+    (BIGINT) next to the raw totals — no float summation order to
+    drift, no rounding rule to diverge, so the alert dial is
+    bit-reproducible across engines and partitionings.
+
+    100 TB shape: the same single shuffled token-stream pass as
+    :func:`term_drift` (one map-side-combined ``groupBy(term)``; the
+    totals come from the map-only document-grain count), then one
+    1-row reduce over distinct types.
+    """
+    if b_filter is None:
+        b_filter = ~a_filter
+    flagged = documents.select(
+        text_col, a_filter.alias("_a"), b_filter.alias("_b")
+    ).filter(F.col("_a") | F.col("_b"))
+    staged = _stage_tokens(flagged, text_col, "_a", "_b")
+    terms = staged.select(
+        F.explode("_toks").alias("term"), "_a", "_b"
+    ).filter(F.length("term") > 0)
+    tf = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("tf_a"),
+        F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("tf_b"),
+    )
+    totals = _slice_token_totals(staged)
+    num = tf.crossJoin(F.broadcast(totals)).select(
+        F.abs(
+            F.col("tf_a").cast("decimal(38,0)") * F.col("total_b")
+            - F.col("tf_b").cast("decimal(38,0)") * F.col("total_a")
+        ).alias("_n"),
+        F.when(F.col("tf_a") > 0, 1).otherwise(0).alias("_ia"),
+        F.when(F.col("tf_b") > 0, 1).otherwise(0).alias("_ib"),
+        "total_a",
+        "total_b",
+    )
+    return num.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("_ia").cast("bigint").alias("n_terms_a"),
+        F.sum("_ib").cast("bigint").alias("n_terms_b"),
+        F.max(F.col("total_a")).cast("bigint").alias("total_a"),
+        F.max(F.col("total_b")).cast("bigint").alias("total_b"),
+        F.floor(
+            (F.sum("_n").cast("decimal(38,0)") * F.lit(500000))
+            .cast("decimal(38,0)")
+            / (F.max(F.col("total_a")) * F.max(F.col("total_b"))).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("bigint")
+        .alias("tvd_ppm"),
+    )

@@ -893,3 +893,45 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(
         table(spark, sf_dir, "documents"), threshold=_CONTAINMENT_T
     )
+
+
+_SNAPSHOT_ORACLE = """
+WITH o AS (
+  SELECT doc_id, md5(text) AS old_digest
+  FROM documents WHERE doc_id % 7 <> 0
+),
+n AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)
+           AS new_digest
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_digest IS NULL THEN 'added'
+            WHEN n.new_digest IS NULL THEN 'removed'
+            WHEN o.old_digest <> n.new_digest THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_digest, n.new_digest
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+@register("dedup_snapshot_diff", oracle=_SNAPSHOT_ORACLE)
+def dedup_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-level added/removed/changed/unchanged diff between two
+    deterministically derived corpus snapshots (old = doc_id % 7 != 0;
+    new = doc_id % 5 != 0 with every third doc's text revised) — the
+    data-versioning primitive for incremental reprocessing."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.corpus_snapshot_diff(old, new)

@@ -648,6 +648,36 @@ def _register_text_corpus_stats() -> None:
             "CAST(rk AS BIGINT) AS n3, score AS v1, "
             "CAST(NULL AS DOUBLE) AS v2",
         ),
+        (
+            # slot reuse: source <- term, lang <- total_tf (as text),
+            # n_docs <- rank, n2 <- tf, n3 <- cum_tf, v1 <- cum_ppm,
+            # v2 <- in_vocab as 0/1
+            "text_vocab_coverage",
+            "'vocab_coverage' AS shape, term AS source, "
+            "CAST(total_tf AS VARCHAR) AS lang, CAST(rank AS BIGINT) "
+            "AS n_docs, tf AS n2, cum_tf AS n3, "
+            "CAST(cum_ppm AS DOUBLE) AS v1, "
+            "CAST(CASE WHEN in_vocab THEN 1 ELSE 0 END AS DOUBLE) AS v2",
+        ),
+        (
+            # slot reuse: source <- term, lang <- drift_num (as text),
+            # n_docs <- rank, n2 <- tf_a, n3 <- tf_b, v1/v2 <- rate ppms
+            "text_term_drift",
+            "'term_drift' AS shape, term AS source, "
+            "CAST(drift_num AS VARCHAR) AS lang, CAST(rank AS BIGINT) "
+            "AS n_docs, tf_a AS n2, tf_b AS n3, "
+            "CAST(rate_a_ppm AS DOUBLE) AS v1, "
+            "CAST(rate_b_ppm AS DOUBLE) AS v2",
+        ),
+        (
+            # slot reuse: n_docs <- n_terms, n2/n3 <- slice totals,
+            # v1 <- tvd_ppm, v2 <- packed per-slice type counts
+            "text_corpus_drift",
+            "'corpus_drift' AS shape, CAST(NULL AS VARCHAR) AS source, "
+            "CAST(NULL AS VARCHAR) AS lang, n_terms AS n_docs, "
+            "total_a AS n2, total_b AS n3, CAST(tvd_ppm AS DOUBLE) AS v1, "
+            "CAST(n_terms_a * 1000000 + n_terms_b AS DOUBLE) AS v2",
+        ),
     ]
 
     @register("text_corpus_stats", oracle=_union_oracle(parts))
@@ -655,9 +685,12 @@ def _register_text_corpus_stats() -> None:
         """Tagged union of the per-(source, lang) dataset-card rollup,
         the corpus vocabulary summary, the train-on-slice LM scores
         (model trained on every 7th doc, the rest scored with add-1
-        backoff — the real CCNet shape), and the per-document top-3
-        tf-idf keywords (members: text_corpus_composition,
-        text_vocab_stats, text_lm_heldout, text_tfidf_keywords)."""
+        backoff — the real CCNet shape), the per-document top-3
+        tf-idf keywords, the 90%-mass vocabulary head, and the
+        en-vs-rest term-drift views (per-term top-50 and the scalar
+        TVD dial) (members: text_corpus_composition, text_vocab_stats,
+        text_lm_heldout, text_tfidf_keywords, text_vocab_coverage,
+        text_term_drift, text_corpus_drift)."""
         comp = _q("text_corpus_composition")(spark, sf_dir).select(
             F.lit("composition").alias("shape"),
             "source",
@@ -698,7 +731,42 @@ def _register_text_corpus_stats() -> None:
             F.col("score").alias("v1"),
             _null("v2", "double"),
         )
-        return _union_spark([comp, voc, lmh, tk])
+        vc = _q("text_vocab_coverage")(spark, sf_dir).select(
+            F.lit("vocab_coverage").alias("shape"),
+            F.col("term").alias("source"),
+            F.col("total_tf").cast("string").alias("lang"),
+            F.col("rank").cast("bigint").alias("n_docs"),
+            F.col("tf").alias("n2"),
+            F.col("cum_tf").alias("n3"),
+            F.col("cum_ppm").cast("double").alias("v1"),
+            F.when(F.col("in_vocab"), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("v2"),
+        )
+        td = _q("text_term_drift")(spark, sf_dir).select(
+            F.lit("term_drift").alias("shape"),
+            F.col("term").alias("source"),
+            F.col("drift_num").cast("string").alias("lang"),
+            F.col("rank").cast("bigint").alias("n_docs"),
+            F.col("tf_a").alias("n2"),
+            F.col("tf_b").alias("n3"),
+            F.col("rate_a_ppm").cast("double").alias("v1"),
+            F.col("rate_b_ppm").cast("double").alias("v2"),
+        )
+        cd = _q("text_corpus_drift")(spark, sf_dir).select(
+            F.lit("corpus_drift").alias("shape"),
+            _null("source", "string"),
+            _null("lang", "string"),
+            F.col("n_terms").alias("n_docs"),
+            F.col("total_a").alias("n2"),
+            F.col("total_b").alias("n3"),
+            F.col("tvd_ppm").cast("double").alias("v1"),
+            (
+                F.col("n_terms_a").cast("double") * 1000000.0
+                + F.col("n_terms_b").cast("double")
+            ).alias("v2"),
+        )
+        return _union_spark([comp, voc, lmh, tk, vc, td, cd])
 
 
 # ---------------------------------------------------------------------------
@@ -2120,6 +2188,17 @@ def _register_incremental_suite() -> None:
             "dedup_intra_batch_capped",
             "'intra_batch_star_capped' AS shape, doc_id, dup_of, kind, jaccard",
         ),
+        (
+            # slot reuse: kind <- status; jaccard <- the sum of the two
+            # digests' leading-8-hex values (pins both digest columns —
+            # each < 2^32, the sum is double-exact)
+            "dedup_snapshot_diff",
+            "'snapshot' AS shape, doc_id, CAST(NULL AS BIGINT) AS dup_of, "
+            "status AS kind, "
+            "CAST(('0x' || substr(COALESCE(old_digest, '0'), 1, 8))::BIGINT "
+            "+ ('0x' || substr(COALESCE(new_digest, '0'), 1, 8))::BIGINT "
+            "AS DOUBLE) AS jaccard",
+        ),
     ]
 
     @register("dedup_incremental_suite", oracle=_union_oracle(parts))
@@ -2131,9 +2210,37 @@ def _register_incremental_suite() -> None:
         bounded r6: linear digest-group exact layer + rep-only banding)
         and the ACTIVE-cap star variant (dedup_intra_batch_capped —
         max_bucket=2 fires on fixture buckets, value-pinning the
-        hot-bucket degradation of the ingest gate itself)."""
+        hot-bucket degradation of the ingest gate itself), plus the
+        snapshot data-versioning diff (dedup_snapshot_diff —
+        added/removed/changed/unchanged between two derived corpus
+        versions; both digest columns pinned via their leading-8-hex
+        sum in the jaccard slot)."""
         sel = lambda tag, df: df.select(
             F.lit(tag).alias("shape"), "doc_id", "dup_of", "kind", "jaccard"
+        )
+        snap = _q("dedup_snapshot_diff")(spark, sf_dir).select(
+            F.lit("snapshot").alias("shape"),
+            "doc_id",
+            _null("dup_of", "bigint"),
+            F.col("status").alias("kind"),
+            (
+                F.conv(
+                    F.substring(
+                        F.coalesce(F.col("old_digest"), F.lit("0")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                + F.conv(
+                    F.substring(
+                        F.coalesce(F.col("new_digest"), F.lit("0")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+            )
+            .cast("double")
+            .alias("jaccard"),
         )
         return _union_spark(
             [
@@ -2143,6 +2250,7 @@ def _register_incremental_suite() -> None:
                     "intra_batch_star_capped",
                     _q("dedup_intra_batch_capped")(spark, sf_dir),
                 ),
+                snap,
             ]
         )
 

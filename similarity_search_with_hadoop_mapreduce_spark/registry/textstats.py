@@ -726,3 +726,128 @@ def text_lm_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lm_score_from_model(
         docs.filter(docs.doc_id % 7 != 0), prefix="oracle_lm_model"
     )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="WITH "
+    + TOKENS_CTE
+    + """
+, terms AS (SELECT unnest(tok) AS term FROM tokens),
+tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms WHERE length(term) > 0 GROUP BY term
+),
+tot AS (SELECT CAST(sum(tf) AS HUGEINT) AS total_tf FROM tf),
+head AS (
+  SELECT term, tf,
+         row_number() OVER (ORDER BY tf DESC, term) AS rank,
+         CAST(sum(tf) OVER (ORDER BY tf DESC, term
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+           AS cum_tf
+  FROM tf
+)
+SELECT CAST(rank AS INTEGER) AS rank, term, tf,
+       CAST(cum_tf AS BIGINT) AS cum_tf,
+       CAST(total_tf AS BIGINT) AS total_tf,
+       CAST(cum_tf * 1000000 // total_tf AS BIGINT) AS cum_ppm,
+       ((cum_tf - tf) * 1000000 < 900000 * total_tf) AS in_vocab
+FROM head CROSS JOIN tot
+WHERE rank <= 200
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal 90%-token-mass vocabulary head (tokenizer-vocab step):
+    WindowGroupLimit head selection, integer-exact coverage booleans."""
+    return T.vocab_coverage(
+        table(spark, sf_dir, "documents"), coverage_ppm=900000, max_vocab=200
+    )
+
+
+_DRIFT_TF_CTE = (
+    TOKENS_CTE
+    + """
+, flags AS (
+  SELECT t.doc_id, t.tok, (d.lang = 'en') AS a
+  FROM tokens t JOIN documents d USING (doc_id)
+),
+dterms AS (SELECT unnest(tok) AS term, a FROM flags),
+dtf AS (
+  SELECT term,
+         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS tf_a,
+         CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS tf_b
+  FROM dterms WHERE length(term) > 0 GROUP BY term
+),
+dtot AS (
+  SELECT CAST(sum(tf_a) AS HUGEINT) AS total_a,
+         CAST(sum(tf_b) AS HUGEINT) AS total_b
+  FROM dtf
+)
+"""
+)
+
+
+@register(
+    "text_term_drift",
+    oracle="WITH "
+    + _DRIFT_TF_CTE
+    + """
+, scored AS (
+  SELECT term, tf_a, tf_b,
+         abs(CAST(tf_a AS HUGEINT) * total_b
+             - CAST(tf_b AS HUGEINT) * total_a) AS drift_num,
+         CAST(CAST(tf_a AS HUGEINT) * 1000000 // total_a AS BIGINT)
+           AS rate_a_ppm,
+         CAST(CAST(tf_b AS HUGEINT) * 1000000 // total_b AS BIGINT)
+           AS rate_b_ppm
+  FROM dtf CROSS JOIN dtot
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY drift_num DESC, term) AS rank
+  FROM scored
+)
+SELECT CAST(rank AS INTEGER) AS rank, term, tf_a, tf_b,
+       rate_a_ppm, rate_b_ppm,
+       CAST(drift_num AS DECIMAL(38,0)) AS drift_num
+FROM ranked WHERE rank <= 50
+""",
+)
+def text_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 drifting terms between the 'en' slice and the rest —
+    exact integer total-variation numerators (one token-stream pass)."""
+    return T.term_drift(
+        table(spark, sf_dir, "documents"),
+        F.col("lang") == F.lit("en"),
+        top_k=50,
+    )
+
+
+@register(
+    "text_corpus_drift",
+    oracle="WITH "
+    + _DRIFT_TF_CTE
+    + """
+, num AS (
+  SELECT abs(CAST(tf_a AS HUGEINT) * total_b
+             - CAST(tf_b AS HUGEINT) * total_a) AS n,
+         CASE WHEN tf_a > 0 THEN 1 ELSE 0 END AS ia,
+         CASE WHEN tf_b > 0 THEN 1 ELSE 0 END AS ib,
+         total_a, total_b
+  FROM dtf CROSS JOIN dtot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(ia) AS BIGINT) AS n_terms_a,
+       CAST(sum(ib) AS BIGINT) AS n_terms_b,
+       CAST(max(total_a) AS BIGINT) AS total_a,
+       CAST(max(total_b) AS BIGINT) AS total_b,
+       CAST(sum(n) * 500000 // (max(total_a) * max(total_b)) AS BIGINT)
+         AS tvd_ppm
+FROM num
+""",
+)
+def text_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar total-variation distance (ppm) between the 'en' slice's
+    and the rest's term distributions — the drift alert dial."""
+    return T.corpus_drift(
+        table(spark, sf_dir, "documents"), F.col("lang") == F.lit("en")
+    )

@@ -989,3 +989,28 @@ def test_ngram_containment_catches_embedded_doc(spark):
     assert [(r.doc_a, r.doc_b, r.containment) for r in cont] == [(1, 2, 1.0)]
     jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert jac == []  # Jaccard misses the embedding entirely
+
+
+def test_corpus_snapshot_diff_statuses(spark):
+    """All four statuses on a hand-built pair of snapshots; the
+    include_unchanged=False mode drops exactly the unchanged mass."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        corpus_snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in corpus_snapshot_diff(old, new).collect()}
+    assert rows[1].status == "unchanged"
+    assert rows[2].status == "changed"
+    assert rows[3].status == "removed" and rows[3].new_digest is None
+    assert rows[4].status == "added" and rows[4].old_digest is None
+    assert rows[2].old_digest != rows[2].new_digest
+    filtered = corpus_snapshot_diff(old, new, include_unchanged=False)
+    assert {r.doc_id for r in filtered.collect()} == {2, 3, 4}

@@ -682,3 +682,125 @@ def test_lm_score_from_model_equals_inline_heldout(spark):
         map(tuple, lm_score_from_model(score_slice, prefix="t_lm_model").collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_vocab_coverage_minimal_prefix_and_exact_ppm(spark):
+    """The in-vocab set is exactly the smallest frequency-head prefix
+    reaching the ppm target; cum_ppm is the floor of an exact rational."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    # term mass: a=5, b=3, c=2 (total 10)
+    docs = spark.createDataFrame(
+        [(1, "a a a b b"), (2, "a a b c c")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.term: r
+        for r in vocab_coverage(docs, coverage_ppm=700000, max_vocab=10).collect()
+    }
+    assert rows["a"].rank == 1 and rows["a"].tf == 5 and rows["a"].cum_tf == 5
+    assert rows["b"].rank == 2 and rows["b"].cum_tf == 8
+    assert rows["c"].rank == 3 and rows["c"].cum_tf == 10
+    assert rows["a"].total_tf == 10
+    assert rows["a"].cum_ppm == 500000
+    assert rows["b"].cum_ppm == 800000
+    assert rows["c"].cum_ppm == 1000000
+    # 70% target: a alone (50%) is not enough, a+b (80%) reaches it —
+    # c starts at 80% >= 70%, so exactly {a, b} is in-vocab
+    assert rows["a"].in_vocab and rows["b"].in_vocab and not rows["c"].in_vocab
+    # boundary: target exactly at a prefix boundary (80%) — b is still
+    # included (mass BEFORE b is 50% < 80%), c is not (80% >= 80%)
+    rows8 = {
+        r.term: r
+        for r in vocab_coverage(docs, coverage_ppm=800000, max_vocab=10).collect()
+    }
+    assert rows8["b"].in_vocab and not rows8["c"].in_vocab
+
+
+def test_vocab_coverage_tie_break_and_head_limit_plan(spark):
+    """Equal-tf terms rank term-ascending; the head filter is pushed
+    below the rank window as TakeOrderedAndProject (per-task top-k
+    heaps — no global sort of the vocabulary), and the term-count
+    shuffle runs exactly once (totals come from the map-only
+    document-grain count, not a second term aggregation)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "zed apple zed apple mango")], "doc_id long, text string"
+    )
+    out = vocab_coverage(docs, max_vocab=2)
+    rows = out.collect()
+    assert [(r.rank, r.term) for r in sorted(rows, key=lambda r: r.rank)] == [
+        (1, "apple"),
+        (2, "zed"),
+    ]  # tf tie at 2 -> term asc; mango (tf 1) cut by max_vocab
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # a finalized AQE plan prints Final + Initial sections — count only one
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject(limit=2" in plan, plan
+    # exactly one explode + one term exchange: the doc-grain total
+    # neither re-explodes the tokens nor re-shuffles the term counts
+    assert plan.count("Generate explode") == 1, plan
+    assert plan.count("Exchange hashpartitioning(term") == 1, plan
+
+
+def test_term_drift_exact_numerators_and_rates(spark):
+    """Hand-computed TVD numerators |tf_a*total_b - tf_b*total_a| and
+    floor-ppm rates on a two-slice toy corpus."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        corpus_drift,
+        term_drift,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y", "a"),
+            (2, "x y y y", "b"),
+        ],
+        "doc_id long, text string, grp string",
+    )
+    rows = {
+        r.term: r
+        for r in term_drift(docs, F.col("grp") == "a", top_k=10).collect()
+    }
+    # slice a: x=2 y=1 (total 3); slice b: x=1 y=3 (total 4)
+    assert rows["x"].tf_a == 2 and rows["x"].tf_b == 1
+    assert int(rows["x"].drift_num) == abs(2 * 4 - 1 * 3)  # 5
+    assert int(rows["y"].drift_num) == abs(1 * 4 - 3 * 3)  # 5
+    assert rows["x"].rate_a_ppm == 2 * 1000000 // 3
+    assert rows["x"].rate_b_ppm == 1000000 // 4
+    # tie on drift_num -> term-asc rank
+    assert rows["x"].rank == 1 and rows["y"].rank == 2
+    cd = corpus_drift(docs, F.col("grp") == "a").collect()[0]
+    # TVD = (5 + 5) / (2 * 3 * 4) = 10/24 -> floor ppm 416666
+    assert cd.tvd_ppm == 10 * 500000 // 12
+    assert cd.n_terms == 2 and cd.total_a == 3 and cd.total_b == 4
+
+
+def test_corpus_drift_extremes(spark):
+    """Identical distributions -> 0 ppm; disjoint vocabularies -> 1e6."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        corpus_drift,
+    )
+
+    same = spark.createDataFrame(
+        [(1, "p q", "a"), (2, "p q", "b")],
+        "doc_id long, text string, grp string",
+    )
+    assert corpus_drift(same, F.col("grp") == "a").collect()[0].tvd_ppm == 0
+    disjoint = spark.createDataFrame(
+        [(1, "p p", "a"), (2, "q r", "b")],
+        "doc_id long, text string, grp string",
+    )
+    assert (
+        corpus_drift(disjoint, F.col("grp") == "a").collect()[0].tvd_ppm
+        == 1000000
+    )
