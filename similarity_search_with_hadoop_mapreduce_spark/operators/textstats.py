@@ -1348,6 +1348,24 @@ def gopher_pass_filter(
     )
 
 
+def _drop_model_tables(spark, *names: str) -> None:
+    """DROP each table AND delete its (possibly stale) warehouse
+    location: a table directory can outlive the catalog entry (a fresh
+    session over an old warehouse), and saveAsTable would then die on
+    LOCATION_ALREADY_EXISTS."""
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        jvm = spark.sparkContext._jvm
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{wh}/{t}")
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+
+
 def save_lm_model(
     documents: DataFrame,
     prefix: str = "lm_model",
@@ -1368,21 +1386,7 @@ def save_lm_model(
     )
 
     spark = documents.sparkSession
-    for t in (f"{prefix}_bigrams", f"{prefix}_uni", f"{prefix}_meta"):
-        # A table directory can outlive the catalog entry (a fresh
-        # session over an old warehouse): DROP clears the live entry,
-        # then the stale location is deleted through the Hadoop FS so
-        # saveAsTable never dies on LOCATION_ALREADY_EXISTS.
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        jvm = spark.sparkContext._jvm
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        jpath = jvm.org.apache.hadoop.fs.Path(f"{wh}/{t}")
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        fs = jpath.getFileSystem(hconf)
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
+    _drop_model_tables(spark, f"{prefix}_bigrams", f"{prefix}_uni", f"{prefix}_meta")
 
     staged = _stage_tokens(documents, text_col, "doc_id")
     pairs = staged.select(
@@ -1761,4 +1765,148 @@ def corpus_drift(
         )
         .cast("bigint")
         .alias("tvd_ppm"),
+    )
+
+
+def save_term_profile(
+    documents: DataFrame,
+    prefix: str = "term_profile",
+    text_col: str = "text",
+) -> None:
+    """Persist the reference term distribution :func:`corpus_drift`
+    compares against — the stored-model half of drift monitoring at
+    ingest (the same build-once / probe-per-epoch lifecycle as the
+    dedup index and the stored bigram LM): two tables under ``prefix``
+    — ``{prefix}_terms`` (term, tf; bucketed by term so a per-epoch
+    probe join co-locates) and ``{prefix}_meta`` (1 row: total_tf and
+    n_terms). Profiling cost is paid once over the accepted corpus; an
+    epoch drifts against the FROZEN profile — no re-aggregation of the
+    corpus inside the streaming loop."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.skew import (
+        write_bucketed,
+    )
+
+    spark = documents.sparkSession
+    _drop_model_tables(spark, f"{prefix}_terms", f"{prefix}_meta")
+
+    staged = _stage_tokens(documents, text_col, "doc_id")
+    tf = (
+        staged.select(F.explode("_toks").alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    write_bucketed(tf, f"{prefix}_terms", "term")
+    spark.read.table(f"{prefix}_terms").groupBy().agg(
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+
+
+def drift_from_profile(
+    batch: DataFrame,
+    prefix: str = "term_profile",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scalar total-variation distance of a batch's term distribution
+    vs a STORED :func:`save_term_profile` — the per-epoch drift dial of
+    the continuous-ingestion loop ("is this epoch's text still the
+    distribution the corpus was accepted under?").
+
+    Same exact-integer TVD as :func:`corpus_drift` (batch = slice A,
+    profile = slice B), with one scale-critical difference: terms the
+    batch does NOT contain are never scanned per term. Their combined
+    numerator is analytic —
+
+        sum_{t: tf_batch(t)=0} |0 * T_p - tf_p(t) * T_b|
+          = (T_p - sum over matched tf_p) * T_b
+
+    — so the probe is ONE aggregation of the batch's token stream plus
+    one join of the batch's distinct terms against the bucketed profile
+    (batch side broadcasts, profile side co-located, never shuffled)
+    plus the 1-row meta read. Per-epoch cost is O(epoch), independent
+    of the profile's vocabulary mass. Returns 1 row:
+    ``(n_batch_terms, matched_terms, total_batch, total_profile,
+    tvd_ppm)`` — all exact DECIMAL/BIGINT arithmetic, floor-ppm
+    emission, bit-stable across engines (pinned against the direct
+    full-outer oracle, which computes the complement the brute way).
+    """
+    spark = batch.sparkSession
+    staged = _stage_tokens(batch, text_col, "doc_id")
+    tf_b = (
+        staged.select(F.explode("_toks").alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf_b"))
+    )
+    total_b = staged.select(
+        F.coalesce(
+            F.sum(F.size(F.filter(F.col("_toks"), lambda t: F.length(t) > 0))),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("total_b")
+    )
+    prof = spark.read.table(f"{prefix}_terms").select(
+        "term", F.col("tf").alias("tf_p")
+    )
+    meta = spark.read.table(f"{prefix}_meta").select(
+        F.col("total_tf").cast("decimal(38,0)").alias("total_p"),
+        F.col("n_terms").alias("n_profile_terms"),
+    )
+    joined = (
+        tf_b.join(prof, "term", "left")
+        .crossJoin(F.broadcast(total_b))
+        .crossJoin(F.broadcast(meta))
+    )
+    agg = joined.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch_terms"),
+        F.coalesce(
+            F.sum(F.when(F.col("tf_p").isNotNull(), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("matched_terms"),
+        F.coalesce(
+            F.sum(
+                F.abs(
+                    F.col("tf_b").cast("decimal(38,0)") * F.col("total_p")
+                    - F.coalesce(F.col("tf_p"), F.lit(0)).cast("decimal(38,0)")
+                    * F.col("total_b")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("_matched_num"),
+        F.coalesce(F.sum(F.coalesce(F.col("tf_p"), F.lit(0))), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("_matched_tf_p"),
+    )
+    # re-attach the authoritative 1-row totals AFTER the aggregation: a
+    # token-less batch makes `joined` empty, so a max() over its rows
+    # would report NULL totals instead of (0, the profile's real mass)
+    agg = agg.crossJoin(F.broadcast(total_b)).crossJoin(F.broadcast(meta))
+    # unmatched-profile-term complement, computed analytically:
+    # (T_p - matched tf_p) * T_b — never a scan of the unmatched terms
+    return agg.select(
+        "n_batch_terms",
+        "matched_terms",
+        F.col("total_b").cast("bigint").alias("total_batch"),
+        F.col("total_p").cast("bigint").alias("total_profile"),
+        # a token-less batch (or profile) has no distribution to compare
+        # — emit NULL rather than divide by zero (ANSI mode errors)
+        F.when(
+            (F.col("total_p") > 0) & (F.col("total_b") > 0),
+            F.floor(
+                (
+                    (
+                        F.col("_matched_num")
+                        + (F.col("total_p") - F.col("_matched_tf_p"))
+                        * F.col("total_b")
+                    ).cast("decimal(38,0)")
+                    * F.lit(500000)
+                ).cast("decimal(38,0)")
+                / (F.col("total_p") * F.col("total_b")).cast("decimal(38,0)")
+            ).cast("bigint"),
+        ).alias("tvd_ppm"),
     )

@@ -678,6 +678,16 @@ def _register_text_corpus_stats() -> None:
             "total_a AS n2, total_b AS n3, CAST(tvd_ppm AS DOUBLE) AS v1, "
             "CAST(n_terms_a * 1000000 + n_terms_b AS DOUBLE) AS v2",
         ),
+        (
+            # slot reuse: n_docs <- n_batch_terms, n2/n3 <- totals,
+            # v1 <- tvd_ppm, v2 <- matched_terms
+            "text_drift_stored",
+            "'drift_stored' AS shape, CAST(NULL AS VARCHAR) AS source, "
+            "CAST(NULL AS VARCHAR) AS lang, n_batch_terms AS n_docs, "
+            "total_batch AS n2, total_profile AS n3, "
+            "CAST(tvd_ppm AS DOUBLE) AS v1, "
+            "CAST(matched_terms AS DOUBLE) AS v2",
+        ),
     ]
 
     @register("text_corpus_stats", oracle=_union_oracle(parts))
@@ -686,11 +696,14 @@ def _register_text_corpus_stats() -> None:
         the corpus vocabulary summary, the train-on-slice LM scores
         (model trained on every 7th doc, the rest scored with add-1
         backoff — the real CCNet shape), the per-document top-3
-        tf-idf keywords, the 90%-mass vocabulary head, and the
-        en-vs-rest term-drift views (per-term top-50 and the scalar
-        TVD dial) (members: text_corpus_composition, text_vocab_stats,
-        text_lm_heldout, text_tfidf_keywords, text_vocab_coverage,
-        text_term_drift, text_corpus_drift)."""
+        tf-idf keywords, the 90%-mass vocabulary head, the en-vs-rest
+        term-drift views (per-term top-50 and the scalar TVD dial), and
+        the STORED-profile drift probe (even-doc profile persisted via
+        save_term_profile, odd docs drifted against the frozen tables —
+        the streaming loop's drift_monitor path) (members:
+        text_corpus_composition, text_vocab_stats, text_lm_heldout,
+        text_tfidf_keywords, text_vocab_coverage, text_term_drift,
+        text_corpus_drift, text_drift_stored)."""
         comp = _q("text_corpus_composition")(spark, sf_dir).select(
             F.lit("composition").alias("shape"),
             "source",
@@ -766,7 +779,17 @@ def _register_text_corpus_stats() -> None:
                 + F.col("n_terms_b").cast("double")
             ).alias("v2"),
         )
-        return _union_spark([comp, voc, lmh, tk, vc, td, cd])
+        ds = _q("text_drift_stored")(spark, sf_dir).select(
+            F.lit("drift_stored").alias("shape"),
+            _null("source", "string"),
+            _null("lang", "string"),
+            F.col("n_batch_terms").alias("n_docs"),
+            F.col("total_batch").alias("n2"),
+            F.col("total_profile").alias("n3"),
+            F.col("tvd_ppm").cast("double").alias("v1"),
+            F.col("matched_terms").cast("double").alias("v2"),
+        )
+        return _union_spark([comp, voc, lmh, tk, vc, td, cd, ds])
 
 
 # ---------------------------------------------------------------------------

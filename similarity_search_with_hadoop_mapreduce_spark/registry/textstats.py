@@ -851,3 +851,65 @@ def text_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.corpus_drift(
         table(spark, sf_dir, "documents"), F.col("lang") == F.lit("en")
     )
+
+
+@register(
+    "text_drift_stored",
+    oracle="WITH "
+    + TOKENS_CTE
+    + """
+, ptf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf_p
+  FROM (SELECT doc_id, unnest(tok) AS term FROM tokens) u
+  JOIN documents d USING (doc_id)
+  WHERE length(term) > 0 AND doc_id % 2 = 0
+  GROUP BY term
+),
+btf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf_b
+  FROM (SELECT doc_id, unnest(tok) AS term FROM tokens) u
+  JOIN documents d USING (doc_id)
+  WHERE length(term) > 0 AND doc_id % 2 = 1
+  GROUP BY term
+),
+tot AS (
+  SELECT (SELECT CAST(sum(tf_b) AS HUGEINT) FROM btf) AS total_b,
+         (SELECT CAST(sum(tf_p) AS HUGEINT) FROM ptf) AS total_p
+),
+-- the brute-force complement: full outer join over EVERY term of
+-- either side (the engine computes the unmatched-profile mass
+-- analytically; this oracle pins that algebra against the direct sum)
+allnum AS (
+  SELECT abs(CAST(COALESCE(b.tf_b, 0) AS HUGEINT) * total_p
+             - CAST(COALESCE(p.tf_p, 0) AS HUGEINT) * total_b) AS n
+  FROM btf b FULL OUTER JOIN ptf p ON b.term = p.term
+  CROSS JOIN tot
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM btf) AS n_batch_terms,
+       (SELECT CAST(count(*) AS BIGINT) FROM btf b
+        WHERE EXISTS (SELECT 1 FROM ptf p WHERE p.term = b.term))
+         AS matched_terms,
+       CAST(total_b AS BIGINT) AS total_batch,
+       CAST(total_p AS BIGINT) AS total_profile,
+       CAST((SELECT sum(n) FROM allnum) * 500000
+            // (total_p * total_b) AS BIGINT) AS tvd_ppm
+FROM tot
+""",
+)
+def text_drift_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-profile drift path under the full value-hash oracle:
+    the entry persists the even-doc slice's term profile
+    (save_term_profile, bucketed) and drifts the odd-doc slice against
+    the frozen tables (drift_from_profile). The engine never scans the
+    profile terms the batch lacks — their numerator mass is the
+    analytic complement (T_p - matched_tf_p) * T_b — while this oracle
+    computes the SAME total the brute way (full outer join over every
+    term of either side), so the gate pins the algebra, not just the
+    plumbing."""
+    docs = table(spark, sf_dir, "documents")
+    T.save_term_profile(
+        docs.filter(docs.doc_id % 2 == 0), prefix="oracle_term_profile"
+    )
+    return T.drift_from_profile(
+        docs.filter(docs.doc_id % 2 == 1), prefix="oracle_term_profile"
+    )

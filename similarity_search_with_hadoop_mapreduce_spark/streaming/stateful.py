@@ -261,6 +261,7 @@ def streaming_curation_loop_demo(
     compact_every: int | None = None,
     rule_gate: dict | None = None,
     lm_gate: tuple[str, float] | None = None,
+    drift_monitor: tuple[str, int] | None = None,
 ) -> None:
     """The CLOSED continuous-curation loop in one streaming artifact:
     per epoch, incoming documents are probed against the stored dedup
@@ -316,8 +317,24 @@ def streaming_curation_loop_demo(
     BEFORE the dedup probe — model-based filtering at ingest without
     retraining inside the loop (gate order: rules, then LM, then
     dedup — cheapest first). Scores are the deterministic
-    quantized-decimal kind, so crash-replay reproduces the kept set."""
+    quantized-decimal kind, so crash-replay reproduces the kept set.
+
+    ``drift_monitor``: ``(profile_prefix, alert_tvd_ppm)`` — when set,
+    each epoch's RAW term distribution (before any gate: the dial
+    answers "what is arriving", including what the gates then reject)
+    is drifted against the FROZEN stored term profile
+    (:func:`operators.textstats.save_term_profile` built once,
+    batch-side; probed via
+    :func:`operators.textstats.drift_from_profile` — O(epoch), the
+    profile is never re-aggregated) and a 1-row record
+    ``(epoch, ..., tvd_ppm, over_ceiling)`` lands in
+    ``{out_dir}_drift_log`` epoch-partitioned with dynamic overwrite —
+    crash-replay overwrites its own record, never duplicates it. The
+    monitor OBSERVES, it does not gate: dropping a whole epoch on
+    distribution shift is an operator decision, and the record is the
+    evidence."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        drift_from_profile,
         gopher_pass_filter,
         lm_score_from_model,
     )
@@ -336,6 +353,19 @@ def streaming_curation_loop_demo(
     )
 
     def curate_epoch(batch_df, epoch_id: int) -> None:
+        if drift_monitor is not None:
+            profile_prefix, alert_tvd_ppm = drift_monitor
+            (
+                drift_from_profile(batch_df, prefix=profile_prefix)
+                .withColumn(
+                    "over_ceiling", F.col("tvd_ppm") > alert_tvd_ppm
+                )
+                .withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(f"{out_dir}_drift_log")
+            )
         if rule_gate is not None:
             # map-only: staged projection + filter, no join, one scan
             batch_df = gopher_pass_filter(batch_df, **rule_gate)

@@ -619,3 +619,56 @@ def test_streaming_curation_loop_lm_gate(spark, tmp_path):
         for r in spark.table("loop_dedup_index_digest").select("dup_of").collect()
     }
     assert 701 not in idx_ids and 700 in idx_ids
+
+
+def test_streaming_curation_loop_drift_monitor(spark, tmp_path):
+    """With drift_monitor set, every epoch lands exactly one drift
+    record against the FROZEN term profile — in-distribution epochs
+    under the ceiling, an off-distribution epoch over it — and the
+    monitor only observes: the off-distribution docs are still
+    accepted."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        save_term_profile,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_curation_loop_demo,
+    )
+
+    common = "the rivers and lakes of the northern mountain valleys flow east"
+    corpus = spark.createDataFrame(
+        [(i, common) for i in range(1, 6)], "doc_id long, text string"
+    )
+    save_term_profile(corpus, prefix="loop_term_profile")
+    build_dedup_index(corpus.limit(1), prefix="loop_dedup_index")
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    # epoch of in-distribution text, then an off-distribution epoch
+    spark.createDataFrame(
+        [(800, "the rivers and lakes of the northern mountain valleys")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(inc / "e1"))
+    spark.createDataFrame(
+        [(801, "zx qv jj kk wq pz xx yy zz aa")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(inc / "e2"))
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
+    streaming_curation_loop_demo(
+        spark,
+        f"{inc}/*",
+        out,
+        ckpt,
+        drift_monitor=("loop_term_profile", 500000),
+    )
+    log = spark.read.parquet(f"{out}_drift_log").collect()
+    assert len(log) == 2  # one record per epoch, no duplicates
+    by_epoch = sorted(log, key=lambda r: r.tvd_ppm)
+    near, far = by_epoch
+    # disjoint-vocabulary epoch: TVD = 1.0 (1e6 ppm), over any ceiling
+    assert far.tvd_ppm == 1000000 and far.over_ceiling
+    assert near.tvd_ppm < 500000 and not near.over_ceiling
+    # observe-only: the drifted doc was still accepted
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert accepted == {800, 801}

@@ -804,3 +804,56 @@ def test_corpus_drift_extremes(spark):
         corpus_drift(disjoint, F.col("grp") == "a").collect()[0].tvd_ppm
         == 1000000
     )
+
+
+def test_drift_from_profile_equals_direct_tvd_with_complement(spark):
+    """The stored-profile probe (analytic unmatched-term complement)
+    equals corpus_drift's direct two-slice computation — exercised with
+    batch-only AND profile-only vocabulary so the complement is
+    non-trivial on both sides."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        corpus_drift,
+        drift_from_profile,
+        save_term_profile,
+    )
+
+    prof_docs = spark.createDataFrame(
+        [(1, "alpha alpha beta gamma"), (2, "beta delta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "alpha novel novel"), (4, "beta unseen")],
+        "doc_id long, text string",
+    )
+    save_term_profile(prof_docs, prefix="tp_test")
+    got = drift_from_profile(batch, prefix="tp_test").collect()[0]
+    want = corpus_drift(
+        prof_docs.unionByName(batch), F.col("doc_id") >= 3
+    ).collect()[0]
+    assert got.tvd_ppm == want.tvd_ppm
+    assert got.total_batch == want.total_a == 5
+    assert got.total_profile == want.total_b == 6
+    # matched = {alpha, beta}; novel/unseen are batch-only,
+    # gamma/delta profile-only (covered by the analytic complement)
+    assert got.n_batch_terms == 4 and got.matched_terms == 2
+
+
+def test_drift_from_profile_tokenless_batch_is_null(spark):
+    """A batch with no tokens has no distribution — tvd_ppm is NULL,
+    not a division-by-zero error (ANSI mode)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        drift_from_profile,
+        save_term_profile,
+    )
+
+    save_term_profile(
+        spark.createDataFrame([(1, "p q r")], "doc_id long, text string"),
+        prefix="tp_empty",
+    )
+    row = drift_from_profile(
+        spark.createDataFrame([(2, "...")], "doc_id long, text string"),
+        prefix="tp_empty",
+    ).collect()[0]
+    assert row.tvd_ppm is None and row.total_batch == 0
