@@ -1806,3 +1806,51 @@ def corpus_snapshot_diff(
     if not include_unchanged:
         diff = diff.filter(F.col("status") != "unchanged")
     return diff
+
+
+def incremental_refresh(
+    old: DataFrame,
+    new: DataFrame,
+    old_derived: DataFrame,
+    derive,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Churn-proportional refresh of a per-document derived table across
+    a corpus version bump — what :func:`corpus_snapshot_diff` exists
+    for: when the corpus moves from ``old`` to ``new``, recompute
+    ``derive`` (any PER-DOCUMENT pure transformation: token counts,
+    quality signals, fingerprints, embeddings...) ONLY for added and
+    changed documents, drop rows for removed/changed ones, and keep
+    every unchanged document's existing row untouched.
+
+    Result is row-identical to ``derive(new)`` — the full recompute —
+    by construction (the registry oracle pins exactly that equality),
+    but the work is O(churn): at 100 TB a daily version bump touches a
+    fraction of a percent of documents, and this is the difference
+    between a full-corpus pipeline run and a minutes-long delta pass.
+
+    ``derive`` must be pure per document (row in → rows keyed by the
+    same ``doc_id`` out) — corpus-dependent metrics (df-weighted
+    scores, corpus-trained models) need their own refresh semantics and
+    do NOT satisfy the equality contract.
+
+    100 TB shape: one digest diff (:func:`corpus_snapshot_diff` — map
+    only + one id-co-partitioned join, zero-shuffle on bucketed
+    snapshots), one semi join to slice the churn out of ``new``, one
+    anti join to evict stale rows from ``old_derived`` (both broadcast
+    when the churn id-set is small — the normal case), then ``derive``
+    runs over churn-sized input only.
+    """
+    diff = corpus_snapshot_diff(
+        old, new, text_col=text_col, id_col=id_col, include_unchanged=False
+    )
+    churn = diff.filter(F.col("status").isin("added", "changed")).select(
+        "doc_id"
+    )
+    stale = diff.select("doc_id")  # added/changed/removed all evict
+    to_compute = new.withColumnRenamed(id_col, "doc_id").join(
+        churn, "doc_id", "semi"
+    )
+    kept = old_derived.join(stale, old_derived[id_col] == stale.doc_id, "anti")
+    return derive(to_compute).unionByName(kept)

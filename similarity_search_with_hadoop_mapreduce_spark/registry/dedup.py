@@ -935,3 +935,57 @@ def dedup_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return D.corpus_snapshot_diff(old, new)
+
+
+def _refresh_oracle() -> str:
+    from similarity_search_with_hadoop_mapreduce_spark.registry.sim import (
+        TOKENS_CTE,
+    )
+
+    # full recompute over the NEW snapshot — the engine answers with the
+    # churn-only incremental path, so the value hash pins their equality
+    return (
+        """
+WITH new_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 5 <> 0
+),
+"""
+        + TOKENS_CTE.replace("FROM documents", "FROM new_docs")
+        + r"""
+SELECT doc_id,
+       CAST(len(tok) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER)
+         AS n_bpe_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM tokens JOIN new_docs USING (doc_id)
+"""
+    )
+
+
+@register("dedup_incremental_refresh", oracle=_refresh_oracle())
+def dedup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-proportional derived-table refresh across the snapshot
+    version bump: token counts were computed on the OLD corpus; the
+    entry refreshes them to the NEW corpus recomputing only
+    added/changed docs (incremental_refresh over corpus_snapshot_diff)
+    while the oracle recomputes EVERYTHING on the new corpus — the
+    value hash IS the incremental == full-recompute equality proof."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        token_counts,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.incremental_refresh(old, new, token_counts(old), token_counts)

@@ -2312,6 +2312,14 @@ def _register_curation_suite() -> None:
             "CAST(rk * 4 + CASE split WHEN 'train' THEN 0 "
             "WHEN 'val' THEN 1 ELSE 2 END AS DOUBLE) AS b",
         ),
+        (
+            # slot reuse: a <- n_tokens; b packs the other two counts
+            # (both < 2^20, the packed sum is double-exact)
+            "dedup_incremental_refresh",
+            "'incremental_refresh' AS shape, doc_id, "
+            "CAST(n_tokens AS DOUBLE) AS a, "
+            "CAST(n_bpe_tokens * 1000000 + n_chars AS DOUBLE) AS b",
+        ),
     ]
 
     @register("curation_suite", oracle=_union_oracle(parts))
@@ -2324,10 +2332,13 @@ def _register_curation_suite() -> None:
         semantic pass (embedding-LSH pairs -> components ->
         highest-quality keeper), and the r6 composed RECIPE (rule gates
         -> near-dup keepers -> quality+LM filters -> per-source cap ->
-        hash split; rank and split packed into slot b) (members:
+        hash split; rank and split packed into slot b), and the r6
+        churn-proportional derived-table refresh
+        (dedup_incremental_refresh — incremental path vs the oracle's
+        full recompute, equality pinned by the value hash) (members:
         curation_pipeline, curation_pipeline_neardup,
         text_decontamination, curation_semantic_dedup,
-        curation_recipe_v2)."""
+        curation_recipe_v2, dedup_incremental_refresh)."""
         ex = _q("curation_pipeline")(spark, sf_dir).select(
             F.lit("exact").alias("shape"),
             F.col("doc_id"),
@@ -2363,7 +2374,16 @@ def _register_curation_suite() -> None:
                 .otherwise(F.lit(2.0))
             ).alias("b"),
         )
-        return _union_spark([ex, nd, dc, sm, rc])
+        ir = _q("dedup_incremental_refresh")(spark, sf_dir).select(
+            F.lit("incremental_refresh").alias("shape"),
+            F.col("doc_id"),
+            F.col("n_tokens").cast("double").alias("a"),
+            (
+                F.col("n_bpe_tokens").cast("double") * 1000000.0
+                + F.col("n_chars").cast("double")
+            ).alias("b"),
+        )
+        return _union_spark([ex, nd, dc, sm, rc, ir])
 
 
 _register_curation_suite()

@@ -1014,3 +1014,37 @@ def test_corpus_snapshot_diff_statuses(spark):
     assert rows[2].old_digest != rows[2].new_digest
     filtered = corpus_snapshot_diff(old, new, include_unchanged=False)
     assert {r.doc_id for r in filtered.collect()} == {2, 3, 4}
+
+
+def test_incremental_refresh_equals_full_and_touches_only_churn(spark):
+    """The churn-only refresh is row-identical to a full recompute of
+    the derived table on the new corpus, and derive() is fed EXACTLY
+    the added+changed documents — never the unchanged mass."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        incremental_refresh,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        token_counts,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "stays the same"), (2, "will be rewritten"), (3, "is removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "stays the same"), (2, "rewritten now"), (4, "fresh arrival")],
+        "doc_id long, text string",
+    )
+    seen: list[set] = []
+
+    def derive(df):
+        seen.append({r.doc_id for r in df.select("doc_id").collect()})
+        return token_counts(df)
+
+    got = incremental_refresh(old, new, token_counts(old), derive)
+    want = token_counts(new)
+    key = lambda r: r.doc_id
+    assert sorted(map(tuple, got.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, want.collect()), key=lambda t: t[0]
+    )
+    assert seen == [{2, 4}]  # changed + added only; 1 reused, 3 evicted

@@ -78,6 +78,12 @@ FOLDED = {
     "text_vocab_stats": "text_corpus_stats",
     "text_tfidf_keywords": "text_corpus_stats",
     "text_lm_heldout": "text_corpus_stats",
+    "text_vocab_coverage": "text_corpus_stats",
+    "text_term_drift": "text_corpus_stats",
+    "text_corpus_drift": "text_corpus_stats",
+    "text_drift_stored": "text_corpus_stats",
+    "dedup_snapshot_diff": "dedup_incremental_suite",
+    "dedup_incremental_refresh": "curation_suite",
     "events_tumbling_window": "events_time_windows",
     "events_ohlc": "events_time_windows",
     "events_sliding_window": "events_time_windows",
