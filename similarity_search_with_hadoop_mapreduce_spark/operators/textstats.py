@@ -1910,3 +1910,101 @@ def drift_from_profile(
             ).cast("bigint"),
         ).alias("tvd_ppm"),
     )
+
+
+def save_vocab(
+    documents: DataFrame,
+    prefix: str = "vocab_model",
+    coverage_ppm: int = 900000,
+    max_vocab: int = 200,
+    text_col: str = "text",
+) -> None:
+    """Persist the :func:`vocab_coverage` head as an applicable
+    vocabulary — the stored-model half of tokenization (build-once /
+    apply-per-epoch, like the dedup index / stored LM / term profile):
+    ``{prefix}_terms`` (term, id, tf; only the minimal coverage prefix,
+    ``id`` = frequency rank 1..n, bucketed by term so the encode join
+    co-locates) and ``{prefix}_meta`` (1 row: n_vocab, coverage_ppm;
+    id 0 is reserved for UNK). Training cost is paid once; epochs
+    encode against the FROZEN vocabulary."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.skew import (
+        write_bucketed,
+    )
+
+    spark = documents.sparkSession
+    _drop_model_tables(spark, f"{prefix}_terms", f"{prefix}_meta")
+    head = vocab_coverage(
+        documents,
+        coverage_ppm=coverage_ppm,
+        max_vocab=max_vocab,
+        text_col=text_col,
+    ).filter(F.col("in_vocab"))
+    write_bucketed(
+        head.select("term", F.col("rank").cast("int").alias("id"), "tf"),
+        f"{prefix}_terms",
+        "term",
+    )
+    spark.read.table(f"{prefix}_terms").groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.lit(int(coverage_ppm)).cast("bigint").alias("coverage_ppm"),
+    ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+
+
+def encode_with_vocab(
+    batch: DataFrame,
+    prefix: str = "vocab_model",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a STORED :func:`save_vocab` vocabulary: map each document's
+    token sequence to integer ids in document order, out-of-vocabulary
+    tokens to UNK (id 0) — the tokenize step that turns curated text
+    into model input, composing with :func:`vocab_coverage` (train) and
+    :mod:`sampling`'s ``pack_sequences`` (layout) into the full
+    text → ids → fixed-window pipeline.
+
+    Returns ``(doc_id, n_tokens, n_unk, ids ARRAY<INT>)`` — every input
+    document appears (token-less docs carry an empty array), ids
+    preserve token order, and ``n_unk / n_tokens`` is the OOV-rate dial
+    a vocabulary's coverage target is tuned against.
+
+    100 TB shape: one explode of the token stream with positions, one
+    join against the bucketed vocabulary (vocabulary-sized side is
+    broadcast below the threshold — the normal case for a bounded
+    vocab — and co-located on ``term`` otherwise), one ``groupBy(doc)``
+    re-collect where ``array_sort`` on (pos, id) structs restores
+    document order — the standard tokenize shuffle, linear in the
+    token stream. The document spine rides a final left join so
+    empty docs are not silently dropped.
+    """
+    spark = batch.sparkSession
+    staged = _stage_tokens(batch, text_col, "doc_id")
+    pos = staged.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "term")
+    ).filter(F.length("term") > 0)
+    vocab = spark.read.table(f"{prefix}_terms").select("term", "id")
+    encoded = (
+        pos.join(vocab, "term", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("id"), F.lit(0)).cast("int").alias("id"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unk"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda x: x.getField("id"),
+            ).alias("ids"),
+        )
+    )
+    spine = batch.select("doc_id")
+    return spine.join(encoded, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("n_unk", F.lit(0)).cast("bigint").alias("n_unk"),
+        F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+    )

@@ -547,7 +547,8 @@ SELECT t.doc_id, t.n_tokens, t.n_bpe_tokens, t.n_chars,
        m.n_bigrams, m.nll_sum, m.avg_nll,
        b.pred_label, b.nb_score, b.is_correct,
        g.ok_words, g.ok_mean_word_len, g.ok_symbol_ratio,
-       g.ok_alpha_frac, g.ok_stop_hits, g.passes AS gopher_passes
+       g.ok_alpha_frac, g.ok_stop_hits, g.passes AS gopher_passes,
+       e.n_tokens AS enc_n_tokens, e.n_unk, e.ids
 FROM (\n{ORACLES["text_token_count"]}\n) t
 JOIN (\n{ORACLES["text_lang_id"]}\n) l USING (doc_id)
 JOIN (\n{ORACLES["text_quality"]}\n) q USING (doc_id)
@@ -558,6 +559,7 @@ JOIN (\n{ORACLES["text_pii_scrub"]}\n) p USING (doc_id)
 JOIN (\n{ORACLES["text_lm_score"]}\n) m USING (doc_id)
 JOIN (\n{ORACLES["text_nb_source"]}\n) b USING (doc_id)
 JOIN (\n{ORACLES["text_gopher_rules"]}\n) g USING (doc_id)
+JOIN (\n{ORACLES["text_encode_vocab"]}\n) e USING (doc_id)
 """
 
     @register("text_doc_metrics", oracle=oracle)
@@ -567,10 +569,12 @@ JOIN (\n{ORACLES["text_gopher_rules"]}\n) g USING (doc_id)
         text_fingerprint, text_repetition, text_dup_spans — cross-doc
         duplicated-span mass — text_pii_scrub's redaction counters,
         text_lm_score's bigram-LM negative log likelihood,
-        text_nb_source's Naive-Bayes prediction, and
-        text_gopher_rules' rule-set gates) — the feature row a
-        curation pipeline computes per doc, all columns value-pinned at
-        once."""
+        text_nb_source's Naive-Bayes prediction,
+        text_gopher_rules' rule-set gates, and text_encode_vocab's
+        stored-vocabulary token ids — the full order-preserving ids
+        array rides the fold, UNK=0, trained on the even-doc slice) —
+        the feature row a curation pipeline computes per doc, all
+        columns value-pinned at once."""
         tc = _q("text_token_count")(spark, sf_dir)
         li = _q("text_lang_id")(spark, sf_dir).select(
             "doc_id", "stop_ratio", "predicted_lang"
@@ -599,6 +603,12 @@ JOIN (\n{ORACLES["text_gopher_rules"]}\n) g USING (doc_id)
             "ok_stop_hits",
             F.col("passes").alias("gopher_passes"),
         )
+        ev = _q("text_encode_vocab")(spark, sf_dir).select(
+            "doc_id",
+            F.col("n_tokens").alias("enc_n_tokens"),
+            "n_unk",
+            "ids",
+        )
         return (
             tc.join(li, "doc_id")
             .join(qs, "doc_id")
@@ -609,6 +619,7 @@ JOIN (\n{ORACLES["text_gopher_rules"]}\n) g USING (doc_id)
             .join(lm, "doc_id")
             .join(nb, "doc_id")
             .join(gr, "doc_id")
+            .join(ev, "doc_id")
         )
 
 

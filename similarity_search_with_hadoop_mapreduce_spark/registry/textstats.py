@@ -913,3 +913,71 @@ def text_drift_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.drift_from_profile(
         docs.filter(docs.doc_id % 2 == 1), prefix="oracle_term_profile"
     )
+
+
+@register(
+    "text_encode_vocab",
+    oracle="WITH "
+    + TOKENS_CTE
+    + """
+, eterms AS (
+  SELECT term FROM (
+    SELECT doc_id, unnest(tok) AS term FROM tokens
+  ) u JOIN documents d USING (doc_id)
+  WHERE length(term) > 0 AND doc_id % 2 = 0
+),
+etf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM eterms GROUP BY term),
+etot AS (SELECT CAST(sum(tf) AS HUGEINT) AS total_tf FROM etf),
+ehead AS (
+  SELECT term, tf,
+         row_number() OVER (ORDER BY tf DESC, term) AS rank,
+         CAST(sum(tf) OVER (ORDER BY tf DESC, term
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+           AS cum_tf
+  FROM etf
+),
+vocab AS (
+  SELECT term, CAST(rank AS INTEGER) AS id
+  FROM ehead CROSS JOIN etot
+  WHERE rank <= 200 AND (cum_tf - tf) * 1000000 < 900000 * total_tf
+),
+pos AS (
+  SELECT doc_id, unnest(tok) AS term,
+         unnest(range(len(tok))) AS pos
+  FROM tokens
+),
+idrows AS (
+  SELECT doc_id, pos, CAST(COALESCE(v.id, 0) AS INTEGER) AS id
+  FROM pos LEFT JOIN vocab v USING (term)
+  WHERE length(term) > 0
+),
+enc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+         array_agg(id ORDER BY pos) AS ids
+  FROM idrows GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(n_unk, 0) AS n_unk,
+       COALESCE(ids, CAST([] AS INTEGER[])) AS ids
+FROM documents d LEFT JOIN enc USING (doc_id)
+""",
+)
+def text_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-vocabulary tokenize path under the full value-hash
+    oracle: the entry persists the even-doc slice's minimal 90%-mass
+    vocabulary (save_vocab, bucketed) and encodes EVERY document from
+    the frozen tables (encode_with_vocab) — odd docs exercise real OOV
+    (UNK id 0), ids are order-preserving, token-less docs carry empty
+    arrays. Composes text -> ids with vocab_coverage (train) and
+    pack_sequences (layout)."""
+    docs = table(spark, sf_dir, "documents")
+    T.save_vocab(
+        docs.filter(docs.doc_id % 2 == 0),
+        prefix="oracle_vocab_model",
+        coverage_ppm=900000,
+        max_vocab=200,
+    )
+    return T.encode_with_vocab(docs, prefix="oracle_vocab_model")

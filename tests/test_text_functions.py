@@ -857,3 +857,71 @@ def test_drift_from_profile_tokenless_batch_is_null(spark):
         prefix="tp_empty",
     ).collect()[0]
     assert row.tvd_ppm is None and row.total_batch == 0
+
+
+def test_save_vocab_and_encode_order_oov_and_empty(spark):
+    """save_vocab persists exactly the minimal coverage prefix (ids =
+    frequency ranks); encode maps tokens in document order, OOV to UNK
+    id 0, and token-less docs to empty arrays instead of vanishing."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        encode_with_vocab,
+        save_vocab,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a d")], "doc_id long, text string"
+    )
+    # mass: a=3, b=1, c=1, d=1 (total 6); 70% target -> before-b 50%,
+    # before-c 66.7% both < 70% -> vocab {a:1, b:2, c:3}; d OOV
+    save_vocab(train, prefix="v_apply", coverage_ppm=700000, max_vocab=10)
+    vocab = {
+        r.term: r.id for r in spark.read.table("v_apply_terms").collect()
+    }
+    assert vocab == {"a": 1, "b": 2, "c": 3}
+    batch = spark.createDataFrame(
+        [(10, "c b a a d"), (11, "..."), (12, "zz d")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in encode_with_vocab(batch, prefix="v_apply").collect()
+    }
+    assert list(rows[10].ids) == [3, 2, 1, 1, 0]  # document order kept
+    assert rows[10].n_tokens == 5 and rows[10].n_unk == 1
+    assert list(rows[11].ids) == [] and rows[11].n_tokens == 0
+    assert list(rows[12].ids) == [0, 0] and rows[12].n_unk == 2
+
+
+def test_encode_composes_with_pack_sequences(spark):
+    """The tokenize -> layout composition: encode_with_vocab's n_tokens
+    equals the token count pack_sequences chunks on, so the packed
+    window assignment of the ids stream is consistent with the text
+    stream's."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        encode_with_vocab,
+        save_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w" + " tok" * (i % 5)) for i in range(1, 21)],
+        "doc_id long, text string",
+    )
+    save_vocab(docs, prefix="v_pack", coverage_ppm=1000000, max_vocab=10)
+    enc = encode_with_vocab(docs, prefix="v_pack").select(
+        "doc_id", F.col("n_tokens").alias("enc_tokens"), "ids"
+    )
+    packed = pack_sequences(docs, max_tokens=8, n_shards=4).select(
+        "doc_id", F.col("n_tokens").alias("pack_tokens")
+    )
+    j = enc.join(packed, "doc_id").collect()
+    assert len(j) == 20
+    for r in j:
+        assert r.enc_tokens == len(r.ids)
+        # pack_sequences chunked the SAME Java-split token stream the
+        # encoder emitted ids for — window boundaries match the ids
+        assert r.enc_tokens == r.pack_tokens
