@@ -393,3 +393,36 @@ def test_round6_text_ann_entries_pass_scale_audit(spark):
         if findings:
             offenders[name] = findings
     assert offenders == {}, offenders
+
+
+def test_corpus_ops_entries_pass_scale_audit(spark):
+    """The corpus-ops additions (vocab head, drift family, snapshot
+    diff, churn refresh, stored-vocab encode) carry no fatal plan
+    shapes; their only warn findings are the documented 1-row
+    broadcast cross joins (total token mass / profile meta — the
+    driver-held-scalar pattern every census-carrying operator uses).
+    The diff/refresh/encode plans are fully clean: equi joins and
+    partial-aggregated shuffles only."""
+    from similarity_search_with_hadoop_mapreduce_spark.plans import scale_audit
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    allowed = {
+        "text_vocab_coverage": {"nested_loop_join"},
+        "text_term_drift": {"nested_loop_join"},
+        "text_corpus_drift": {"nested_loop_join"},
+        "text_drift_stored": {"nested_loop_join"},
+        "dedup_snapshot_diff": set(),
+        "dedup_incremental_refresh": set(),
+        "text_encode_vocab": set(),
+    }
+    offenders = {}
+    for name, allow in allowed.items():
+        findings = [
+            f
+            for f in scale_audit(QUERIES[name](spark, sf))
+            if f["code"] not in allow or f["severity"] == "fatal"
+        ]
+        if findings:
+            offenders[name] = findings
+    assert offenders == {}, offenders
