@@ -1815,17 +1815,20 @@ def drift_from_profile(
 
     Same exact-integer TVD as :func:`corpus_drift` (batch = slice A,
     profile = slice B), with one scale-critical difference: terms the
-    batch does NOT contain are never scanned per term. Their combined
-    numerator is analytic —
+    batch does NOT contain never produce per-term JOIN ROWS. Their
+    combined numerator is analytic —
 
         sum_{t: tf_batch(t)=0} |0 * T_p - tf_p(t) * T_b|
           = (T_p - sum over matched tf_p) * T_b
 
     — so the probe is ONE aggregation of the batch's token stream plus
-    one join of the batch's distinct terms against the bucketed profile
-    (batch side broadcasts, profile side co-located, never shuffled)
-    plus the 1-row meta read. Per-epoch cost is O(epoch), independent
-    of the profile's vocabulary mass. Returns 1 row:
+    one equi-join whose OUTPUT is the batch's distinct types only, plus
+    the 1-row meta read. The profile table is read once per epoch (a
+    two-narrow-column columnar scan — it broadcasts below the
+    threshold, and above it the batch types shuffle to the profile's
+    term buckets) but is never re-aggregated and never re-shuffled —
+    the same scan-not-shuffle contract as the stored dedup-index probe.
+    Everything sized by the data is O(epoch). Returns 1 row:
     ``(n_batch_terms, matched_terms, total_batch, total_profile,
     tvd_ppm)`` — all exact DECIMAL/BIGINT arithmetic, floor-ppm
     emission, bit-stable across engines (pinned against the direct
