@@ -1579,13 +1579,15 @@ def vocab_coverage(
         F.col("tf").cast("bigint").alias("tf"),
         F.col("cum_tf").cast("bigint").alias("cum_tf"),
         F.col("total_tf").cast("bigint").alias("total_tf"),
-        F.floor(
-            (F.col("cum_tf").cast("decimal(38,0)") * F.lit(1000000))
-            .cast("decimal(38,0)")
-            / F.col("total_tf")
-        )
-        .cast("bigint")
-        .alias("cum_ppm"),
+        # DIV, not floor(a/b): decimal division rounds at its result
+        # scale BEFORE a floor could act, and at 1e14-token corpora a
+        # quotient within 0.5e-6 below an integer floors wrong; DIV is
+        # exact integral division at any magnitude (the LM family's
+        # idiom)
+        F.expr(
+            "CAST((CAST(cum_tf AS DECIMAL(38,0)) * 1000000)"
+            " DIV total_tf AS BIGINT)"
+        ).alias("cum_ppm"),
         (
             (F.col("cum_tf") - F.col("tf")).cast("decimal(38,0)")
             * F.lit(1000000)
@@ -1672,20 +1674,16 @@ def term_drift(
         )
         .cast("decimal(38,0)")
         .alias("drift_num"),
-        F.floor(
-            (F.col("tf_a").cast("decimal(38,0)") * F.lit(1000000))
-            .cast("decimal(38,0)")
-            / F.col("total_a")
-        )
-        .cast("bigint")
-        .alias("rate_a_ppm"),
-        F.floor(
-            (F.col("tf_b").cast("decimal(38,0)") * F.lit(1000000))
-            .cast("decimal(38,0)")
-            / F.col("total_b")
-        )
-        .cast("bigint")
-        .alias("rate_b_ppm"),
+        # DIV: exact integral division at any magnitude (see
+        # vocab_coverage's cum_ppm note)
+        F.expr(
+            "CAST((CAST(tf_a AS DECIMAL(38,0)) * 1000000)"
+            " DIV total_a AS BIGINT)"
+        ).alias("rate_a_ppm"),
+        F.expr(
+            "CAST((CAST(tf_b AS DECIMAL(38,0)) * 1000000)"
+            " DIV total_b AS BIGINT)"
+        ).alias("rate_b_ppm"),
     )
     w = Window.orderBy(F.desc("drift_num"), F.asc("term"))
     return (
@@ -1750,21 +1748,34 @@ def corpus_drift(
         "total_a",
         "total_b",
     )
-    return num.groupBy().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-        F.sum("_ia").cast("bigint").alias("n_terms_a"),
-        F.sum("_ib").cast("bigint").alias("n_terms_b"),
-        F.max(F.col("total_a")).cast("bigint").alias("total_a"),
-        F.max(F.col("total_b")).cast("bigint").alias("total_b"),
-        F.floor(
-            (F.sum("_n").cast("decimal(38,0)") * F.lit(500000))
-            .cast("decimal(38,0)")
-            / (F.max(F.col("total_a")) * F.max(F.col("total_b"))).cast(
-                "decimal(38,0)"
-            )
+    return (
+        num.groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("_ia").cast("bigint").alias("n_terms_a"),
+            F.sum("_ib").cast("bigint").alias("n_terms_b"),
+            F.max(F.col("total_a")).cast("bigint").alias("total_a"),
+            F.max(F.col("total_b")).cast("bigint").alias("total_b"),
+            F.sum("_n").cast("decimal(38,0)").alias("_sum_n"),
         )
-        .cast("bigint")
-        .alias("tvd_ppm"),
+        .select(
+            "n_terms",
+            "n_terms_a",
+            "n_terms_b",
+            "total_a",
+            "total_b",
+            # DIV: exact integral division at any magnitude (see
+            # vocab_coverage's cum_ppm note); a token-less slice has no
+            # distribution -> NULL, not a division-by-zero ANSI error
+            F.when(
+                (F.col("total_a") > 0) & (F.col("total_b") > 0),
+                F.expr(
+                    "CAST((_sum_n * 500000) DIV"
+                    " (CAST(total_a AS DECIMAL(38,0))"
+                    "  * CAST(total_b AS DECIMAL(38,0))) AS BIGINT)"
+                ),
+            ).alias("tvd_ppm"),
+        )
     )
 
 
@@ -1897,20 +1908,16 @@ def drift_from_profile(
         F.col("total_b").cast("bigint").alias("total_batch"),
         F.col("total_p").cast("bigint").alias("total_profile"),
         # a token-less batch (or profile) has no distribution to compare
-        # — emit NULL rather than divide by zero (ANSI mode errors)
+        # — emit NULL rather than divide by zero (ANSI mode errors).
+        # DIV, not floor(a/b): exact integral division at any magnitude
+        # (see vocab_coverage's cum_ppm note)
         F.when(
             (F.col("total_p") > 0) & (F.col("total_b") > 0),
-            F.floor(
-                (
-                    (
-                        F.col("_matched_num")
-                        + (F.col("total_p") - F.col("_matched_tf_p"))
-                        * F.col("total_b")
-                    ).cast("decimal(38,0)")
-                    * F.lit(500000)
-                ).cast("decimal(38,0)")
-                / (F.col("total_p") * F.col("total_b")).cast("decimal(38,0)")
-            ).cast("bigint"),
+            F.expr(
+                "CAST((CAST(_matched_num + (total_p - _matched_tf_p)"
+                " * total_b AS DECIMAL(38,0)) * 500000)"
+                " DIV CAST(total_p * total_b AS DECIMAL(38,0)) AS BIGINT)"
+            ),
         ).alias("tvd_ppm"),
     )
 
