@@ -2018,3 +2018,68 @@ def encode_with_vocab(
         F.coalesce("n_unk", F.lit(0)).cast("bigint").alias("n_unk"),
         F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-token windows — the
+    retrieval-side counterpart of ``pack_sequences`` (which packs WHOLE
+    docs into training windows, this cuts ONE doc into indexable
+    chunks): the standard RAG / embedding-index preparation step.
+
+    Chunks start every ``stride = chunk_tokens - overlap_tokens``
+    tokens; the last chunk is the final ``<= chunk_tokens`` tail. Chunk
+    count is exact integer arithmetic —
+    ``k = 1 if n <= w else (n - w + s - 1) DIV s + 1`` — so the layout
+    is engine-independent and replay-stable. Tokens are the family's
+    Java-split sequence with empty tokens dropped; chunk text re-joins
+    with single spaces (the same normalization `load_corpus_dir`
+    applies across line breaks). Token-less documents produce no
+    chunks. Returns ``(doc_id, chunk_id, start_token, n_tokens,
+    chunk_text)``.
+
+    100 TB shape: map-only — one staged tokenization, one per-row
+    ``sequence`` explode (fan-out = chunks per doc, bounded by
+    len/stride), ``slice`` + ``array_join`` per chunk; no shuffle at
+    all, scan-speed like the rest of the per-document family.
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap_tokens < chunk_tokens, got "
+            f"{overlap_tokens=} {chunk_tokens=}"
+        )
+    stride = chunk_tokens - overlap_tokens
+    staged = _stage_tokens(documents, text_col, "doc_id")
+    kept = staged.select(
+        "doc_id",
+        F.filter(F.col("_toks"), lambda t: F.length(t) > 0).alias("_kept"),
+    ).select(
+        "doc_id", "_kept", F.size("_kept").alias("_n")
+    )
+    w, s = F.lit(chunk_tokens), F.lit(stride)
+    n_chunks = F.when(F.col("_n") <= 0, F.lit(0)).otherwise(
+        F.when(F.col("_n") <= w, F.lit(1)).otherwise(
+            F.expr(
+                f"CAST((_n - {chunk_tokens} + {stride} - 1)"
+                f" DIV {stride} AS INT) + 1"
+            )
+        )
+    )
+    chunks = kept.withColumn("_k", n_chunks).filter(F.col("_k") > 0).select(
+        "doc_id",
+        "_kept",
+        F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * s
+    piece = F.slice(F.col("_kept"), start + 1, w)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("bigint").alias("start_token"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

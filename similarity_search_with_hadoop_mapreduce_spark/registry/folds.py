@@ -699,6 +699,17 @@ def _register_text_corpus_stats() -> None:
             "CAST(tvd_ppm AS DOUBLE) AS v1, "
             "CAST(matched_terms AS DOUBLE) AS v2",
         ),
+        (
+            # slot reuse: source <- md5(chunk_text) (full text pinned in
+            # the fine-grained entry), lang <- doc_id (as text),
+            # n_docs <- chunk_id, n2 <- n_tokens, n3 <- start_token
+            "text_chunk_documents",
+            "'chunks' AS shape, md5(chunk_text) AS source, "
+            "CAST(doc_id AS VARCHAR) AS lang, "
+            "CAST(chunk_id AS BIGINT) AS n_docs, n_tokens AS n2, "
+            "start_token AS n3, CAST(NULL AS DOUBLE) AS v1, "
+            "CAST(NULL AS DOUBLE) AS v2",
+        ),
     ]
 
     @register("text_corpus_stats", oracle=_union_oracle(parts))
@@ -711,10 +722,12 @@ def _register_text_corpus_stats() -> None:
         term-drift views (per-term top-50 and the scalar TVD dial), and
         the STORED-profile drift probe (even-doc profile persisted via
         save_term_profile, odd docs drifted against the frozen tables —
-        the streaming loop's drift_monitor path) (members:
-        text_corpus_composition, text_vocab_stats, text_lm_heldout,
-        text_tfidf_keywords, text_vocab_coverage, text_term_drift,
-        text_corpus_drift, text_drift_stored)."""
+        the streaming loop's drift_monitor path), and the overlapping
+        16/4-token RAG chunk layout (chunk text pinned via md5 in the
+        shared string slot) (members: text_corpus_composition,
+        text_vocab_stats, text_lm_heldout, text_tfidf_keywords,
+        text_vocab_coverage, text_term_drift, text_corpus_drift,
+        text_drift_stored, text_chunk_documents)."""
         comp = _q("text_corpus_composition")(spark, sf_dir).select(
             F.lit("composition").alias("shape"),
             "source",
@@ -800,7 +813,17 @@ def _register_text_corpus_stats() -> None:
             F.col("tvd_ppm").cast("double").alias("v1"),
             F.col("matched_terms").cast("double").alias("v2"),
         )
-        return _union_spark([comp, voc, lmh, tk, vc, td, cd, ds])
+        ch = _q("text_chunk_documents")(spark, sf_dir).select(
+            F.lit("chunks").alias("shape"),
+            F.md5("chunk_text").alias("source"),
+            F.col("doc_id").cast("string").alias("lang"),
+            F.col("chunk_id").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").alias("n2"),
+            F.col("start_token").alias("n3"),
+            _null("v1", "double"),
+            _null("v2", "double"),
+        )
+        return _union_spark([comp, voc, lmh, tk, vc, td, cd, ds, ch])
 
 
 # ---------------------------------------------------------------------------

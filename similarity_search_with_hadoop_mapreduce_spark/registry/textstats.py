@@ -981,3 +981,40 @@ def text_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_vocab=200,
     )
     return T.encode_with_vocab(docs, prefix="oracle_vocab_model")
+
+
+@register(
+    "text_chunk_documents",
+    oracle="WITH "
+    + TOKENS_CTE
+    + """
+, kept AS (
+  SELECT doc_id, list_filter(tok, t -> length(t) > 0) AS kt FROM tokens
+),
+sized AS (SELECT doc_id, kt, len(kt) AS n FROM kept),
+counted AS (
+  SELECT doc_id, kt, n,
+         CASE WHEN n <= 0 THEN 0
+              WHEN n <= 16 THEN 1
+              ELSE (n - 16 + 12 - 1) // 12 + 1 END AS k
+  FROM sized
+),
+expl AS (
+  SELECT doc_id, kt, unnest(range(k)) AS chunk_id
+  FROM counted WHERE k > 0
+)
+SELECT doc_id,
+       CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(chunk_id * 12 AS BIGINT) AS start_token,
+       CAST(len(kt[chunk_id*12+1 : chunk_id*12+16]) AS BIGINT) AS n_tokens,
+       array_to_string(kt[chunk_id*12+1 : chunk_id*12+16], ' ') AS chunk_text
+FROM expl
+""",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 16-token chunks with 4-token overlap (stride 12) —
+    the RAG / embedding-index preparation layout, map-only, exact
+    integer chunk arithmetic, full chunk text value-pinned."""
+    return T.chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_tokens=16, overlap_tokens=4
+    )

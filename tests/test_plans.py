@@ -415,6 +415,7 @@ def test_corpus_ops_entries_pass_scale_audit(spark):
         "dedup_snapshot_diff": set(),
         "dedup_incremental_refresh": set(),
         "text_encode_vocab": set(),
+        "text_chunk_documents": set(),
     }
     offenders = {}
     for name, allow in allowed.items():

@@ -83,6 +83,7 @@ FOLDED = {
     "text_corpus_drift": "text_corpus_stats",
     "text_drift_stored": "text_corpus_stats",
     "text_encode_vocab": "text_doc_metrics",
+    "text_chunk_documents": "text_corpus_stats",
     "dedup_snapshot_diff": "dedup_incremental_suite",
     "dedup_incremental_refresh": "curation_suite",
     "events_tumbling_window": "events_time_windows",

@@ -925,3 +925,43 @@ def test_encode_composes_with_pack_sequences(spark):
         # pack_sequences chunked the SAME Java-split token stream the
         # encoder emitted ids for — window boundaries match the ids
         assert r.enc_tokens == r.pack_tokens
+
+
+def test_chunk_documents_layout_and_edges(spark):
+    """Exact chunk arithmetic: stride starts, clamped tail, single short
+    chunk, token-less docs produce nothing; invalid overlap rejected."""
+    import pytest as _pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # n=10, w=4, s=3
+            (2, "a b"),  # single short chunk
+            (3, "..."),  # token-less -> no rows
+            (4, " ".join(f"x{i}" for i in range(4))),  # exactly w -> 1 chunk
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=4, overlap_tokens=1).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(r)
+    for v in by.values():
+        v.sort(key=lambda r: r.chunk_id)
+    # k = (10 - 4 + 2) DIV 3 + 1 = 3; starts 0, 3, 6; full coverage
+    assert [(r.start_token, r.n_tokens) for r in by[1]] == [
+        (0, 4), (3, 4), (6, 4)
+    ]
+    assert by[1][1].chunk_text == "t3 t4 t5 t6"
+    assert [(r.start_token, r.n_tokens, r.chunk_text) for r in by[2]] == [
+        (0, 2, "a b")
+    ]
+    assert 3 not in by
+    assert len(by[4]) == 1 and by[4][0].n_tokens == 4
+    # every token is covered and consecutive chunks overlap by exactly 1
+    assert by[1][0].chunk_text.split()[-1] == by[1][1].chunk_text.split()[0]
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
