@@ -1845,12 +1845,17 @@ def incremental_refresh(
     diff = corpus_snapshot_diff(
         old, new, text_col=text_col, id_col=id_col, include_unchanged=False
     )
-    churn = diff.filter(F.col("status").isin("added", "changed")).select(
-        "doc_id"
+    # keep the caller's id column name on both slices: derive() must
+    # emit old_derived's exact schema for the union, so its input keeps
+    # the original key name too
+    churn = (
+        diff.filter(F.col("status").isin("added", "changed"))
+        .select("doc_id")
+        .withColumnRenamed("doc_id", id_col)
     )
     stale = diff.select("doc_id")  # added/changed/removed all evict
-    to_compute = new.withColumnRenamed(id_col, "doc_id").join(
-        churn, "doc_id", "semi"
+    to_compute = new.join(churn, id_col, "semi")
+    kept = old_derived.join(
+        stale, old_derived[id_col] == stale.doc_id, "anti"
     )
-    kept = old_derived.join(stale, old_derived[id_col] == stale.doc_id, "anti")
     return derive(to_compute).unionByName(kept)

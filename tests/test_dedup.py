@@ -1048,3 +1048,34 @@ def test_incremental_refresh_equals_full_and_touches_only_churn(spark):
         map(tuple, want.collect()), key=lambda t: t[0]
     )
     assert seen == [{2, 4}]  # changed + added only; 1 reused, 3 evicted
+
+
+def test_incremental_refresh_custom_id_column(spark):
+    """A non-default id column keeps its name end to end: derive() sees
+    the caller's key, the derived-union schema lines up, and the stale
+    eviction matches on the right rows."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        incremental_refresh,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "old text")], "item_id long, body string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "new text"), (3, "added")],
+        "item_id long, body string",
+    )
+
+    def derive(df):
+        assert "item_id" in df.columns  # key name preserved for derive
+        return df.select("item_id", F.length("body").alias("n_chars"))
+
+    got = {
+        r.item_id: r.n_chars
+        for r in incremental_refresh(
+            old, new, derive(old), derive, text_col="body", id_col="item_id"
+        ).collect()
+    }
+    assert got == {1: 4, 2: 8, 3: 5}
