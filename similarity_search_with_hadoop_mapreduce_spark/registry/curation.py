@@ -862,3 +862,119 @@ def curation_recipe_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("int").alias("rk"),
         "split",
     )
+
+
+def _recipe_v3_oracle() -> str:
+    """Recipe v2's surviving train split pushed through the stored-vocab
+    tokenizer and the pack-then-chunk layout — the text -> curated ->
+    ids -> training-window journey as ONE composed SQL statement, every
+    stage the already-registered member formula."""
+    from similarity_search_with_hadoop_mapreduce_spark.registry.sim import (
+        TOKENS_CTE,
+    )
+
+    return f"""
+WITH v2r AS (
+{_recipe_v2_oracle()}
+),
+train_ids AS (SELECT doc_id FROM v2r WHERE split = 'train'),
+train_docs AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN train_ids USING (doc_id)
+),
+{TOKENS_CTE.replace("FROM documents", "FROM train_docs")},
+vterms AS (
+  SELECT term FROM (SELECT doc_id, unnest(tok) AS term FROM tokens) u
+  WHERE length(term) > 0
+),
+vtf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM vterms GROUP BY term),
+vtot AS (SELECT CAST(sum(tf) AS HUGEINT) AS total_tf FROM vtf),
+vhead AS (
+  SELECT term, tf,
+         row_number() OVER (ORDER BY tf DESC, term) AS rank,
+         CAST(sum(tf) OVER (ORDER BY tf DESC, term
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+           AS cum_tf
+  FROM vtf
+),
+vocab AS (
+  SELECT term, CAST(rank AS INTEGER) AS id
+  FROM vhead CROSS JOIN vtot
+  WHERE rank <= 200 AND (cum_tf - tf) * 1000000 < 900000 * total_tf
+),
+kt AS (
+  SELECT doc_id, term FROM (SELECT doc_id, unnest(tok) AS term FROM tokens) u
+  WHERE length(term) > 0
+),
+enc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_ids,
+         CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unk
+  FROM kt LEFT JOIN vocab v USING (term) GROUP BY doc_id
+),
+staged AS (
+  SELECT doc_id, ({_BUCKET} % 4) AS shard,
+         CAST(len(tok) AS INTEGER) AS n_tokens
+  FROM tokens
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM staged
+)
+SELECT p.doc_id,
+       COALESCE(e.n_ids, 0) AS n_ids,
+       COALESCE(e.n_unk, 0) AS n_unk,
+       CAST(p.shard AS BIGINT) AS shard,
+       p.n_tokens,
+       CAST(p.before // 64 AS BIGINT) AS bin_id,
+       CAST(p.before % 64 AS BIGINT) AS bin_offset
+FROM packed p LEFT JOIN enc e USING (doc_id)
+"""
+
+
+@register("curation_recipe_v3", oracle=_recipe_v3_oracle())
+def curation_recipe_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: recipe v2's surviving TRAIN split is
+    the tokenizer's training corpus AND its input — save_vocab persists
+    the survivors' minimal 90%-mass vocabulary, encode_with_vocab maps
+    each surviving doc to ids (n_ids kept tokens, n_unk OOV) from the
+    frozen tables, and pack_sequences assigns every doc its shard /
+    64-token training window / in-window offset. One entry pins the
+    whole text -> curated -> ids -> training-layout journey; every
+    stage reuses the registered operator and its member oracle."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        encode_with_vocab,
+        save_vocab,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    train_ids = (
+        curation_recipe_v2(spark, sf_dir)
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    train = docs.join(train_ids, "doc_id", "semi").select("doc_id", "text")
+    save_vocab(
+        train, prefix="oracle_recipe_vocab", coverage_ppm=900000, max_vocab=200
+    )
+    enc = encode_with_vocab(train, prefix="oracle_recipe_vocab").select(
+        "doc_id",
+        F.col("n_tokens").alias("n_ids"),
+        "n_unk",
+    )
+    pk = pack_sequences(train, max_tokens=64, n_shards=4)
+    return pk.join(enc, "doc_id").select(
+        "doc_id",
+        "n_ids",
+        "n_unk",
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_tokens",
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+        F.col("bin_offset").cast("bigint").alias("bin_offset"),
+    )

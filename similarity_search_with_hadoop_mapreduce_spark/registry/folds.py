@@ -2354,6 +2354,16 @@ def _register_curation_suite() -> None:
             "CAST(n_tokens AS DOUBLE) AS a, "
             "CAST(n_bpe_tokens * 1000000 + n_chars AS DOUBLE) AS b",
         ),
+        (
+            # slot reuse: a packs the tokenizer counts, b the layout
+            # (all factors well under 2^53 — the packed sums are
+            # double-exact; identical formula on both engines)
+            "curation_recipe_v3",
+            "'recipe_v3' AS shape, doc_id, "
+            "CAST(n_ids * 1000 + n_unk AS DOUBLE) AS a, "
+            "CAST(((shard * 100000 + bin_id) * 1000 + bin_offset) * 1000 "
+            "+ n_tokens AS DOUBLE) AS b",
+        ),
     ]
 
     @register("curation_suite", oracle=_union_oracle(parts))
@@ -2366,13 +2376,17 @@ def _register_curation_suite() -> None:
         semantic pass (embedding-LSH pairs -> components ->
         highest-quality keeper), and the r6 composed RECIPE (rule gates
         -> near-dup keepers -> quality+LM filters -> per-source cap ->
-        hash split; rank and split packed into slot b), and the r6
+        hash split; rank and split packed into slot b), the r6
         churn-proportional derived-table refresh
         (dedup_incremental_refresh — incremental path vs the oracle's
-        full recompute, equality pinned by the value hash) (members:
-        curation_pipeline, curation_pipeline_neardup,
-        text_decontamination, curation_semantic_dedup,
-        curation_recipe_v2, dedup_incremental_refresh)."""
+        full recompute, equality pinned by the value hash), and the
+        capstone recipe v3 (curation_recipe_v3 — v2's surviving train
+        split pushed through the stored-vocab tokenizer and the
+        pack-then-chunk layout; tokenizer counts and window assignment
+        packed into the two slots) (members: curation_pipeline,
+        curation_pipeline_neardup, text_decontamination,
+        curation_semantic_dedup, curation_recipe_v2,
+        dedup_incremental_refresh, curation_recipe_v3)."""
         ex = _q("curation_pipeline")(spark, sf_dir).select(
             F.lit("exact").alias("shape"),
             F.col("doc_id"),
@@ -2417,7 +2431,27 @@ def _register_curation_suite() -> None:
                 + F.col("n_chars").cast("double")
             ).alias("b"),
         )
-        return _union_spark([ex, nd, dc, sm, rc, ir])
+        r3 = _q("curation_recipe_v3")(spark, sf_dir).select(
+            F.lit("recipe_v3").alias("shape"),
+            F.col("doc_id"),
+            (
+                F.col("n_ids").cast("double") * 1000.0
+                + F.col("n_unk").cast("double")
+            ).alias("a"),
+            (
+                (
+                    (
+                        F.col("shard").cast("double") * 100000.0
+                        + F.col("bin_id").cast("double")
+                    )
+                    * 1000.0
+                    + F.col("bin_offset").cast("double")
+                )
+                * 1000.0
+                + F.col("n_tokens").cast("double")
+            ).alias("b"),
+        )
+        return _union_spark([ex, nd, dc, sm, rc, ir, r3])
 
 
 _register_curation_suite()

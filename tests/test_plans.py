@@ -416,6 +416,9 @@ def test_corpus_ops_entries_pass_scale_audit(spark):
         "dedup_incremental_refresh": set(),
         "text_encode_vocab": set(),
         "text_chunk_documents": set(),
+        # recipe v3: the 1-row driver-held-scalar cross joins inherited
+        # from its members (LM vocab size, vocab-coverage total mass)
+        "curation_recipe_v3": {"nested_loop_join"},
     }
     offenders = {}
     for name, allow in allowed.items():

@@ -86,6 +86,7 @@ FOLDED = {
     "text_chunk_documents": "text_corpus_stats",
     "dedup_snapshot_diff": "dedup_incremental_suite",
     "dedup_incremental_refresh": "curation_suite",
+    "curation_recipe_v3": "curation_suite",
     "events_tumbling_window": "events_time_windows",
     "events_ohlc": "events_time_windows",
     "events_sliding_window": "events_time_windows",
