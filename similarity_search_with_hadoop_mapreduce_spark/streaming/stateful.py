@@ -262,6 +262,7 @@ def streaming_curation_loop_demo(
     rule_gate: dict | None = None,
     lm_gate: tuple[str, float] | None = None,
     drift_monitor: tuple[str, int] | None = None,
+    encode_vocab: str | None = None,
 ) -> None:
     """The CLOSED continuous-curation loop in one streaming artifact:
     per epoch, incoming documents are probed against the stored dedup
@@ -332,9 +333,19 @@ def streaming_curation_loop_demo(
     crash-replay overwrites its own record, never duplicates it. The
     monitor OBSERVES, it does not gate: dropping a whole epoch on
     distribution shift is an operator decision, and the record is the
-    evidence."""
+    evidence.
+
+    ``encode_vocab``: a :func:`operators.textstats.save_vocab` prefix —
+    when set, each epoch's ACCEPTED documents are additionally encoded
+    against the FROZEN stored vocabulary
+    (:func:`operators.textstats.encode_with_vocab`: order-preserving
+    ids, UNK=0, per-doc OOV counts) and land epoch-partitioned with
+    dynamic overwrite in ``{out_dir}_encoded`` — the loop then emits
+    training-READY rows, not just curated text, and a crash-replayed
+    epoch overwrites its own encodings exactly like the accept output."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
         drift_from_profile,
+        encode_with_vocab,
         gopher_pass_filter,
         lm_score_from_model,
     )
@@ -403,6 +414,15 @@ def streaming_curation_loop_demo(
                 .partitionBy("epoch")
                 .parquet(out_dir)
             )
+            if encode_vocab is not None:
+                (
+                    encode_with_vocab(accepted, prefix=encode_vocab)
+                    .withColumn("epoch", F.lit(epoch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch")
+                    .parquet(f"{out_dir}_encoded")
+                )
             append_dedup_index(accepted, prefix=prefix, epoch_id=epoch_id)
             accepted.unpersist()
             if compact_every and (epoch_id + 1) % compact_every == 0:

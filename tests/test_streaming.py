@@ -672,3 +672,47 @@ def test_streaming_curation_loop_drift_monitor(spark, tmp_path):
     # observe-only: the drifted doc was still accepted
     accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert accepted == {800, 801}
+
+
+def test_streaming_curation_loop_encode_sink(spark, tmp_path):
+    """With encode_vocab set, every epoch's ACCEPTED docs land a
+    training-ready encoded row (frozen-vocab ids, UNK=0) next to the
+    text output — rejected duplicates never reach the encoded sink,
+    and the batch-side encoder reproduces the streamed rows exactly."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        encode_with_vocab,
+        save_vocab,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_curation_loop_demo,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta unrelated")],
+        "doc_id long, text string",
+    )
+    save_vocab(corpus, prefix="loop_vocab", coverage_ppm=1000000)
+    build_dedup_index(corpus, prefix="loop_dedup_index")
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    novel = (900, "alpha zeta beta")
+    dup = (901, "alpha beta gamma delta")  # exact dup of corpus doc 1
+    spark.createDataFrame([novel, dup], "doc_id long, text string")\
+        .coalesce(1).write.parquet(str(inc / "e1"))
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
+    streaming_curation_loop_demo(
+        spark, f"{inc}/*", out, ckpt, encode_vocab="loop_vocab"
+    )
+    enc = spark.read.parquet(f"{out}_encoded").collect()
+    assert {r.doc_id for r in enc} == {900}  # dup never encoded
+    got = enc[0]
+    want = encode_with_vocab(
+        spark.createDataFrame([novel], "doc_id long, text string"),
+        prefix="loop_vocab",
+    ).collect()[0]
+    assert list(got.ids) == list(want.ids)
+    assert (got.n_tokens, got.n_unk) == (want.n_tokens, want.n_unk)
+    assert got.n_unk == 1  # 'zeta' is OOV for the corpus vocab
