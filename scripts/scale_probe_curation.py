@@ -18,7 +18,12 @@ with no re-shuffle, the part that stays cheap at 100 TB. A superlinear
 trend here would mean the probe re-shuffles or re-hashes appends.
 
 Usage: python scripts/scale_probe_curation.py [n_epochs] [epoch_docs]
-         [compact_every]
+         [compact_every] [full]
+``full`` additionally prices the COMPLETE r6 gate stack per epoch —
+rule gates, frozen-LM scoring, stored-profile drift, and frozen-vocab
+encoding of the accepted docs (models all built once, pre-loop) — so
+the O(epoch) claim is measured with every dial on, not just the dedup
+spine.
 Prints one JSON line with per-epoch walls and the index row counts.
 ``compact_every`` > 0 runs compact_dedup_index every N epochs (outside
 the timed window) — isolates how much of any wall creep is the
@@ -40,6 +45,7 @@ def main() -> None:
     n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     epoch_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    full_gates = len(sys.argv) > 4 and sys.argv[4] == "full"
     from pyspark.sql import SparkSession, functions as F
 
     from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
@@ -98,12 +104,42 @@ def main() -> None:
         shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     base = novel_docs(0, 1000)
     build_dedup_index(base, prefix=prefix)
+    if full_gates:
+        from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+            drift_from_profile,
+            gopher_pass_filter,
+            lm_score_from_model,
+            save_lm_model,
+            save_term_profile,
+            save_vocab,
+            encode_with_vocab,
+        )
+
+        save_lm_model(base, prefix="scale_loop_lm")
+        save_term_profile(base, prefix="scale_loop_profile")
+        save_vocab(base, prefix="scale_loop_vocab")
+        # the synthetic docs are 30 words of per-doc-unique tokens:
+        # relax the word-shape rules so the gate passes them and the
+        # dedup spine still sees the full epoch
+        rule_kwargs = dict(
+            min_words=10, min_mean_word_len=1.0, max_mean_word_len=50.0,
+            max_symbol_ratio=1.0, min_alpha_frac=0.0, min_stop_hits=0,
+        )
 
     walls, index_rows = [], []
     for e in range(n_epochs):
         batch = novel_docs(100_000 + e * epoch_docs, epoch_docs).persist()
         batch.count()  # materialize outside the timed window
         t0 = time.perf_counter()
+        if full_gates:
+            # the streaming loop's exact stage order, gates first
+            drift_from_profile(batch, prefix="scale_loop_profile").write\
+                .format("noop").mode("overwrite").save()
+            batch = gopher_pass_filter(batch, **rule_kwargs)
+            ok = lm_score_from_model(batch, prefix="scale_loop_lm").filter(
+                F.col("avg_nll") <= 1e9
+            )
+            batch = batch.join(ok.select("doc_id"), "doc_id", "semi")
         dups = incremental_dedup_probe(spark, batch, prefix=prefix)
         intra = intra_batch_dedup(batch)
         dup_ids = (
@@ -113,6 +149,9 @@ def main() -> None:
         )
         accepted = batch.join(dup_ids, "doc_id", "left_anti")
         append_dedup_index(accepted, prefix=prefix, epoch_id=e)
+        if full_gates:
+            encode_with_vocab(accepted, prefix="scale_loop_vocab").write\
+                .format("noop").mode("overwrite").save()
         walls.append(round(time.perf_counter() - t0, 3))
         batch.unpersist()
         index_rows.append(spark.table(f"{prefix}_bands").count())
@@ -155,6 +194,7 @@ def main() -> None:
                     sum(walls[half:]) / (n_epochs - half), 3
                 ),
                 "compact_every": compact_every,
+                "full_gates": full_gates,
                 "plan_bucketed_scans": 2,
             }
         )
