@@ -965,3 +965,140 @@ def test_chunk_documents_layout_and_edges(spark):
     assert by[1][0].chunk_text.split()[-1] == by[1][1].chunk_text.split()[0]
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
+
+
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=0, max_value=4),
+)
+def test_property_chunk_documents_coverage(spark, token_lists, w, ov):
+    """For ANY corpus and any valid (chunk, overlap): chunks start every
+    stride tokens, consecutive chunks overlap by exactly `ov` tokens
+    (except a clamped tail), every token is covered, and dropping each
+    chunk's first `ov` tokens (after the first chunk) reconstructs the
+    document exactly."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    if ov >= w:
+        ov = w - 1
+    s = w - ov
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=w, overlap_tokens=ov).collect()
+    by: dict[int, list] = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(r)
+    for i, toks in enumerate(token_lists):
+        n = len(toks)
+        chunks = sorted(by.get(i, []), key=lambda r: r.chunk_id)
+        if n == 0:
+            assert chunks == []
+            continue
+        want_k = 1 if n <= w else (n - w + s - 1) // s + 1
+        assert len(chunks) == want_k
+        rebuilt: list[str] = []
+        for j, r in enumerate(chunks):
+            assert r.start_token == j * s
+            piece = r.chunk_text.split(" ") if r.chunk_text else []
+            assert piece == toks[j * s : j * s + w]
+            rebuilt.extend(piece if j == 0 else piece[ov:])
+        assert rebuilt == toks  # lossless reconstruction
+
+
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.sampled_from(["p", "q", "r", "s", "t"]), min_size=1, max_size=30
+    ),
+    st.lists(
+        st.sampled_from(["p", "q", "r", "s", "t"]), min_size=1, max_size=30
+    ),
+)
+def test_property_corpus_drift_bounds_and_identity(spark, toks_a, toks_b):
+    """0 <= TVD <= 1e6 ppm for any two slices; a slice vs itself is 0;
+    and the ppm value matches an exact-fraction Python recomputation."""
+    from fractions import Fraction
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        corpus_drift,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks_a), "a"), (2, " ".join(toks_b), "b")],
+        "doc_id long, text string, grp string",
+    )
+    got = corpus_drift(docs, F.col("grp") == "a").collect()[0].tvd_ppm
+    assert 0 <= got <= 1000000
+    from collections import Counter
+
+    ca, cb = Counter(toks_a), Counter(toks_b)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    tvd = Fraction(1, 2) * sum(
+        abs(Fraction(ca[t], ta) - Fraction(cb[t], tb))
+        for t in set(ca) | set(cb)
+    )
+    assert got == (tvd * 1000000).numerator // (tvd * 1000000).denominator
+    same = spark.createDataFrame(
+        [(1, " ".join(toks_a), "a"), (2, " ".join(toks_a), "b")],
+        "doc_id long, text string, grp string",
+    )
+    assert corpus_drift(same, F.col("grp") == "a").collect()[0].tvd_ppm == 0
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.sampled_from(["u", "v", "w", "x", "y", "z"]),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=999999),
+)
+def test_property_vocab_coverage_minimality(spark, toks, cov_ppm):
+    """The in-vocab set is ALWAYS the minimal frequency-head prefix
+    whose mass reaches the target: every prefix strictly inside it is
+    under the target, and the full in-vocab mass is >= the target."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    rows = sorted(
+        vocab_coverage(docs, coverage_ppm=cov_ppm, max_vocab=100).collect(),
+        key=lambda r: r.rank,
+    )
+    total = rows[0].total_tf
+    in_vocab = [r for r in rows if r.in_vocab]
+    out_vocab = [r for r in rows if not r.in_vocab]
+    assert in_vocab, "head must never be empty for a non-empty corpus"
+    # boundary exactness: in-vocab rows start strictly under the target,
+    # out-vocab rows start at or past it
+    for r in in_vocab:
+        assert (r.cum_tf - r.tf) * 1000000 < cov_ppm * total
+    for r in out_vocab:
+        assert (r.cum_tf - r.tf) * 1000000 >= cov_ppm * total
+    # the selected prefix reaches the target (or is the whole vocab)
+    if out_vocab:
+        assert in_vocab[-1].cum_tf * 1000000 >= cov_ppm * total
