@@ -247,7 +247,12 @@ def pack_sequences(
     md5 machinery as the split/sample family), ``bin_id =
     tokens_before // max_tokens`` and ``bin_offset = tokens_before %
     max_tokens`` where ``tokens_before`` is the running Java-split
-    token count of the shard's smaller-id documents. Documents longer
+    token count of the shard's smaller-id documents. Counts are of the
+    NON-EMPTY tokens — the same kept-token stream ``encode_with_vocab``
+    emits ids for, so window boundaries line up exactly with the
+    materialized ids (the raw Java array can carry a phantom leading
+    empty token on leading-delimiter text, which no writer
+    materializes). Documents longer
     than ``max_tokens`` simply span several windows — the
     concat-and-chunk contract, not first-fit binning (which is
     inherently sequential and packs no tighter on natural-length docs).
@@ -271,7 +276,12 @@ def pack_sequences(
     staged = documents.select(
         F.col(id_col).alias("doc_id"),
         shard,
-        F.size(java_split_tokens(F.col(text_col))).alias("n_tokens"),
+        F.size(
+            F.filter(
+                java_split_tokens(F.col(text_col)),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")

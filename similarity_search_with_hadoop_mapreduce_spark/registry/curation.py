@@ -626,7 +626,8 @@ def _pack_sequences_oracle() -> str:
         + f"""
 , staged AS (
   SELECT doc_id, ({_BUCKET} % 8) AS shard,
-         CAST(len(tok) AS INTEGER) AS n_tokens
+         CAST(len(list_filter(tok, t -> length(t) > 0)) AS INTEGER)
+           AS n_tokens
   FROM tokens
 ),
 packed AS (
@@ -914,7 +915,8 @@ enc AS (
 ),
 staged AS (
   SELECT doc_id, ({_BUCKET} % 4) AS shard,
-         CAST(len(tok) AS INTEGER) AS n_tokens
+         CAST(len(list_filter(tok, t -> length(t) > 0)) AS INTEGER)
+           AS n_tokens
   FROM tokens
 ),
 packed AS (
