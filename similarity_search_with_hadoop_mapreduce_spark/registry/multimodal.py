@@ -12,6 +12,7 @@ walk) fails the value hash.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.operators import multimodal as M
 from similarity_search_with_hadoop_mapreduce_spark.registry.base import register, table
@@ -38,50 +39,200 @@ meta AS (
 """
 
 
+# the aHash generation-rule replay: 64 nearest-neighbor samples of the
+# deterministic gradient v(x,y) = (3x + 7y + doc_id) % 256 per BMP,
+# exact-integer mean compare, packed into four 16-bit bands.
+# _AHASH_CORE expects an upstream CTE ``base(doc_id, n_text)``.
+_AHASH_CORE = """
+imgs AS (
+  SELECT doc_id, CAST(n_text % 64 + 1 AS INTEGER) AS w,
+         CAST(doc_id % 48 + 1 AS INTEGER) AS h
+  FROM base WHERE doc_id % 2 = 0
+),
+grid AS (SELECT gx.i AS bx, gy.i AS by FROM range(8) gx(i), range(8) gy(i)),
+samples AS (
+  SELECT doc_id, w, h, by * 8 + bx AS b,
+         (3 * ((2 * bx + 1) * w // 16)
+          + 7 * ((2 * by + 1) * h // 16) + doc_id) % 256 AS v
+  FROM imgs, grid
+),
+tot AS (SELECT doc_id, sum(v) AS total FROM samples GROUP BY doc_id),
+bits AS (
+  SELECT s.doc_id, s.b,
+         CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+  FROM samples s JOIN tot t USING (doc_id)
+),
+ahash_hashes AS (
+  SELECT i.doc_id, i.w AS width, i.h AS height,
+         CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b0,
+         CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b1,
+         CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b2,
+         CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b3
+  FROM bits JOIN imgs i USING (doc_id) GROUP BY i.doc_id, i.w, i.h
+)
+"""
+
+_AHASH_CTE = (
+    """
+base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents
+),"""
+    + _AHASH_CORE
+)
+
+
+
 @register(
     "multimodal_decode_meta",
     oracle="WITH "
     + _DIMS_CTE
+    + ","
+    + _AHASH_CORE
     + """
-SELECT doc_id, format,
-       CAST(CASE WHEN format = 'bmp'
-                 THEN 54 + ((width * 3 + 3) // 4 * 4) * height
-                 ELSE 44 + n_samples * 2 END AS INTEGER) AS n_bytes,
-       width, height, sample_rate, n_samples,
-       CAST(n_samples * 1000 // sample_rate AS INTEGER) AS duration_ms,
-       CAST(CASE WHEN format = 'bmp' THEN 1
-                 ELSE n_samples // 25 + 1 END AS INTEGER) AS n_frames
-FROM meta
+SELECT m.doc_id, m.format,
+       CAST(CASE WHEN m.format = 'bmp'
+                 THEN 54 + ((m.width * 3 + 3) // 4 * 4) * m.height
+                 ELSE 44 + m.n_samples * 2 END AS INTEGER) AS n_bytes,
+       m.width, m.height, m.sample_rate, m.n_samples,
+       CAST(m.n_samples * 1000 // m.sample_rate AS INTEGER) AS duration_ms,
+       CAST(CASE WHEN m.format = 'bmp' THEN 1
+                 ELSE m.n_samples // 25 + 1 END AS INTEGER) AS n_frames,
+       h.b0, h.b1, h.b2, h.b3
+FROM meta m LEFT JOIN ahash_hashes h USING (doc_id)
 """,
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media payload → Arrow-batched ``mapInPandas`` decode → typed
-    metadata. The payloads are real files (24-bit BMP / 16-bit PCM WAV,
-    one per document) and the decode genuinely parses their headers with
-    ``struct`` — magic, offsets, RIFF chunk walk; the oracle re-derives
-    every field (and the exact file size) from the generation rule."""
+    metadata, widened (r6) with the perceptual aHash bands for image
+    rows (REAL pixel decoding — header offset, bottom-up padded rows, 64
+    sampled pixels; WAV rows carry NULL bands). The payloads are real
+    files (24-bit BMP / 16-bit PCM WAV, one per document) and the decode
+    genuinely parses bytes with ``struct``; the oracle re-derives every
+    field — file size, dims, AND the 64 hash bits — from the generation
+    rule."""
     docs = table(spark, sf_dir, "documents")
-    return M.decode_media(M.attach_media_payload(docs))
+    mm = M.attach_media_payload(docs)
+    meta = M.decode_media(mm)
+    bands = M.image_ahash(mm).select("doc_id", "b0", "b1", "b2", "b3")
+    return meta.join(bands, "doc_id", "left")
 
 
 @register(
     "multimodal_frame_sample",
     oracle="WITH "
     + _DIMS_CTE
+    + ","
+    + _AHASH_CORE
     + """
 , frames AS (
   SELECT doc_id,
          CAST(CASE WHEN format = 'bmp' THEN 1
                    ELSE n_samples // 25 + 1 END AS INTEGER) AS n_frames
   FROM meta
+),
+abands AS (
+  SELECT doc_id, b0, b1, b2, b3,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([b0, b1, b2, b3]) AS bh
+  FROM ahash_hashes
+),
+img_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+              + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+              + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+              + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT)))
+              AS INTEGER) AS hamming
+  FROM abands a JOIN abands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+        + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+        + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+        + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) <= 3
 )
-SELECT doc_id, n_frames,
-       CAST(unnest(range(0, n_frames, 8)) AS INTEGER) AS frame_idx
+SELECT 'frame' AS shape, doc_id,
+       CAST(n_frames AS BIGINT) AS n1,
+       CAST(unnest(range(0, n_frames, 8)) AS BIGINT) AS n2
 FROM frames
+UNION ALL
+SELECT 'img_pair' AS shape, doc_a AS doc_id,
+       CAST(doc_b AS BIGINT) AS n1, CAST(hamming AS BIGINT) AS n2
+FROM img_pairs
 """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling row explosion (every 8th frame index) downstream of
-    the real header decode — native explode topology."""
+    """Tagged union of the frame-sampling row explosion (every 8th frame
+    index downstream of the real header decode — native explode
+    topology) and the r6 aHash near-duplicate image pairs (member:
+    multimodal_image_dedup — real pixel decoding, banded hamming <= 3
+    join)."""
     docs = table(spark, sf_dir, "documents")
-    return M.frame_sample(M.decode_media(M.attach_media_payload(docs)))
+    mm = M.attach_media_payload(docs)
+    fr = M.frame_sample(M.decode_media(mm)).select(
+        F.lit("frame").alias("shape"),
+        "doc_id",
+        F.col("n_frames").cast("bigint").alias("n1"),
+        F.col("frame_idx").cast("bigint").alias("n2"),
+    )
+    pr = M.image_hash_pairs(M.image_ahash(mm), max_hamming=3).select(
+        F.lit("img_pair").alias("shape"),
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").cast("bigint").alias("n1"),
+        F.col("hamming").cast("bigint").alias("n2"),
+    )
+    return fr.unionByName(pr)
+
+
+@register(
+    "multimodal_image_ahash",
+    oracle="WITH " + _AHASH_CTE + "\nSELECT * FROM ahash_hashes",
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash of every BMP: the engine DECODES PIXELS
+    from the real payload bytes (header offset, bottom-up padded rows,
+    64 nearest-neighbor samples, exact-integer mean threshold) while the
+    oracle recomputes the same 64 bits from the gradient generation
+    rule — a wrong pixel walk (stride, row order, channel offset) or a
+    wrong writer fails the value hash."""
+    docs = table(spark, sf_dir, "documents")
+    return M.image_ahash(M.attach_media_payload(docs))
+
+
+@register(
+    "multimodal_image_dedup",
+    oracle="WITH "
+    + _AHASH_CTE
+    + """
+, bands AS (
+  SELECT doc_id, b0, b1, b2, b3,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([b0, b1, b2, b3]) AS bh
+  FROM ahash_hashes
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+            + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+            + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+            + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT)))
+            AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+      + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+      + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+      + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) <= 3
+""",
+)
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by banded aHash (hamming <= 3 over 64
+    bits; pigeonhole over four 16-bit bands guarantees recall) — image
+    dedup with REAL pixel decoding on the engine side and a full
+    generation-rule replay on the oracle side."""
+    docs = table(spark, sf_dir, "documents")
+    return M.image_hash_pairs(
+        M.image_ahash(M.attach_media_payload(docs)), max_hamming=3
+    )

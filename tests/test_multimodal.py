@@ -79,3 +79,67 @@ def test_decode_media_spark_plumbing(spark):
     got = {(r.doc_id, r.frame_idx) for r in fs.collect()}
     n3 = rows[3].n_frames
     assert {(3, i) for i in range(0, n3, 8)} <= got
+
+
+def test_image_ahash_decodes_real_pixels(spark):
+    """The aHash comes off the actual BMP bytes: hand-recompute the 64
+    sampled gradient pixels for one image and compare bands bit for
+    bit; same-content images hash identically regardless of doc_id."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.multimodal import (
+        _encode_bmp,
+        image_ahash,
+    )
+
+    w, h, seed = 19, 11, 7
+    payload = _encode_bmp(w, h, seed=seed)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(payload))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in image_ahash(df).collect()}
+    # identical bytes -> identical hash (content-addressed, not id-based)
+    for c in ("b0", "b1", "b2", "b3"):
+        assert rows[1][c] == rows[2][c]
+    # pure-Python recomputation from the generation rule
+    samples = []
+    for by in range(8):
+        ys = (2 * by + 1) * h // 16
+        for bx in range(8):
+            xs = (2 * bx + 1) * w // 16
+            samples.append((3 * xs + 7 * ys + seed) % 256)
+    total = sum(samples)
+    bands = [0, 0, 0, 0]
+    for b, v in enumerate(samples):
+        if v * 64 >= total:
+            bands[b // 16] |= 1 << (b % 16)
+    assert [rows[1].b0, rows[1].b1, rows[1].b2, rows[1].b3] == bands
+    assert rows[1].width == w and rows[1].height == h
+
+
+def test_image_hash_pairs_pigeonhole_and_bounds(spark):
+    """Any pair within hamming 3 is found (pigeonhole over 4 bands);
+    pairs past the threshold are dropped even when a band collides;
+    max_hamming > 3 is rejected (the 4-band guarantee would be void)."""
+    import pytest as _pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.multimodal import (
+        image_hash_pairs,
+    )
+
+    base = (100, 8, 8, 0b1010101010101010, 1234, 40000, 7)
+    flip3 = (  # 3 bits flipped, all inside band 1 -> bands 0/2/3 collide
+        101, 8, 8, base[3], base[4] ^ 0b111, base[5], base[6]
+    )
+    far = (102, 8, 8, ~base[3] & 0xFFFF, ~base[4] & 0xFFFF,
+           base[5], base[6])  # bands 2/3 collide but hamming 32
+    hashes = spark.createDataFrame(
+        [base, flip3, far],
+        "doc_id long, width int, height int, b0 int, b1 int, b2 int, b3 int",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in image_hash_pairs(hashes, max_hamming=3).collect()
+    }
+    assert got == {(100, 101): 3}  # found despite no band-1 match
+    with _pytest.raises(ValueError):
+        image_hash_pairs(hashes, max_hamming=4)

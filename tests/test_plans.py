@@ -419,6 +419,8 @@ def test_corpus_ops_entries_pass_scale_audit(spark):
         # recipe v3: the 1-row driver-held-scalar cross joins inherited
         # from its members (LM vocab size, vocab-coverage total mass)
         "curation_recipe_v3": {"nested_loop_join"},
+        "multimodal_image_ahash": set(),
+        "multimodal_image_dedup": set(),
     }
     offenders = {}
     for name, allow in allowed.items():
