@@ -84,6 +84,51 @@ base AS (
     + _AHASH_CORE
 )
 
+# the audio energy-fingerprint generation-rule replay: int16 sawtooth
+# s(i) = ((37 i + doc_id) % 2001) - 1000, 64 frames (sample i -> frame
+# i*64//n), bit = frame |energy| >= mean frame energy (exact integers).
+# Expects an upstream CTE ``base(doc_id, n_text)``.
+_AUDIO_CORE = """
+wavs AS (
+  SELECT doc_id, CAST(n_text % 500 + 50 AS INTEGER) AS n
+  FROM base WHERE doc_id % 2 = 1
+),
+sidx AS (SELECT doc_id, n, unnest(range(n)) AS i FROM wavs),
+svals AS (
+  SELECT doc_id, CAST(i * 64 // n AS INTEGER) AS f,
+         abs(((37 * i + doc_id) % 2001) - 1000) AS a
+  FROM sidx
+),
+aframes AS (SELECT doc_id, f, sum(a) AS e FROM svals GROUP BY doc_id, f),
+atot AS (SELECT doc_id, sum(e) AS te FROM aframes GROUP BY doc_id),
+afbits AS (
+  SELECT fr.doc_id, fr.f,
+         CASE WHEN fr.e * 64 >= t.te THEN 1 ELSE 0 END AS bit
+  FROM aframes fr JOIN atot t USING (doc_id)
+),
+audio_hashes AS (
+  SELECT w.doc_id, w.n AS n_samples,
+         CAST(sum(CASE WHEN f // 16 = 0 THEN bit * (1 << (f % 16)) ELSE 0 END)
+              AS INTEGER) AS b0,
+         CAST(sum(CASE WHEN f // 16 = 1 THEN bit * (1 << (f % 16)) ELSE 0 END)
+              AS INTEGER) AS b1,
+         CAST(sum(CASE WHEN f // 16 = 2 THEN bit * (1 << (f % 16)) ELSE 0 END)
+              AS INTEGER) AS b2,
+         CAST(sum(CASE WHEN f // 16 = 3 THEN bit * (1 << (f % 16)) ELSE 0 END)
+              AS INTEGER) AS b3
+  FROM afbits JOIN wavs w USING (doc_id) GROUP BY w.doc_id, w.n
+)
+"""
+
+_AUDIO_CTE = (
+    """
+base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents
+),"""
+    + _AUDIO_CORE
+)
+
+
 
 
 @register(
@@ -92,6 +137,8 @@ base AS (
     + _DIMS_CTE
     + ","
     + _AHASH_CORE
+    + ","
+    + _AUDIO_CORE
     + """
 SELECT m.doc_id, m.format,
        CAST(CASE WHEN m.format = 'bmp'
@@ -101,24 +148,36 @@ SELECT m.doc_id, m.format,
        CAST(m.n_samples * 1000 // m.sample_rate AS INTEGER) AS duration_ms,
        CAST(CASE WHEN m.format = 'bmp' THEN 1
                  ELSE m.n_samples // 25 + 1 END AS INTEGER) AS n_frames,
-       h.b0, h.b1, h.b2, h.b3
-FROM meta m LEFT JOIN ahash_hashes h USING (doc_id)
+       h.b0, h.b1, h.b2, h.b3,
+       au.b0 AS a0, au.b1 AS a1, au.b2 AS a2, au.b3 AS a3
+FROM meta m
+LEFT JOIN ahash_hashes h USING (doc_id)
+LEFT JOIN audio_hashes au USING (doc_id)
 """,
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media payload → Arrow-batched ``mapInPandas`` decode → typed
-    metadata, widened (r6) with the perceptual aHash bands for image
-    rows (REAL pixel decoding — header offset, bottom-up padded rows, 64
-    sampled pixels; WAV rows carry NULL bands). The payloads are real
-    files (24-bit BMP / 16-bit PCM WAV, one per document) and the decode
-    genuinely parses bytes with ``struct``; the oracle re-derives every
-    field — file size, dims, AND the 64 hash bits — from the generation
-    rule."""
+    metadata, widened (r6) with the per-payload fingerprints — image
+    rows carry the perceptual aHash bands (REAL pixel decoding: header
+    offset, bottom-up padded rows, 64 sampled pixels), audio rows the
+    energy-fingerprint bands (REAL sample decoding: RIFF chunk walk,
+    int16 unpack, 64-frame energy profile); the other modality's bands
+    are NULL. The payloads are real files and the decode genuinely
+    parses bytes with ``struct``; the oracle re-derives every field —
+    file size, dims, AND all 128 fingerprint bits — from the generation
+    rules."""
     docs = table(spark, sf_dir, "documents")
     mm = M.attach_media_payload(docs)
     meta = M.decode_media(mm)
     bands = M.image_ahash(mm).select("doc_id", "b0", "b1", "b2", "b3")
-    return meta.join(bands, "doc_id", "left")
+    abands = M.audio_energy_hash(mm).select(
+        "doc_id",
+        F.col("b0").alias("a0"),
+        F.col("b1").alias("a1"),
+        F.col("b2").alias("a2"),
+        F.col("b3").alias("a3"),
+    )
+    return meta.join(bands, "doc_id", "left").join(abands, "doc_id", "left")
 
 
 @register(
@@ -127,6 +186,8 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _DIMS_CTE
     + ","
     + _AHASH_CORE
+    + ","
+    + _AUDIO_CORE
     + """
 , frames AS (
   SELECT doc_id,
@@ -153,6 +214,26 @@ img_pairs AS (
         + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
         + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
         + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) <= 3
+),
+wbands AS (
+  SELECT doc_id, b0, b1, b2, b3,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([b0, b1, b2, b3]) AS bh
+  FROM audio_hashes
+),
+audio_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+              + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+              + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+              + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT)))
+              AS INTEGER) AS hamming
+  FROM wbands a JOIN wbands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+        + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+        + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+        + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) <= 3
 )
 SELECT 'frame' AS shape, doc_id,
        CAST(n_frames AS BIGINT) AS n1,
@@ -162,14 +243,19 @@ UNION ALL
 SELECT 'img_pair' AS shape, doc_a AS doc_id,
        CAST(doc_b AS BIGINT) AS n1, CAST(hamming AS BIGINT) AS n2
 FROM img_pairs
+UNION ALL
+SELECT 'audio_pair' AS shape, doc_a AS doc_id,
+       CAST(doc_b AS BIGINT) AS n1, CAST(hamming AS BIGINT) AS n2
+FROM audio_pairs
 """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union of the frame-sampling row explosion (every 8th frame
     index downstream of the real header decode — native explode
-    topology) and the r6 aHash near-duplicate image pairs (member:
-    multimodal_image_dedup — real pixel decoding, banded hamming <= 3
-    join)."""
+    topology) and the r6 near-duplicate pairs for BOTH media modalities (members:
+    multimodal_image_dedup — real pixel decoding — and
+    multimodal_audio_dedup — real sample decoding; banded hamming <= 3
+    joins)."""
     docs = table(spark, sf_dir, "documents")
     mm = M.attach_media_payload(docs)
     fr = M.frame_sample(M.decode_media(mm)).select(
@@ -184,7 +270,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").cast("bigint").alias("n1"),
         F.col("hamming").cast("bigint").alias("n2"),
     )
-    return fr.unionByName(pr)
+    ap = M.band_hash_pairs(M.audio_energy_hash(mm), max_hamming=3).select(
+        F.lit("audio_pair").alias("shape"),
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").cast("bigint").alias("n1"),
+        F.col("hamming").cast("bigint").alias("n2"),
+    )
+    return fr.unionByName(pr).unionByName(ap)
 
 
 @register(
@@ -235,4 +327,54 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return M.image_hash_pairs(
         M.image_ahash(M.attach_media_payload(docs)), max_hamming=3
+    )
+
+
+@register(
+    "multimodal_audio_hash",
+    oracle="WITH " + _AUDIO_CTE + "\nSELECT * FROM audio_hashes",
+)
+def multimodal_audio_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy fingerprint of every WAV: the engine DECODES SAMPLES from
+    the real payload bytes (RIFF chunk walk to the data chunk, int16
+    PCM unpack, 64-frame absolute-energy profile, exact-integer mean
+    threshold) while the oracle recomputes the same 64 bits from the
+    sawtooth generation rule — a wrong chunk walk, endianness, or frame
+    mapping fails the value hash."""
+    docs = table(spark, sf_dir, "documents")
+    return M.audio_energy_hash(M.attach_media_payload(docs))
+
+
+@register(
+    "multimodal_audio_dedup",
+    oracle="WITH "
+    + _AUDIO_CTE
+    + """
+, wbands AS (
+  SELECT doc_id, b0, b1, b2, b3,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([b0, b1, b2, b3]) AS bh
+  FROM audio_hashes
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+            + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+            + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+            + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT)))
+            AS INTEGER) AS hamming
+FROM wbands a JOIN wbands b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+      + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+      + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+      + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) <= 3
+""",
+)
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs by the banded energy fingerprint —
+    the hash-family-agnostic band_hash_pairs join over real decoded
+    samples, full generation-rule replay on the oracle side."""
+    docs = table(spark, sf_dir, "documents")
+    return M.band_hash_pairs(
+        M.audio_energy_hash(M.attach_media_payload(docs)), max_hamming=3
     )

@@ -143,3 +143,34 @@ def test_image_hash_pairs_pigeonhole_and_bounds(spark):
     assert got == {(100, 101): 3}  # found despite no band-1 match
     with _pytest.raises(ValueError):
         image_hash_pairs(hashes, max_hamming=4)
+
+
+def test_audio_energy_hash_decodes_real_samples(spark):
+    """The energy fingerprint comes off the actual WAV bytes (RIFF walk,
+    int16 unpack): hand-recompute the 64-frame energy profile for one
+    clip and compare bands bit for bit; identical bytes hash identically
+    regardless of doc_id."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.multimodal import (
+        _encode_wav,
+        audio_energy_hash,
+    )
+
+    sr, n, seed = 8000, 130, 5
+    payload = _encode_wav(sr, n, seed=seed)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(payload))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in audio_energy_hash(df).collect()}
+    for c in ("b0", "b1", "b2", "b3"):
+        assert rows[1][c] == rows[2][c]
+    energy = [0] * 64
+    for i in range(n):
+        energy[i * 64 // n] += abs(((37 * i + seed) % 2001) - 1000)
+    total = sum(energy)
+    bands = [0, 0, 0, 0]
+    for f, e in enumerate(energy):
+        if e * 64 >= total:
+            bands[f // 16] |= 1 << (f % 16)
+    assert [rows[1].b0, rows[1].b1, rows[1].b2, rows[1].b3] == bands
+    assert rows[1].n_samples == n

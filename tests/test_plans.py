@@ -421,6 +421,8 @@ def test_corpus_ops_entries_pass_scale_audit(spark):
         "curation_recipe_v3": {"nested_loop_join"},
         "multimodal_image_ahash": set(),
         "multimodal_image_dedup": set(),
+        "multimodal_audio_hash": set(),
+        "multimodal_audio_dedup": set(),
     }
     offenders = {}
     for name, allow in allowed.items():
