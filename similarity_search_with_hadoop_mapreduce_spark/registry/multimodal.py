@@ -131,6 +131,62 @@ base AS (
 
 
 
+# the per-frame video aHash generation-rule replay: gradient
+# v(x,y,f) = (3x + 7y + 11f + doc_id) % 256 per AVI frame.
+# Expects an upstream CTE ``base(doc_id, n_text)``.
+_VIDEO_CORE = """
+vids AS (
+  SELECT doc_id, CAST(n_text % 16 + 4 AS INTEGER) AS w,
+         CAST(doc_id % 12 + 4 AS INTEGER) AS h,
+         CAST(doc_id % 5 + 2 AS INTEGER) AS nf
+  FROM base
+),
+vframes AS (
+  SELECT doc_id, w, h, CAST(unnest(range(nf)) AS INTEGER) AS frame_idx
+  FROM vids
+),
+vgrid AS (SELECT gx.i AS bx, gy.i AS by FROM range(8) gx(i), range(8) gy(i)),
+vsamples AS (
+  SELECT doc_id, frame_idx, w, h, by * 8 + bx AS b,
+         (3 * ((2 * bx + 1) * w // 16)
+          + 7 * ((2 * by + 1) * h // 16)
+          + 11 * frame_idx + doc_id) % 256 AS v
+  FROM vframes, vgrid
+),
+vtot AS (
+  SELECT doc_id, frame_idx, sum(v) AS total
+  FROM vsamples GROUP BY doc_id, frame_idx
+),
+vbits AS (
+  SELECT s.doc_id, s.frame_idx, s.b,
+         CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+  FROM vsamples s JOIN vtot t USING (doc_id, frame_idx)
+),
+video_hashes AS (
+  SELECT f.doc_id, f.frame_idx, f.w AS width, f.h AS height,
+         CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b0,
+         CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b1,
+         CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b2,
+         CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b3
+  FROM vbits b JOIN vframes f USING (doc_id, frame_idx)
+  GROUP BY f.doc_id, f.frame_idx, f.w, f.h
+)
+"""
+
+_VIDEO_CTE = (
+    """
+base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents
+),"""
+    + _VIDEO_CORE
+)
+
+
+
 @register(
     "multimodal_decode_meta",
     oracle="WITH "
@@ -188,6 +244,8 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _AHASH_CORE
     + ","
     + _AUDIO_CORE
+    + ","
+    + _VIDEO_CORE
     + """
 , frames AS (
   SELECT doc_id,
@@ -247,15 +305,52 @@ UNION ALL
 SELECT 'audio_pair' AS shape, doc_a AS doc_id,
        CAST(doc_b AS BIGINT) AS n1, CAST(hamming AS BIGINT) AS n2
 FROM audio_pairs
+UNION ALL
+SELECT 'vframe_hi' AS shape, doc_id,
+       CAST(frame_idx AS BIGINT) AS n1,
+       CAST(b0 AS BIGINT) * 65536 + b1 AS n2
+FROM video_hashes
+UNION ALL
+SELECT 'vframe_lo' AS shape, doc_id,
+       CAST(frame_idx AS BIGINT) AS n1,
+       CAST(b2 AS BIGINT) * 65536 + b3 AS n2
+FROM video_hashes
+UNION ALL
+SELECT 'video_pair' AS shape, v.doc_a AS doc_id,
+       CAST(v.doc_b AS BIGINT) AS n1,
+       CAST(v.matched_frames * 1000000 + least(ca.nf, cb.nf) AS BIGINT) AS n2
+FROM (
+  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS matched_frames
+  FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_idx
+    FROM (SELECT doc_id, frame_idx, b0, b1, b2, b3,
+                 unnest([0, 1, 2, 3]) AS band,
+                 unnest([b0, b1, b2, b3]) AS bh FROM video_hashes) a
+    JOIN (SELECT doc_id, frame_idx, b0, b1, b2, b3,
+                 unnest([0, 1, 2, 3]) AS band,
+                 unnest([b0, b1, b2, b3]) AS bh FROM video_hashes) b
+      ON a.frame_idx = b.frame_idx AND a.band = b.band AND a.bh = b.bh
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+          + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+          + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+          + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) <= 3
+  ) fm GROUP BY doc_a, doc_b
+) v
+JOIN vids ca ON ca.doc_id = v.doc_a
+JOIN vids cb ON cb.doc_id = v.doc_b
+WHERE v.matched_frames * 2 >= least(ca.nf, cb.nf)
 """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union of the frame-sampling row explosion (every 8th frame
     index downstream of the real header decode — native explode
-    topology) and the r6 near-duplicate pairs for BOTH media modalities (members:
-    multimodal_image_dedup — real pixel decoding — and
-    multimodal_audio_dedup — real sample decoding; banded hamming <= 3
-    joins)."""
+    topology) and the r6 near-duplicate detection for ALL THREE media modalities
+    (members: multimodal_image_dedup — real pixel decoding;
+    multimodal_audio_dedup — real sample decoding;
+    multimodal_video_frames + multimodal_video_dedup — real AVI
+    container/frame decoding, per-frame hashes and aligned
+    frame-voting pairs; banded hamming <= 3 joins throughout)."""
     docs = table(spark, sf_dir, "documents")
     mm = M.attach_media_payload(docs)
     fr = M.frame_sample(M.decode_media(mm)).select(
@@ -276,7 +371,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").cast("bigint").alias("n1"),
         F.col("hamming").cast("bigint").alias("n2"),
     )
-    return fr.unionByName(pr).unionByName(ap)
+    vh = M.video_frame_hashes(M.attach_video_payload(docs))
+    vhi = vh.select(
+        F.lit("vframe_hi").alias("shape"),
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("n1"),
+        (F.col("b0").cast("bigint") * 65536 + F.col("b1")).alias("n2"),
+    )
+    vlo = vh.select(
+        F.lit("vframe_lo").alias("shape"),
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("n1"),
+        (F.col("b2").cast("bigint") * 65536 + F.col("b3")).alias("n2"),
+    )
+    vp = M.video_dedup_pairs(vh, max_hamming=3).select(
+        F.lit("video_pair").alias("shape"),
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").cast("bigint").alias("n1"),
+        (
+            F.col("matched_frames") * 1000000 + F.col("min_frames")
+        ).alias("n2"),
+    )
+    return (
+        fr.unionByName(pr)
+        .unionByName(ap)
+        .unionByName(vhi)
+        .unionByName(vlo)
+        .unionByName(vp)
+    )
 
 
 @register(
@@ -377,4 +499,64 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return M.band_hash_pairs(
         M.audio_energy_hash(M.attach_media_payload(docs)), max_hamming=3
+    )
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="WITH " + _VIDEO_CTE + "\nSELECT * FROM video_hashes",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual hashes of every AVI — REAL video container
+    decoding: RIFF/'AVI ' magic, avih main-header dims, movi-list 00db
+    frame walk, then the 64-sample aHash over each frame's DIB pixel
+    array; the oracle recomputes every frame's 64 bits from the
+    per-frame gradient rule. The frame-level feature table video dedup
+    and shot retrieval build on."""
+    docs = table(spark, sf_dir, "documents")
+    return M.video_frame_hashes(M.attach_video_payload(docs))
+
+
+@register(
+    "multimodal_video_dedup",
+    oracle="WITH "
+    + _VIDEO_CTE
+    + """
+, vbands AS (
+  SELECT doc_id, frame_idx, b0, b1, b2, b3,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([b0, b1, b2, b3]) AS bh
+  FROM video_hashes
+),
+fmatch AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_idx
+  FROM vbands a JOIN vbands b
+    ON a.frame_idx = b.frame_idx AND a.band = b.band AND a.bh = b.bh
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+        + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+        + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+        + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) <= 3
+),
+vvotes AS (
+  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS matched_frames
+  FROM fmatch GROUP BY doc_a, doc_b
+)
+SELECT v.doc_a, v.doc_b, v.matched_frames,
+       CAST(least(ca.nf, cb.nf) AS BIGINT) AS min_frames
+FROM vvotes v
+JOIN vids ca ON ca.doc_id = v.doc_a
+JOIN vids cb ON cb.doc_id = v.doc_b
+WHERE v.matched_frames * 2 >= least(ca.nf, cb.nf)
+""",
+)
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video pairs by aligned frame voting: same-index
+    frames near-match through the banded hamming<=3 contract, a pair
+    survives when at least half the shorter video's frames match —
+    real container decoding on the engine side, full per-frame
+    generation-rule replay on the oracle side."""
+    docs = table(spark, sf_dir, "documents")
+    return M.video_dedup_pairs(
+        M.video_frame_hashes(M.attach_video_payload(docs)), max_hamming=3
     )

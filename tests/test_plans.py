@@ -423,6 +423,8 @@ def test_corpus_ops_entries_pass_scale_audit(spark):
         "multimodal_image_dedup": set(),
         "multimodal_audio_hash": set(),
         "multimodal_audio_dedup": set(),
+        "multimodal_video_frames": set(),
+        "multimodal_video_dedup": set(),
     }
     offenders = {}
     for name, allow in allowed.items():

@@ -89,6 +89,8 @@ FOLDED = {
     "multimodal_image_dedup": "multimodal_frame_sample",
     "multimodal_audio_hash": "multimodal_decode_meta",
     "multimodal_audio_dedup": "multimodal_frame_sample",
+    "multimodal_video_frames": "multimodal_frame_sample",
+    "multimodal_video_dedup": "multimodal_frame_sample",
     "dedup_incremental_refresh": "curation_suite",
     "curation_recipe_v3": "curation_suite",
     "events_tumbling_window": "events_time_windows",
