@@ -91,6 +91,26 @@ def main() -> int:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error: {e}")
             continue
+        if not use_all:
+            # Driver-compat: the driver canonicalizes results through a
+            # pandas sort, which throws on ARRAY/MAP/STRUCT columns — a
+            # curated entry must expose scalar columns only (project
+            # arrays to e.g. concat_ws before curating; the fine-grained
+            # registry keeps the typed columns).
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if bad:
+                failures.append(
+                    (name, f"DRIVER-COMPAT: non-scalar columns {bad}")
+                )
+                print(f"FAIL {name}: non-scalar columns {bad} would crash "
+                      "the driver's pandas canonicalizer")
+                continue
         if name not in orc:
             print(f"SKIP {name}: no oracle (rows-only) rows={len(srows)} "
                   f"[{time.time()-t0:.1f}s]")

@@ -685,17 +685,21 @@ def dup_span_stats(
     near-duplicates in the fixture corpus light up at any w).
 
     Plan: staged tokenize → per-doc distinct window keys (map-only) →
-    explode → one exchange on the span key (the document-frequency
-    window count) → one partial-aggregated exchange on doc_id (the
-    per-doc reduce) → left join back to the doc spine for zero rows —
-    two exchanges, the minimum for a per-doc rollup of a cross-doc
-    frequency (same topology as ``repetition_stats``). Shuffle
+    explode → partial-aggregated ``groupBy(win)`` for the per-span
+    document frequency (map-side combine collapses a universally-common
+    boilerplate span to one row per task before the exchange) → join the
+    1-row-per-span DF table back onto the (doc_id, win) stream (a join,
+    so a hot span's probe side IS AQE-skew-splittable — deliberately not
+    a window over the span key, where every occurrence of a hot span
+    would sort in one task and WindowExec skew is not AQE-mitigated) →
+    partial-aggregated exchange on doc_id (the per-doc reduce) → left
+    join back to the doc spine for zero rows. Shuffle
     payload is one fixed-width hash per token position, not the w-word
     string: ``span_key='xxhash64'`` (production, codegen'd);
     ``'md5'`` for cross-engine oracle digest parity; ``'raw'`` keeps the
     span text for debugging. No df cap is needed — unlike the pair
     families nothing fans out quadratically; a universally-common span
-    costs one counter, and skewed span partitions are AQE-splittable.
+    costs one counter row after partial aggregation.
     """
     if w < 1:
         raise ValueError(f"window must be >= 1 token, got {w}")
@@ -718,15 +722,23 @@ def dup_span_stats(
         f"ELSE CAST(array() AS ARRAY<{key_type}>) END"
     )
     wins = base.select("doc_id", F.explode(F.expr(wins_expr)).alias("win"))
-    from pyspark.sql import Window
-
-    df_count = F.count(F.lit(1)).over(Window.partitionBy("win"))
+    # Document frequency per span via groupBy, NOT a window over the span
+    # key: partial (map-side) aggregation collapses a universally-common
+    # boilerplate span to one row per task before the exchange, and the
+    # join back onto the (doc_id, win) stream is AQE-skew-splittable —
+    # whereas WindowExec would sort every occurrence of a hot span in a
+    # single task (window skew is not AQE-mitigated).
+    span_df = wins.groupBy("win").agg(
+        (F.count(F.lit(1)) > 1).alias("is_dup")
+    )
     per_doc = (
-        wins.select("doc_id", (df_count > 1).cast("int").alias("is_dup"))
+        wins.join(span_df, "win")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum("is_dup").cast("bigint").alias("dup_spans"),
+            F.sum(F.col("is_dup").cast("int")).cast("bigint").alias(
+                "dup_spans"
+            ),
         )
     )
     return (

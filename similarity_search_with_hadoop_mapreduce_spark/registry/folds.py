@@ -548,7 +548,8 @@ SELECT t.doc_id, t.n_tokens, t.n_bpe_tokens, t.n_chars,
        b.pred_label, b.nb_score, b.is_correct,
        g.ok_words, g.ok_mean_word_len, g.ok_symbol_ratio,
        g.ok_alpha_frac, g.ok_stop_hits, g.passes AS gopher_passes,
-       e.n_tokens AS enc_n_tokens, e.n_unk, e.ids
+       e.n_tokens AS enc_n_tokens, e.n_unk,
+       COALESCE(array_to_string(e.ids, ','), '') AS ids_csv
 FROM (\n{ORACLES["text_token_count"]}\n) t
 JOIN (\n{ORACLES["text_lang_id"]}\n) l USING (doc_id)
 JOIN (\n{ORACLES["text_quality"]}\n) q USING (doc_id)
@@ -571,8 +572,9 @@ JOIN (\n{ORACLES["text_encode_vocab"]}\n) e USING (doc_id)
         text_lm_score's bigram-LM negative log likelihood,
         text_nb_source's Naive-Bayes prediction,
         text_gopher_rules' rule-set gates, and text_encode_vocab's
-        stored-vocabulary token ids — the full order-preserving ids
-        array rides the fold, UNK=0, trained on the even-doc slice) —
+        stored-vocabulary token ids — pinned as the order-preserving
+        ``ids_csv`` rendering so the fold stays driver-representable
+        (scalar columns only), UNK=0, trained on the even-doc slice) —
         the feature row a curation pipeline computes per doc, all
         columns value-pinned at once."""
         tc = _q("text_token_count")(spark, sf_dir)
@@ -607,7 +609,15 @@ JOIN (\n{ORACLES["text_encode_vocab"]}\n) e USING (doc_id)
             "doc_id",
             F.col("n_tokens").alias("enc_n_tokens"),
             "n_unk",
-            "ids",
+            # Driver-representable projection of the token-id array: the
+            # driver's pandas canonicalizer sorts columns, and a list
+            # column is unhashable/unsortable there — so the curated fold
+            # carries the order-preserving CSV rendering (still pins the
+            # exact sequence); the fine-grained ``text_encode_vocab``
+            # entry keeps the raw ARRAY.
+            F.concat_ws(",", F.col("ids").cast("array<string>")).alias(
+                "ids_csv"
+            ),
         )
         return (
             tc.join(li, "doc_id")

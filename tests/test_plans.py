@@ -244,14 +244,15 @@ def test_pack_sequences_single_shard_exchange(spark):
     assert "Join" not in plan
 
 
-def test_dup_span_stats_two_exchanges_staged_tokens(spark):
-    """Cross-doc duplicated-span mass: one exchange on the span key (the
-    document-frequency window), one partial-aggregated exchange on doc_id
-    (the per-doc reduce) — plus the zero-row spine join, which AQE turns
-    into a broadcast at runtime, never a third full shuffle of the span
-    stream. The tokenizer is staged once (a single `split` in the plan),
-    and the shuffled span payload is the fixed-width xxhash64, not the
-    w-word string."""
+def test_dup_span_stats_no_window_skew(spark):
+    """Cross-doc duplicated-span mass: the per-span document frequency is
+    a partial-aggregated ``groupBy(win)`` joined back onto the
+    (doc_id, win) stream — NEVER a window over the span key, because
+    WindowExec puts every occurrence of a hot boilerplate span in one
+    task's sort run and window skew is not AQE-splittable, while the
+    join probe side is. Map-side combine collapses a universally-common
+    span to one row per task before the exchange. The doc-spine join
+    broadcasts the small per-doc aggregate."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
         dup_span_stats,
     )
@@ -259,10 +260,14 @@ def test_dup_span_stats_two_exchanges_staged_tokens(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     df = dup_span_stats(docs, w=5, span_key="xxhash64")
     plan = explain_string(df)
-    # two shuffles for the computation; the doc-spine join may add its own
-    # small exchanges pre-AQE but must not reshuffle the span stream
+    # the scale-killer: no window over the span key anywhere in the plan
+    assert "Window" not in plan, plan
     assert shuffle_exchange_count(df) <= 4, plan
     assert plan.count("xxhash64") >= 1, plan
+    # document frequency arrives via a join (AQE-skew-splittable), with
+    # a partial HashAggregate upstream of its exchange
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "Join" in plan, plan
     # the spine join broadcasts the small per-doc aggregate — the span
     # stream is never reshuffled a third time for it
     assert "BroadcastHashJoin" in plan, plan
