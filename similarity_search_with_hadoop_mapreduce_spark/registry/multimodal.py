@@ -24,7 +24,9 @@ base AS (
 ),
 meta AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+         CASE WHEN doc_id % 4 = 0 THEN 'bmp'
+              WHEN doc_id % 2 = 0 THEN 'png'
+              ELSE 'wav' END AS format,
          CASE WHEN doc_id % 2 = 0 THEN CAST(n_text % 64 + 1 AS INTEGER) END
            AS width,
          CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 48 + 1 AS INTEGER) END
@@ -199,10 +201,17 @@ base AS (
 SELECT m.doc_id, m.format,
        CAST(CASE WHEN m.format = 'bmp'
                  THEN 54 + ((m.width * 3 + 3) // 4 * 4) * m.height
+                 WHEN m.format = 'png'
+                 -- sig 8 + IHDR 25 + IDAT 12+overhead + IEND 12 with a
+                 -- hand-written stored-deflate stream: one block per
+                 -- 65535 raw bytes (dims keep it to one)
+                 THEN 63 + (m.width + 1) * m.height
+                      + 5 * greatest(1, ((m.width + 1) * m.height + 65534)
+                                        // 65535)
                  ELSE 44 + m.n_samples * 2 END AS INTEGER) AS n_bytes,
        m.width, m.height, m.sample_rate, m.n_samples,
        CAST(m.n_samples * 1000 // m.sample_rate AS INTEGER) AS duration_ms,
-       CAST(CASE WHEN m.format = 'bmp' THEN 1
+       CAST(CASE WHEN m.format IN ('bmp', 'png') THEN 1
                  ELSE m.n_samples // 25 + 1 END AS INTEGER) AS n_frames,
        h.b0, h.b1, h.b2, h.b3,
        au.b0 AS a0, au.b1 AS a1, au.b2 AS a2, au.b3 AS a3
@@ -249,7 +258,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 , frames AS (
   SELECT doc_id,
-         CAST(CASE WHEN format = 'bmp' THEN 1
+         CAST(CASE WHEN format IN ('bmp', 'png') THEN 1
                    ELSE n_samples // 25 + 1 END AS INTEGER) AS n_frames
   FROM meta
 ),

@@ -26,6 +26,71 @@ def test_bmp_roundtrip_exact():
         assert struct.unpack_from("<I", payload, 2)[0] == len(payload)
 
 
+def test_png_roundtrip_exact():
+    """The PNG writer/reader pair is a real codec: spec signature, chunk
+    CRCs, a valid zlib stream, and every row written with a different
+    scanline filter (y % 5) so the decoder must invert all five PNG
+    filter types. Pixels must come back exactly."""
+    import struct
+
+    for w, h, seed in [(1, 1, 0), (5, 7, 3), (64, 48, 123), (33, 10, 9)]:
+        payload = M._encode_png(w, h, seed=seed)
+        # header decode path
+        fmt, width, height, sr, ns, dur, frames = M._decode_payload(payload)
+        assert (fmt, width, height, frames) == ("png", w, h, 1)
+        assert (sr, ns, dur) == (None, None, None)
+        # closed-form size (one stored-deflate block at these dims)
+        assert len(payload) == 68 + (w + 1) * h
+        # full pixel decode inverts every filter type exactly
+        pw, ph, rows = M._png_pixels(payload)
+        assert (pw, ph) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                assert rows[y][x] == (3 * x + 7 * y + seed) % 256, (x, y)
+        # the declared IDAT stream really is zlib (decompress accepts it)
+        import zlib
+
+        ln, ctype = struct.unpack_from(">I4s", payload, 33)
+        assert ctype == b"IDAT"
+        raw = zlib.decompress(payload[41 : 41 + ln])
+        assert len(raw) == (w + 1) * h
+
+
+def test_png_corruption_detected():
+    """A flipped payload byte breaks either the chunk CRC or the zlib
+    adler32 — the decoder must refuse, not return garbage pixels."""
+    payload = bytearray(M._encode_png(9, 6, seed=4))
+    payload[45] ^= 0xFF  # inside IDAT data
+    with pytest.raises(Exception):
+        M._png_pixels(bytes(payload))
+    truncated = M._encode_png(9, 6, seed=4)[:30]
+    with pytest.raises(ValueError):
+        M._png_pixels(truncated)
+
+
+def test_png_bmp_same_content_same_ahash(spark):
+    """BMP and PNG carry the same gradient rule, so the perceptual hash
+    must be codec-independent — the property that lets one SQL oracle
+    pin both pixel-decode paths (and that a real near-dup pipeline
+    relies on: a re-encode of the same image is hamming-0)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.multimodal import (
+        image_ahash,
+    )
+
+    w, h, seed = 21, 13, 5
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(M._encode_bmp(w, h, seed=seed))),
+            (2, bytearray(M._encode_png(w, h, seed=seed))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in image_ahash(df).collect()}
+    assert len(rows) == 2
+    for c in ("width", "height", "b0", "b1", "b2", "b3"):
+        assert rows[1][c] == rows[2][c], c
+
+
 def test_wav_roundtrip_exact():
     for rate, n in [(8000, 50), (16000, 549), (44100, 123), (22050, 250)]:
         payload = M._encode_wav(rate, n)
@@ -56,6 +121,9 @@ def test_wav_parser_walks_extra_chunks():
 
 def test_unknown_magic_rejected():
     with pytest.raises(ValueError, match="magic"):
+        M._decode_payload(b"GIF89a\x00\x00\x00\x00\x00\x00")
+    # a PNG signature with no room for IHDR is truncated, not unknown
+    with pytest.raises(ValueError, match="truncated"):
         M._decode_payload(b"\x89PNG\r\n\x1a\n0000")
 
 
@@ -71,7 +139,7 @@ def test_decode_media_spark_plumbing(spark):
     )
     rows = {r.doc_id: r for r in M.decode_media(M.attach_media_payload(docs)).collect()}
     assert rows[0].format == "bmp" and rows[0].width == 70 % 64 + 1
-    assert rows[2].format == "bmp" and rows[2].height == 2 % 48 + 1
+    assert rows[2].format == "png" and rows[2].height == 2 % 48 + 1
     assert rows[1].format == "wav" and rows[1].sample_rate == M.WAV_RATES[1]
     assert rows[3].format == "wav" and rows[3].n_samples == 600 % 500 + 50
     # frame sampling fans out per sampled frame
