@@ -358,7 +358,10 @@ def ngram_frequencies(
 
 
 def ngram_frequencies_arrow(
-    documents: DataFrame, top_k: int = 25, text_col: str = "text"
+    documents: DataFrame,
+    top_k: int = 25,
+    text_col: str = "text",
+    flush_vocab: int = 1_000_000,
 ) -> DataFrame:
     """PRODUCTION twin of :func:`ngram_frequencies` — same contract as
     the hash families' xxhash64 twins (bench ``production_queries``;
@@ -393,8 +396,11 @@ def ngram_frequencies_arrow(
     # only by the partition. Emitting and resetting past this many
     # distinct terms caps memory unconditionally; downstream sums the
     # partials, so flushing is result-invariant (it only trades a
-    # little pre-combining away).
-    _FLUSH_VOCAB = 1_000_000
+    # little pre-combining away) — pytest pins result-equality at
+    # flush_vocab=2 against the unflushed run.
+    if flush_vocab < 1:
+        raise ValueError(f"flush_vocab must be >= 1, got {flush_vocab}")
+    _FLUSH_VOCAB = flush_vocab
 
     def partial_counts(pdfs):
         from collections import Counter
@@ -684,16 +690,20 @@ def dup_span_stats(
     thresholds on (docs above ~0.8 are boilerplate/mirrors; the planted
     near-duplicates in the fixture corpus light up at any w).
 
-    Plan: staged tokenize → per-doc distinct window keys (map-only) →
-    explode → partial-aggregated ``groupBy(win)`` for the per-span
-    document frequency (map-side combine collapses a universally-common
-    boilerplate span to one row per task before the exchange) → join the
-    1-row-per-span DF table back onto the (doc_id, win) stream (a join,
-    so a hot span's probe side IS AQE-skew-splittable — deliberately not
-    a window over the span key, where every occurrence of a hot span
-    would sort in one task and WindowExec skew is not AQE-mitigated) →
-    partial-aggregated exchange on doc_id (the per-doc reduce) → left
-    join back to the doc spine for zero rows. Shuffle
+    Plan (unique-span attribution): spans are distinct per doc, so a
+    span with global document frequency 1 belongs to exactly ONE doc —
+    ``min(doc_id)`` in the same partial-aggregated ``groupBy(win)`` pass
+    names it, and ``dup_spans = n_spans - n_uniq``. The exploded
+    (doc_id, win) stream is therefore shuffled exactly ONCE, map-side
+    pre-combined (a universally-common boilerplate span collapses to one
+    row per task before the exchange); the per-doc span count never
+    needs the explode at all (it is the distinct window-array size,
+    map-only on the spine branch); the two tiny per-doc aggregates
+    broadcast-join back to the doc spine. Deliberately NOT a window
+    over the span key — WindowExec sorts every occurrence of a hot span
+    in one task and window skew is not AQE-mitigated — and NOT a
+    DF-table join back onto the exploded stream, which would shuffle
+    the stream a second time. Shuffle
     payload is one fixed-width hash per token position, not the w-word
     string: ``span_key='xxhash64'`` (production, codegen'd);
     ``'md5'`` for cross-engine oracle digest parity; ``'raw'`` keeps the
@@ -722,36 +732,46 @@ def dup_span_stats(
         f"ELSE CAST(array() AS ARRAY<{key_type}>) END"
     )
     wins = base.select("doc_id", F.explode(F.expr(wins_expr)).alias("win"))
-    # Document frequency per span via groupBy, NOT a window over the span
-    # key: partial (map-side) aggregation collapses a universally-common
-    # boilerplate span to one row per task before the exchange, and the
-    # join back onto the (doc_id, win) stream is AQE-skew-splittable —
+    # Unique-span attribution, NOT a window over the span key and NOT a
+    # join back onto the exploded stream: spans are DISTINCT per doc, so
+    # a span with global document frequency 1 belongs to exactly one doc
+    # — min(doc_id) in the SAME partial-aggregated pass names it. Then
+    # dup_spans = n_spans - n_uniq. The exploded stream is shuffled
+    # exactly once, pre-combined map-side (a universally-common
+    # boilerplate span collapses to one row per task before the
+    # exchange), and no hot span key ever concentrates in one task —
     # whereas WindowExec would sort every occurrence of a hot span in a
     # single task (window skew is not AQE-mitigated).
-    span_df = wins.groupBy("win").agg(
-        (F.count(F.lit(1)) > 1).alias("is_dup")
+    uniq_per_doc = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("_df"), F.min("doc_id").alias("_d0"))
+        .where(F.col("_df") == 1)
+        .groupBy(F.col("_d0").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
     )
-    per_doc = (
-        wins.join(span_df, "win")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.col("is_dup").cast("int")).cast("bigint").alias(
-                "dup_spans"
-            ),
-        )
+    # per-doc span count never needs the explode: it is the distinct
+    # window-array size, computed map-only on the spine branch
+    spine = base.select(
+        "doc_id", F.expr(f"size({wins_expr})").cast("bigint").alias("n_spans")
     )
     return (
         documents.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        .join(spine, "doc_id", "left")
+        .join(uniq_per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            (
+                F.coalesce("n_spans", F.lit(0))
+                - F.coalesce("n_uniq", F.lit(0))
+            ).alias("dup_spans"),
             F.coalesce(
                 F.round(
-                    F.col("dup_spans").cast("double")
-                    / F.col("n_spans").cast("double"),
+                    (
+                        F.coalesce("n_spans", F.lit(0))
+                        - F.coalesce("n_uniq", F.lit(0))
+                    ).cast("double")
+                    / F.nullif(F.col("n_spans"), F.lit(0)).cast("double"),
                     6,
                 ),
                 F.lit(0.0),

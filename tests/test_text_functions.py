@@ -192,6 +192,18 @@ def test_ngram_frequencies_arrow_twin_matches_native(spark):
     want = [key(r) for r in ngram_frequencies(fx, top_k=25).collect()]
     got = [key(r) for r in ngram_frequencies_arrow(fx, top_k=25).collect()]
     assert got == want and len(want) == 25
+    # the unconditional memory cap is result-invariant: flushing the
+    # partial Counter every 2 distinct terms only trades pre-combining
+    # away — downstream sums the partials to the same dfs
+    got = [
+        key(r)
+        for r in ngram_frequencies_arrow(fx, top_k=25, flush_vocab=2).collect()
+    ]
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="flush_vocab"):
+        ngram_frequencies_arrow(fx, flush_vocab=0)
 
 
 def test_quality_score_arrow_twin_matches_native(spark):
