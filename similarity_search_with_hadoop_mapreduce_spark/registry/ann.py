@@ -1202,3 +1202,213 @@ def ann_ivfpq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         residual=False, coarse_book=coarse, pq_books=books, index=index,
         refine_factor=_REFINE,
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 — 8-bit scalar quantization (FAISS SQ8): the high-recall,
+# low-compression point on the same compressed-serving curve as PQ.
+# Bounds training, encoding, ADC scoring, and the recall reduction are
+# all replayed by the oracle in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _sq_parts() -> list[str]:
+    """Shared CTEs: per-dimension min/max bounds (exact order statistics
+    — both engines agree bit for bit), forward scale / inverse step
+    arrays, and the SQ8 code table. The arithmetic shapes mirror
+    :func:`operators.ann._sq_scales` / :func:`operators.ann.sq_encode`
+    term for term so IEEE evaluation order matches."""
+    return [
+        f"n AS MATERIALIZED (SELECT vec_id, embedding, {_NORM} AS nrm "
+        "FROM embeddings)",
+        f"""sqb AS (
+  SELECT list(CAST(mn AS DOUBLE) ORDER BY i) AS mns,
+         list(CASE WHEN mx > mn
+                   THEN 255.0 / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+                   ELSE 0.0 END ORDER BY i) AS fwd,
+         list(CASE WHEN mx > mn
+                   THEN (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) / 255.0
+                   ELSE 0.0 END ORDER BY i) AS stp
+  FROM (
+    SELECT i, min(embedding[i]) AS mn, max(embedding[i]) AS mx
+    FROM n, range(1, {_DIM} + 1) t(i)
+    GROUP BY i
+  )
+)""",
+        f"""sqcodes AS MATERIALIZED (
+  SELECT nv.vec_id, nv.nrm,
+         list_transform(range(1, {_DIM} + 1),
+           i -> least(255, greatest(0, CAST(floor(round(
+                (CAST(nv.embedding[i] AS DOUBLE) - b.mns[i]) * b.fwd[i],
+                6)) AS INTEGER)))) AS qcode
+  FROM n nv, sqb b
+)""",
+    ]
+
+
+_SQ_CHECK = (
+    f"CAST(list_sum(list_transform(range(1, {_DIM} + 1), "
+    "i -> CAST(c.qcode[i] AS BIGINT) * i)) AS BIGINT)"
+)
+_SQ_ADC = (
+    f"round(coalesce((qw.c0 + list_sum(list_transform(range(1, {_DIM} + 1), "
+    "i -> CAST(c.qcode[i] AS DOUBLE) * qw.w[i]))) "
+    "/ nullif(c.nrm * qw.q_nrm, 0.0), 0.0), 6)"
+)
+# per-query driver-folded terms, mirrored: w[i] = q[i]·Δ[i] first (one
+# multiply, like the Python zip), THEN the code fold multiplies by w[i]
+_SQ_QW_COLS = (
+    f"list_transform(range(1, {_DIM} + 1), i -> q.q_emb[i] * b.stp[i]) AS w, "
+    f"list_sum(list_transform(range(1, {_DIM} + 1), "
+    "i -> q.q_emb[i] * (b.mns[i] + b.stp[i] / 2.0))) AS c0"
+)
+
+
+def _sq_oracle() -> str:
+    """ann_sq8_topk oracle: bounds training replay, encoding replay, and
+    ADC scoring — the SQL twin of :func:`operators.ann.sq_topk` end to
+    end, training included."""
+    parts = _sq_parts()
+    parts.append(
+        "q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)"
+    )
+    parts.append(
+        f"qw AS (SELECT q.q_nrm, {_SQ_QW_COLS} FROM q, sqb b)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT c.vec_id,
+       {_SQ_CHECK} AS code_check,
+       {_SQ_ADC} AS sq_score
+FROM sqcodes c, qw
+WHERE c.vec_id != 0
+ORDER BY sq_score DESC, c.vec_id
+LIMIT {_K}
+"""
+    )
+
+
+def _sq_recall_oracle() -> str:
+    """ann_sq8_recall oracle: per-query SQ8 ADC ranking vs exact
+    ranking, reduced to mean recall@k — the SQL twin of
+    :func:`operators.ann.sq_recall_multi`."""
+    dot_nq = (
+        f"list_sum(list_transform(range(1, {_DIM} + 1), "
+        "i -> CAST(nv.embedding[i] AS DOUBLE) * q.q_emb[i]))"
+    )
+    parts = _sq_parts()
+    parts.append(
+        f"""qs AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb,
+         nrm AS q_nrm
+  FROM n WHERE vec_id < {_N_QUERIES}
+)"""
+    )
+    parts.append(
+        f"qw AS (SELECT q.qid, q.q_emb, q.q_nrm, {_SQ_QW_COLS} "
+        "FROM qs q, sqb b)"
+    )
+    parts.append(
+        f"""sq_scored AS (
+  SELECT qw.qid, c.vec_id, {_SQ_ADC} AS s
+  FROM sqcodes c CROSS JOIN qw
+  WHERE c.vec_id != qw.qid
+)"""
+    )
+    parts.append(
+        f"""adc AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+    FROM sq_scored
+  ) WHERE rn <= {_K}
+)"""
+    )
+    parts.append(
+        f"""exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, nv.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(coalesce({dot_nq}
+                        / nullif(nv.nrm * q.q_nrm, 0.0), 0.0), 6) DESC,
+                      nv.vec_id) AS rn
+    FROM n nv CROSS JOIN qs q
+    WHERE nv.vec_id != q.qid
+  ) WHERE rn <= {_K}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST((SELECT count(*) FROM adc JOIN exact USING (qid, vec_id)) AS DOUBLE)
+         / nullif(CAST((SELECT count(*) FROM exact) AS DOUBLE), 0.0)
+           AS recall_at_k,
+       CAST({_K} AS INTEGER) AS k,
+       CAST({_N_QUERIES} AS INTEGER) AS n_queries
+"""
+    )
+
+
+def _sq_index(spark: SparkSession, sf_dir: str):
+    """(bounds, persisted codes) per corpus — the SQ8 index build,
+    fingerprint-keyed like the PQ/IVF builds."""
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        table_fingerprint,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = _IVF_SERVE_CACHE.setdefault(spark, {})
+    fp = table_fingerprint(sf_dir, "embeddings")
+    key = ("sq8", sf_dir, fp)
+    if key not in d:
+        _evict_stale(d, sf_dir, fp)
+        bounds = A.sq_bounds(emb)
+        codes = A.sq_encode(emb, bounds).persist()
+        d[key] = (bounds, codes)
+    return d[key]
+
+
+@register("ann_sq8_topk", oracle=_sq_oracle())
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantization top-10 by asymmetric scoring: per-dim
+    min/max bounds trained in one aggregation pass (exact order
+    statistics, SQL-replayed), every vector stored as 64 uint8 codes +
+    its true norm (4x compression vs PQ's ~60x — the high-recall end of
+    the compressed-serving curve), scoring = one integer-array fold with
+    the per-query constants folded driver-side. code_check (the
+    order-sensitive positional checksum) pins the per-dimension encoding
+    in the value hash."""
+    bounds, codes = _sq_index(spark, sf_dir)
+    q, qn, _probes = _ivf_probe(spark, sf_dir, 0)
+    return A.sq_topk(
+        table(spark, sf_dir, "embeddings"),
+        0,
+        k=_K,
+        bounds=bounds,
+        codes=codes,
+        query_state=(q, qn),
+    )
+
+
+@register("ann_sq8_recall", oracle=_sq_recall_oracle())
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality metric for the SQ8 family: mean recall@10 of SQ8
+    ADC ranking against exact brute force over the same 10-query battery
+    as ann_pq_recall — the number that justifies (or not) spending 16x
+    more index memory than PQ for the finer quantizer. The oracle
+    replays the bounds training, the encoding, both rankings, and the
+    reduction in SQL."""
+    bounds, codes = _sq_index(spark, sf_dir)
+    return A.sq_recall_multi(
+        table(spark, sf_dir, "embeddings"),
+        n_queries=_N_QUERIES,
+        k=_K,
+        bounds=bounds,
+        codes=codes,
+    )

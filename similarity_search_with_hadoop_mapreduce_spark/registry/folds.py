@@ -417,6 +417,18 @@ def _register_ann_ivf_suite() -> None:
             "CAST(round(pq_score * 1000000.0, 0) AS BIGINT) AS centroid_id, "
             "cosine AS v",
         ),
+        (
+            # code_check (order-sensitive positional checksum) pins the
+            # per-dimension SQ8 encoding in the slot
+            "ann_sq8_topk",
+            "'sq8' AS shape, vec_id, code_check AS centroid_id, "
+            "sq_score AS v",
+        ),
+        (
+            "ann_sq8_recall",
+            "'sq8_recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
+            "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
+        ),
     ]
 
     @register("ann_ivf_suite", oracle=_union_oracle(parts))
@@ -438,7 +450,11 @@ def _register_ann_ivf_suite() -> None:
         exact-rerank serving pattern with the shortlist pricing in the
         bigint slot as micro-units, and its serving recall — 0.60 vs
         0.26 raw on the same probes, pinning that the rerank removes
-        quantization loss and leaves probe pruning as the only loss)."""
+        quantization loss and leaves probe pruning as the only loss;
+        r7 adds ann_sq8_topk + ann_sq8_recall — 8-bit scalar
+        quantization, the high-recall/low-compression point on the same
+        compressed-serving curve, bounds training and encoding
+        SQL-replayed, the positional code checksum in the slot)."""
         topk = _q("ann_ivf_topk")(spark, sf_dir).select(
             F.lit("topk").alias("shape"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -523,9 +539,21 @@ def _register_ann_ivf_suite() -> None:
             .alias("centroid_id"),
             F.col("cosine").alias("v"),
         )
+        sq8 = _q("ann_sq8_topk")(spark, sf_dir).select(
+            F.lit("sq8").alias("shape"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("code_check").cast("bigint").alias("centroid_id"),
+            F.col("sq_score").alias("v"),
+        )
+        sq8_rec = _q("ann_sq8_recall")(spark, sf_dir).select(
+            F.lit("sq8_recall").alias("shape"),
+            F.col("k").cast("bigint").alias("vec_id"),
+            F.col("n_queries").cast("bigint").alias("centroid_id"),
+            F.col("recall_at_k").alias("v"),
+        )
         return _union_spark(
             [topk, rec, pq, ivfpq, pq_rec, rec_s, ivfpq_res, ipq_rec,
-             ipq_res_rec, knn, knn_l, ref_rec, refined]
+             ipq_res_rec, knn, knn_l, ref_rec, refined, sq8, sq8_rec]
         )
 
 

@@ -827,3 +827,91 @@ def test_refined_recall_at_least_plain_ivfpq(spark):
         df, n_queries=5, k=5, n_centroids=nc, nprobe=nprobe, book=coarse
     ).collect()[0].recall_at_k
     assert refined_all == ivf_exact
+
+
+def test_sq8_encode_codes_valid_and_python_parity(spark):
+    """SQ8 codes are in [0, 255], the corpus min/max hit 0 and (near)
+    255, a degenerate dimension encodes 0, and every code matches the
+    Python replay of the same quantization rule."""
+    import pytest
+
+    df, vecs = _emb_df(spark, n=40, dim=6)
+    # plant a degenerate dimension: constant value across the corpus
+    const = spark.createDataFrame(
+        [(i, [float(vecs[i][d]) for d in range(5)] + [1.5]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    bounds = A.sq_bounds(const)
+    assert len(bounds) == 6
+    assert bounds[5] == (1.5, 1.5)
+    rows = {r.vec_id: r for r in A.sq_encode(const, bounds).collect()}
+    mins, fwd, _inv = A._sq_scales(bounds)
+    for i in range(40):
+        code = rows[i].qcode
+        assert all(0 <= c <= 255 for c in code)
+        assert code[5] == 0  # degenerate dim -> scale 0 -> code 0
+        for d in range(5):
+            x = float(np.float32(vecs[i][d]))
+            want = min(255, max(0, int(math.floor(round(
+                (x - mins[d]) * fwd[d], 6)))))
+            assert code[d] == want, (i, d)
+        # true norm rides along
+        v = [float(np.float32(x)) for x in vecs[i][:5]] + [1.5]
+        assert rows[i].nrm == pytest.approx(
+            math.sqrt(sum(x * x for x in v)), rel=1e-9
+        )
+    # per-dimension extremes: some vector hits code 0 and some hits >= 254
+    for d in range(5):
+        col = [rows[i].qcode[d] for i in range(40)]
+        assert min(col) == 0
+        assert max(col) >= 254
+
+
+def test_sq8_topk_matches_python_adc_and_guards(spark):
+    """sq_topk equals the pure-Python ADC replay (driver-folded C + w
+    terms included), and the bounds/codes pairing guard trips."""
+    import pytest
+
+    df, vecs = _emb_df(spark, n=50, dim=8)
+    bounds = A.sq_bounds(df)
+    codes = {r.vec_id: (list(r.qcode), float(r.nrm))
+             for r in A.sq_encode(df, bounds).collect()}
+    got = A.sq_topk(df, 0, k=6, bounds=bounds).collect()
+    q = [float(np.float32(x)) for x in vecs[0]]
+    qn = math.sqrt(sum(x * x for x in q))
+    c0, w = A._sq_score_terms(bounds, q)
+    scored = []
+    for vid, (code, nrm) in codes.items():
+        if vid == 0:
+            continue
+        s = c0
+        for cd, wd in zip(code, w):
+            s += float(cd) * wd
+        scored.append((round(s / (nrm * qn), 6), vid))
+    want = sorted(scored, key=lambda t: (-t[0], t[1]))[:6]
+    assert [(r.sq_score, r.vec_id) for r in got] == want
+    # checksum pins per-position codes
+    for r in got:
+        code, _ = codes[r.vec_id]
+        assert r.code_check == sum((d + 1) * c for d, c in enumerate(code))
+    with pytest.raises(ValueError, match="bounds"):
+        A.sq_topk(df, 0, codes=A.sq_encode(df, bounds))
+    with pytest.raises(ValueError, match="dims"):
+        A.sq_topk(df, 0, bounds=bounds[:4])
+
+
+def test_sq8_recall_dominates_pq_on_same_battery(spark):
+    """The finer quantizer must buy recall: SQ8 (8 bits/dim) >= PQ
+    (m=2 subspaces over the same vectors) on the identical query
+    battery, and SQ8 recall is high in absolute terms on a small
+    corpus."""
+    df, _ = _emb_df(spark, n=60, dim=8)
+    bounds = A.sq_bounds(df)
+    sq = A.sq_recall_multi(df, n_queries=5, k=5, bounds=bounds)
+    sq_r = sq.collect()[0].recall_at_k
+    pq_books = A.pq_codebooks(df, m=2, sub_dim=4, k_sub=4, iters=1)
+    pq_r = A.pq_recall_multi(
+        df, n_queries=5, k=5, m=2, sub_dim=4, k_sub=4, books=pq_books
+    ).collect()[0].recall_at_k
+    assert sq_r >= pq_r - 1e-9
+    assert sq_r >= 0.8
