@@ -780,6 +780,114 @@ def dup_span_stats(
     )
 
 
+def remove_dup_spans(
+    documents: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    span_key: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring dedup TRANSFORM — the removal half of Lee et al.
+    2022 (``dup_span_stats`` is the metric): rewrite every document with
+    each token that falls inside a cross-document duplicated ``w``-token
+    window dropped. Returns ``(doc_id, clean_text, n_kept, n_removed)``.
+
+    "Duplicated" means the window occurs in more than one DISTINCT
+    document (within-doc repeats are repetition, not cross-corpus
+    sharing — the same rule as the metric); ALL positions of a
+    duplicated window in a doc are removed, overlapping windows merge
+    naturally at the token-index grain.
+
+    Plan (every stage linear in the token stream, no windows, no
+    self-joins): position stream (doc_id, pos, key) → two-level partial
+    aggregation for the per-span distinct-doc frequency (hot boilerplate
+    collapses map-side at the (win, doc) grain first) → equi-join of the
+    df>1 span set back onto the position stream (probe side
+    AQE-skew-splittable) → explode each hit to its covered token indices
+    (×w fan-out, w is a constant) → distinct (doc, idx) → anti-join
+    against the posexploded token stream → per-doc re-collect where
+    ``array_sort`` on (idx, tok) structs restores document order — the
+    identical re-collect contract as ``encode_with_vocab``. The doc
+    spine left-joins back so fully-removed and empty docs survive with
+    ``clean_text = ''``."""
+    if w < 1:
+        raise ValueError(f"window must be >= 1 token, got {w}")
+    keyers = {
+        "xxhash64": lambda c: f"xxhash64({c})",
+        "md5": lambda c: f"md5({c})",
+        "raw": lambda c: c,
+    }
+    if span_key not in keyers:
+        raise ValueError(f"span_key must be one of {sorted(keyers)}")
+    base = _stage_tokens(documents, text_col, "doc_id")
+    span = "concat_ws(' ', " + ", ".join(
+        f"element_at(_toks, i + {j})" for j in range(w)
+    ) + ")"
+    key_type = "BIGINT" if span_key == "xxhash64" else "STRING"
+    posw_expr = (
+        f"CASE WHEN size(_toks) >= {w} THEN "
+        f"transform(sequence(1, size(_toks) - {w - 1}), "
+        f"i -> struct(i AS pos, {keyers[span_key](span)} AS win)) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, win: {key_type}>>) END"
+    )
+    posw = base.select(
+        "doc_id", F.explode(F.expr(posw_expr)).alias("u")
+    ).select("doc_id", F.col("u.pos").alias("pos"), F.col("u.win").alias("win"))
+    # distinct-doc frequency in two partial-aggregated levels: the
+    # (win, doc) grain dedups within-doc repeats map-side, then the win
+    # grain counts docs — never count(DISTINCT) in one skewable pass
+    dup_wins = (
+        posw.groupBy("win", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("win")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > 1)
+        .select("win")
+    )
+    covered = (
+        posw.join(dup_wins, "win")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))
+            ).alias("idx"),
+        )
+        .groupBy("doc_id", "idx")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("doc_id", "idx")
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("_toks").alias("idx0", "tok")
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "tok")
+    kept = toks.join(covered, ["doc_id", "idx"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(idx, tok))), "
+                "s -> s.tok)"
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    spine = base.select(
+        "doc_id",
+        F.greatest(F.size("_toks"), F.lit(0)).cast("bigint").alias("_n0"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(spine, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (
+                F.coalesce("_n0", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
 def lm_bigram_score(
     documents: DataFrame,
     k: int = 1,

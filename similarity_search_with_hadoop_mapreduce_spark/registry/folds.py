@@ -577,7 +577,8 @@ SELECT t.doc_id, t.n_tokens, t.n_bpe_tokens, t.n_chars,
        g.ok_words, g.ok_mean_word_len, g.ok_symbol_ratio,
        g.ok_alpha_frac, g.ok_stop_hits, g.passes AS gopher_passes,
        e.n_tokens AS enc_n_tokens, e.n_unk,
-       COALESCE(array_to_string(e.ids, ','), '') AS ids_csv
+       COALESCE(array_to_string(e.ids, ','), '') AS ids_csv,
+       x.n_kept, x.n_removed, md5(x.clean_text) AS clean_digest
 FROM (\n{ORACLES["text_token_count"]}\n) t
 JOIN (\n{ORACLES["text_lang_id"]}\n) l USING (doc_id)
 JOIN (\n{ORACLES["text_quality"]}\n) q USING (doc_id)
@@ -589,6 +590,7 @@ JOIN (\n{ORACLES["text_lm_score"]}\n) m USING (doc_id)
 JOIN (\n{ORACLES["text_nb_source"]}\n) b USING (doc_id)
 JOIN (\n{ORACLES["text_gopher_rules"]}\n) g USING (doc_id)
 JOIN (\n{ORACLES["text_encode_vocab"]}\n) e USING (doc_id)
+JOIN (\n{ORACLES["text_remove_dup_spans"]}\n) x USING (doc_id)
 """
 
     @register("text_doc_metrics", oracle=oracle)
@@ -602,7 +604,10 @@ JOIN (\n{ORACLES["text_encode_vocab"]}\n) e USING (doc_id)
         text_gopher_rules' rule-set gates, and text_encode_vocab's
         stored-vocabulary token ids — pinned as the order-preserving
         ``ids_csv`` rendering so the fold stays driver-representable
-        (scalar columns only), UNK=0, trained on the even-doc slice) —
+        (scalar columns only), UNK=0, trained on the even-doc slice —
+        and r7's text_remove_dup_spans, the Lee-et-al removal transform,
+        pinned here as kept/removed counters + an md5 digest of the full
+        cleaned text) —
         the feature row a curation pipeline computes per doc, all
         columns value-pinned at once."""
         tc = _q("text_token_count")(spark, sf_dir)
@@ -647,6 +652,15 @@ JOIN (\n{ORACLES["text_encode_vocab"]}\n) e USING (doc_id)
                 "ids_csv"
             ),
         )
+        rm = _q("text_remove_dup_spans")(spark, sf_dir).select(
+            "doc_id",
+            "n_kept",
+            "n_removed",
+            # the full cleaned text is pinned by digest (the fine-grained
+            # entry pins it verbatim); md5-of-UTF-8 matches DuckDB's
+            # md5(VARCHAR)
+            F.md5(F.encode("clean_text", "UTF-8")).alias("clean_digest"),
+        )
         return (
             tc.join(li, "doc_id")
             .join(qs, "doc_id")
@@ -658,6 +672,7 @@ JOIN (\n{ORACLES["text_encode_vocab"]}\n) e USING (doc_id)
             .join(nb, "doc_id")
             .join(gr, "doc_id")
             .join(ev, "doc_id")
+            .join(rm, "doc_id")
         )
 
 

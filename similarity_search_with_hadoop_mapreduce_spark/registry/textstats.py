@@ -422,6 +422,70 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_remove_dup_spans",
+    oracle="WITH "
+    + TOKENS_CTE
+    + """
+, pw AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tok) >= 5 THEN
+           list_transform(range(1, len(tok) - 3),
+             i -> {'pos': i,
+                   'win': md5(tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+                              || ' ' || tok[i+3] || ' ' || tok[i+4])})
+         ELSE [] END) AS u
+  FROM tokens
+),
+posw AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM pw),
+dwins AS (
+  SELECT win FROM (SELECT win, doc_id FROM posw GROUP BY win, doc_id)
+  GROUP BY win HAVING count(*) > 1
+),
+cov AS (
+  SELECT DISTINCT p.doc_id, p.pos + offs.o AS idx
+  FROM posw p JOIN dwins USING (win)
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS o) offs
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tok) + 1),
+                               i -> {'idx': i, 'tok': tok[i]})) AS u
+  FROM tokens
+),
+kept AS (
+  SELECT t.doc_id, (t.u).idx AS idx, (t.u).tok AS tok
+  FROM toks t LEFT JOIN cov c
+    ON c.doc_id = t.doc_id AND c.idx = (t.u).idx
+  WHERE c.doc_id IS NULL
+),
+cln AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+orig AS (SELECT doc_id, len(tok) AS n0 FROM tokens)
+SELECT d.doc_id,
+       coalesce(cln.clean_text, '') AS clean_text,
+       CAST(coalesce(cln.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(orig.n0 - coalesce(cln.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d JOIN orig USING (doc_id) LEFT JOIN cln USING (doc_id)
+""",
+)
+def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup TRANSFORM (Lee et al. 2022 — the removal
+    half; text_dup_spans is the metric): every token inside a
+    cross-document duplicated 5-token window is dropped and the document
+    re-assembled in order. The full cleaned text is value-pinned, so the
+    position stream, the distinct-doc frequency, the coverage explode,
+    the anti-join, AND the order-restoring re-collect must all agree
+    with the SQL replay. ``span_key='md5'`` for cross-engine digest
+    parity (production default is codegen'd xxhash64)."""
+    return T.remove_dup_spans(
+        table(spark, sf_dir, "documents"), w=5, span_key="md5"
+    )
+
+
+@register(
     "text_lm_score",
     oracle="WITH "
     + TOKENS_CTE

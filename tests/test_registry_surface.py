@@ -70,6 +70,7 @@ FOLDED = {
     "text_fingerprint": "text_doc_metrics",
     "text_repetition": "text_doc_metrics",
     "text_dup_spans": "text_doc_metrics",
+    "text_remove_dup_spans": "text_doc_metrics",
     "sample_cluster_safe_split": "sample_splits",
     "sample_source_cap": "sample_splits",
     "text_pii_scrub": "text_doc_metrics",

@@ -321,6 +321,63 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert rows[5].n_emails == 2 and rows[5].n_pii == 2
 
 
+def test_remove_dup_spans_transform(spark):
+    """The removal transform drops exactly the tokens covered by
+    cross-doc duplicated windows: shared boilerplate vanishes from both
+    docs, unique tails survive in order, within-doc repetition is NOT
+    removed, overlapping dup windows merge at the token grain, and
+    short/NULL docs come back intact."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        remove_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon uno dos tres"),
+            # shares the leading 5-token window with doc 1 (its windows
+            # 1 and 2 both duplicate -> tokens 1..6 covered)
+            (2, "alpha beta gamma delta epsilon zeta tail two"),
+            # internal repetition only: no other doc shares these
+            (3, "p q r s t p q r s t"),
+            (4, "four tokens only here"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in remove_dup_spans(docs, w=5).collect()}
+    # doc 1: only window 1 "alpha..epsilon" is cross-doc (window 2 ends
+    # in uno) -> tokens 1-5 removed, unique tail kept in order
+    assert rows[1].clean_text == "uno dos tres"
+    assert (rows[1].n_kept, rows[1].n_removed) == (3, 5)
+    # doc 2: windows "alpha..epsilon" is shared -> tokens 1-5 removed
+    assert rows[2].clean_text == "zeta tail two"
+    assert (rows[2].n_kept, rows[2].n_removed) == (3, 5)
+    # doc 3: within-doc repeats are not cross-doc duplicates
+    assert rows[3].clean_text == "p q r s t p q r s t"
+    assert (rows[3].n_kept, rows[3].n_removed) == (10, 0)
+    assert rows[4].clean_text == "four tokens only here"
+    assert rows[5].clean_text == "" and rows[5].n_removed == 0
+    # overlap merging: three docs share a 6-token run -> both of its
+    # 5-token windows duplicate, covered indices merge to 1..6
+    docs2 = spark.createDataFrame(
+        [
+            (1, "a b c d e f x1 y1"),
+            (2, "a b c d e f x2 y2"),
+            (3, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    rows2 = {r.doc_id: r for r in remove_dup_spans(docs2, w=5).collect()}
+    assert rows2[1].clean_text == "x1 y1"
+    assert (rows2[1].n_kept, rows2[1].n_removed) == (2, 6)
+    assert rows2[3].clean_text == ""
+    assert (rows2[3].n_kept, rows2[3].n_removed) == (0, 6)
+    # plan hygiene: no window operator anywhere
+    from similarity_search_with_hadoop_mapreduce_spark.plans import explain_string
+
+    assert "Window" not in explain_string(remove_dup_spans(docs, w=5))
+
+
 def test_dup_span_stats_cross_doc_only(spark):
     """Windows are distinct per doc; a span shared with ANOTHER doc counts,
     a span repeated only within one doc does not; short docs pin zeros."""
