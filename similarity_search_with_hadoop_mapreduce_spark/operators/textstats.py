@@ -855,6 +855,13 @@ def remove_dup_spans(
         .agg(F.count(F.lit(1)).alias("_c"))
         .select("doc_id", "idx")
     )
+    # covered indices are always valid token positions (windows start at
+    # 1..n-w+1 and extend w-1), so n_removed == |covered| exactly — the
+    # doc spine never needs a token count of its own (one fewer tokenize
+    # pass than a n_total - n_kept formulation)
+    removed = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed")
+    )
     toks = base.select(
         "doc_id", F.posexplode("_toks").alias("idx0", "tok")
     ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "tok")
@@ -869,21 +876,17 @@ def remove_dup_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
     )
-    spine = base.select(
-        "doc_id",
-        F.greatest(F.size("_toks"), F.lit(0)).cast("bigint").alias("_n0"),
-    )
     return (
         documents.select("doc_id")
-        .join(spine, "doc_id", "left")
         .join(cleaned, "doc_id", "left")
+        .join(removed, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            (
-                F.coalesce("_n0", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
-            ).cast("bigint").alias("n_removed"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
         )
     )
 
