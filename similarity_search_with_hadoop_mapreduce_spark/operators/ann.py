@@ -992,6 +992,101 @@ def sq_recall_multi(
     return _recall_reduce(adc, exact, k, n_queries)
 
 
+def ivfsq_index(
+    embeddings: DataFrame,
+    coarse_book: list[tuple[int, list[float], float]],
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The IVF-SQ8 stored index (FAISS ``IVF,SQ8``): ``(vec_id,
+    centroid_id, qcode, nrm)`` — coarse assignment for partition pruning
+    plus the scalar-quantized codes for compressed scoring, built in ONE
+    map-only pass exactly like :func:`ivfpq_index` (the assignment rides
+    through the encode projection; no join). At 100 TB this table is
+    written partitioned by ``centroid_id`` and a query reads ``nprobe``
+    partitions of 64 uint8 codes + one norm per vector."""
+    assigned = assign_ivf_centroids(
+        embeddings, len(coarse_book), id_col=id_col, book=coarse_book
+    )
+    return sq_encode(
+        assigned, bounds, id_col="vec_id", keep=("centroid_id",)
+    )
+
+
+def ivfsq_topk(
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    coarse_book: list | None = None,
+    bounds: list[tuple[float, float]] | None = None,
+    index: DataFrame | None = None,
+    id_col: str = "vec_id",
+    probe_state: tuple[list[float], float, list[int]] | None = None,
+) -> DataFrame:
+    """IVF-SQ8: the coarse quantizer prunes the scan to ``nprobe``
+    inverted lists and the SQ8 codes price each survivor with one
+    integer-array fold (driver-folded per-query constants, see
+    :func:`sq_topk`) — the high-recall sibling of :func:`ivfpq_topk` at
+    4× compression instead of ~60×, completing the quantizer matrix
+    (IVF × {raw, PQ, residual-PQ, SQ8}). One bounds table serves every
+    inverted list (like the raw-space PQ variant, which keeps the oracle
+    replayable; per-list residual bounds are the production refinement).
+
+    Returns ``(vec_id, centroid_id, code_check, sq_score)``."""
+    if index is not None and (bounds is None or coarse_book is None):
+        raise ValueError(
+            "index provided without the bounds/coarse book it was built "
+            "with (codes are meaningless under different bounds; probes "
+            "under a different coarse book scan the wrong lists); pass "
+            "all three"
+        )
+    if coarse_book is None:
+        coarse_book = kmeans_codebook(
+            embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col
+        )
+    if bounds is None:
+        bounds = sq_bounds(embeddings, id_col=id_col)
+    if index is None:
+        index = ivfsq_index(embeddings, coarse_book, bounds, id_col=id_col)
+    if probe_state is not None:
+        q, qn, probe_ids = probe_state
+    else:
+        q, qn, probe_ids, _ = _ivf_probe_state(
+            embeddings, query_vec_id, n_centroids, nprobe, id_col,
+            book=coarse_book,
+        )
+    if len(q) != len(bounds):
+        raise ValueError(
+            f"query has {len(q)} dims but bounds cover {len(bounds)}"
+        )
+    c0, w = _sq_score_terms(bounds, q)
+    dim = len(bounds)
+    score = F.expr(
+        f"round(coalesce(({_lit_f(c0)} + {_dot_sql('qcode', w)}) "
+        f"/ nullif(nrm * {_lit_f(qn)}, 0.0D), 0.0D), 6)"
+    )
+    check = F.expr(
+        f"aggregate(zip_with(qcode, sequence(1, {dim}), "
+        "(c, i) -> CAST(c AS BIGINT) * CAST(i AS BIGINT)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    return (
+        index.filter(F.col("centroid_id").isin(probe_ids))
+        .filter(F.col("vec_id") != F.lit(query_vec_id))
+        .select(
+            "vec_id",
+            "centroid_id",
+            check.alias("code_check"),
+            score.alias("sq_score"),
+        )
+        .orderBy(F.desc("sq_score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ivfpq_index(
     embeddings: DataFrame,
     coarse_book: list[tuple[int, list[float], float]],

@@ -1412,3 +1412,87 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounds=bounds,
         codes=codes,
     )
+
+
+def _ivfsq_oracle() -> str:
+    """ann_ivfsq_topk oracle: coarse Lloyd replay + assignment prunes to
+    the query's nprobe inverted lists; the SQ8 bounds/encode replay +
+    driver-folded ADC terms price the survivors — the SQL twin of
+    :func:`operators.ann.ivfsq_topk`, both trainings included."""
+    parts = [
+        f"n AS MATERIALIZED (SELECT vec_id, embedding, {_NORM} AS nrm "
+        "FROM embeddings)"
+    ]
+    parts.append(_kmeans_cents_cte())
+    parts.append(_ASSIGNED_CTE)
+    parts.extend(_sq_parts()[1:])  # sqb + sqcodes; n is already present
+    parts.append(
+        "q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)"
+    )
+    parts.append(f"qw AS (SELECT q.q_nrm, {_SQ_QW_COLS} FROM q, sqb b)")
+    parts.append(
+        f"""probed AS (
+  SELECT c.centroid_id FROM cents c, q
+  ORDER BY round({_DOT_CQ} / (c.c_nrm * q.q_nrm), 6) DESC, c.centroid_id
+  LIMIT {_NPROBE}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT c.vec_id,
+       CAST(a.centroid_id AS BIGINT) AS centroid_id,
+       {_SQ_CHECK} AS code_check,
+       {_SQ_ADC} AS sq_score
+FROM sqcodes c
+JOIN assigned a USING (vec_id)
+JOIN probed USING (centroid_id), qw
+WHERE c.vec_id != 0
+ORDER BY sq_score DESC, c.vec_id
+LIMIT {_K}
+"""
+    )
+
+
+def _ivfsq_index(spark: SparkSession, sf_dir: str):
+    """(coarse book, bounds, persisted (vec_id, centroid_id, qcode, nrm)
+    index) per corpus — the IVF-SQ8 build, fingerprint-keyed."""
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        table_fingerprint,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = _IVF_SERVE_CACHE.setdefault(spark, {})
+    fp = table_fingerprint(sf_dir, "embeddings")
+    key = ("ivfsq", sf_dir, fp)
+    if key not in d:
+        _evict_stale(d, sf_dir, fp)
+        coarse = _trained_book(spark, sf_dir)
+        bounds, _codes = _sq_index(spark, sf_dir)
+        index = A.ivfsq_index(emb, coarse, bounds).persist()
+        d[key] = (coarse, bounds, index)
+    return d[key]
+
+
+@register("ann_ivfsq_topk", oracle=_ivfsq_oracle())
+def ann_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 top-10 (FAISS ``IVF,SQ8``): coarse quantizer prunes to the
+    query's 2 nearest inverted lists, SQ8 codes price the survivors with
+    one integer fold — completing the quantizer matrix (IVF x {raw, PQ,
+    residual-PQ, SQ8}). Both trainings are SQL-replayed; centroid_id and
+    the positional code checksum ride the output so pruning AND encoding
+    are value-hash-pinned."""
+    coarse, bounds, index = _ivfsq_index(spark, sf_dir)
+    return A.ivfsq_topk(
+        table(spark, sf_dir, "embeddings"),
+        0,
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE,
+        coarse_book=coarse,
+        bounds=bounds,
+        index=index,
+        probe_state=_ivf_probe(spark, sf_dir, 0),
+    )

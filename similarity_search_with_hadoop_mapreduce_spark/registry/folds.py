@@ -429,6 +429,14 @@ def _register_ann_ivf_suite() -> None:
             "'sq8_recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
             "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
         ),
+        (
+            # centroid (< 8) and positional checksum share the slot:
+            # checksum < 255 * 64*65/2 = 530,400 < 2^20
+            "ann_ivfsq_topk",
+            "'ivfsq' AS shape, vec_id, "
+            "centroid_id * 1048576 + code_check AS centroid_id, "
+            "sq_score AS v",
+        ),
     ]
 
     @register("ann_ivf_suite", oracle=_union_oracle(parts))
@@ -454,7 +462,9 @@ def _register_ann_ivf_suite() -> None:
         r7 adds ann_sq8_topk + ann_sq8_recall — 8-bit scalar
         quantization, the high-recall/low-compression point on the same
         compressed-serving curve, bounds training and encoding
-        SQL-replayed, the positional code checksum in the slot)."""
+        SQL-replayed, the positional code checksum in the slot — and
+        ann_ivfsq_topk, the FAISS IVF,SQ8 composition completing the
+        quantizer matrix IVF x {raw, PQ, residual-PQ, SQ8})."""
         topk = _q("ann_ivf_topk")(spark, sf_dir).select(
             F.lit("topk").alias("shape"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -551,9 +561,17 @@ def _register_ann_ivf_suite() -> None:
             F.col("n_queries").cast("bigint").alias("centroid_id"),
             F.col("recall_at_k").alias("v"),
         )
+        ivfsq = _q("ann_ivfsq_topk")(spark, sf_dir).select(
+            F.lit("ivfsq").alias("shape"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            (F.col("centroid_id").cast("bigint") * 1048576
+             + F.col("code_check").cast("bigint")).alias("centroid_id"),
+            F.col("sq_score").alias("v"),
+        )
         return _union_spark(
             [topk, rec, pq, ivfpq, pq_rec, rec_s, ivfpq_res, ipq_rec,
-             ipq_res_rec, knn, knn_l, ref_rec, refined, sq8, sq8_rec]
+             ipq_res_rec, knn, knn_l, ref_rec, refined, sq8, sq8_rec,
+             ivfsq]
         )
 
 

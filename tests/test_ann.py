@@ -915,3 +915,33 @@ def test_sq8_recall_dominates_pq_on_same_battery(spark):
     ).collect()[0].recall_at_k
     assert sq_r >= pq_r - 1e-9
     assert sq_r >= 0.8
+
+
+def test_ivfsq_topk_is_sq8_restricted_to_probed_lists(spark):
+    """IVF-SQ8 = SQ8 scoring restricted to the probed inverted lists:
+    every result must (a) come from a probed centroid and (b) carry
+    exactly the score and checksum the unrestricted SQ8 ADC assigns that
+    vector; the pairing guard trips on an index without its bounds."""
+    import pytest
+
+    df, _ = _emb_df(spark, n=60, dim=8)
+    nc, nprobe = 4, 2
+    coarse = A.kmeans_codebook(df, n_centroids=nc, iters=1)
+    bounds = A.sq_bounds(df)
+    got = A.ivfsq_topk(
+        df, 0, k=5, n_centroids=nc, nprobe=nprobe,
+        coarse_book=coarse, bounds=bounds,
+    ).collect()
+    assert len(got) == 5
+    _q, _qn, probe_ids, _ = A._ivf_probe_state(
+        df, 0, nc, nprobe, "vec_id", book=coarse
+    )
+    assert all(r.centroid_id in probe_ids for r in got)
+    full_sq = {
+        r.vec_id: (r.code_check, r.sq_score)
+        for r in A.sq_topk(df, 0, k=60, bounds=bounds).collect()
+    }
+    for r in got:
+        assert full_sq[r.vec_id] == (r.code_check, r.sq_score)
+    with pytest.raises(ValueError, match="bounds"):
+        A.ivfsq_topk(df, 0, index=A.ivfsq_index(df, coarse, bounds))
