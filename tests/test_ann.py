@@ -945,3 +945,45 @@ def test_ivfsq_topk_is_sq8_restricted_to_probed_lists(spark):
         assert full_sq[r.vec_id] == (r.code_check, r.sq_score)
     with pytest.raises(ValueError, match="bounds"):
         A.ivfsq_topk(df, 0, index=A.ivfsq_index(df, coarse, bounds))
+
+
+def test_ivfsq_layout_probe_matches_inline_and_prunes_partitions(
+    spark, tmp_path
+):
+    """The stored IVF-SQ8 layout must return exactly the inline
+    ivfsq_topk result while scanning only the probed inverted-list
+    partitions of uint8 codes (never the raw embeddings)."""
+    import pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.plans import explain_string
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coarse = A.kmeans_codebook(emb, n_centroids=8, iters=1)
+    bounds = A.sq_bounds(emb)
+    path = str(tmp_path / "ivfsq_layout")
+    A.write_ivfsq_layout(emb, path, coarse, bounds)
+    probe = A.ivfsq_topk_from_layout(
+        spark, path, emb, 0, k=10, n_centroids=8, nprobe=2,
+        coarse_book=coarse, bounds=bounds,
+    )
+    inline = A.ivfsq_topk(
+        emb, 0, k=10, n_centroids=8, nprobe=2,
+        coarse_book=coarse, bounds=bounds,
+    )
+    key = lambda r: (r.vec_id, r.centroid_id, r.code_check, r.sq_score)
+    assert [key(r) for r in probe.collect()] == [
+        key(r) for r in inline.collect()
+    ]
+    plan = explain_string(probe, "formatted")
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0]
+    # the layout stores codes, not vectors: the probed scan must not
+    # read an embedding column at all
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("embedding" not in ln for ln in schemas)
+    # training-pairing guards
+    with pytest.raises(ValueError, match="bounds"):
+        A.ivfsq_topk_from_layout(spark, path, emb, 0, coarse_book=coarse)
+    with pytest.raises(ValueError, match="coarse_book"):
+        A.ivfsq_topk_from_layout(spark, path, emb, 0, bounds=bounds)
