@@ -2156,6 +2156,48 @@ def append_ivfpq_layout(
         index.write.mode("append").partitionBy("centroid_id").parquet(path)
 
 
+def append_ivfsq_layout(
+    new_vectors: DataFrame,
+    path: str,
+    coarse_book: list[tuple[int, list[float], float]],
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    epoch_id: int | None = None,
+) -> None:
+    """Append a batch of new vectors to a STORED IVF-SQ8 layout without
+    rebuilding — the same continuous-ingestion contract as
+    :func:`append_ivfpq_layout` with the scalar quantizer: the batch is
+    coarse-assigned and SQ8-encoded with the SAME frozen coarse book and
+    bounds the layout was built with, then appended into the existing
+    ``centroid_id`` partitions (O(batch) per epoch, resident lists never
+    rewrite). Result-equal to a full rebuild over the union corpus:
+    encoding is a pure per-row function of (vector, bounds).
+
+    Quantization drift is the trade here too — and SQ8 adds a specific
+    failure mode: a batch value OUTSIDE yesterday's per-dim [min, max]
+    clamps to 0/255 (the encoder's clamp), so out-of-range drift
+    saturates codes rather than erroring. Monitor with
+    :func:`sq_recall_multi` on a hash sample and retrain + rewrite when
+    recall decays. ``epoch_id`` gives the same writer-scoped
+    dynamic-overwrite idempotency (replayed epochs overwrite themselves)
+    and the same write-time partition-scheme guard as every other
+    family."""
+    _require_epoch_scheme_match(
+        new_vectors.sparkSession, path, epoch_id, "append_ivfsq_layout"
+    )
+    index = ivfsq_index(new_vectors, coarse_book, bounds, id_col=id_col)
+    if epoch_id is not None:
+        (
+            index.withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id", "epoch")
+            .parquet(path)
+        )
+    else:
+        index.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
 def write_ivfpq_residual_layout(
     embeddings: DataFrame,
     path: str,

@@ -987,3 +987,45 @@ def test_ivfsq_layout_probe_matches_inline_and_prunes_partitions(
         A.ivfsq_topk_from_layout(spark, path, emb, 0, coarse_book=coarse)
     with pytest.raises(ValueError, match="coarse_book"):
         A.ivfsq_topk_from_layout(spark, path, emb, 0, bounds=bounds)
+
+
+def test_append_ivfsq_layout_equals_rebuild_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Appending a batch with the frozen coarse book + bounds equals a
+    full rebuild over the union corpus; a replayed epoch overwrites
+    itself (idempotent); appending an epoch batch into a plain layout is
+    rejected at write time."""
+    import pytest
+
+    df, _ = _emb_df(spark, n=60, dim=8)
+    base = df.filter(F.col("vec_id") < 40)
+    batch = df.filter(F.col("vec_id") >= 40)
+    coarse = A.kmeans_codebook(base, n_centroids=4, iters=1)
+    bounds = A.sq_bounds(base)
+    path = str(tmp_path / "ivfsq_epochs")
+    A.write_ivfsq_layout(base, path, coarse, bounds, epoch=-1)
+    A.append_ivfsq_layout(batch, path, coarse, bounds, epoch_id=7)
+    kw = dict(n_centroids=4, nprobe=2, coarse_book=coarse, bounds=bounds)
+    got = A.ivfsq_topk_from_layout(spark, path, df, 0, k=8, **kw).collect()
+    # full rebuild over the union with the SAME training
+    path2 = str(tmp_path / "ivfsq_full")
+    A.write_ivfsq_layout(df, path2, coarse, bounds)
+    want = A.ivfsq_topk_from_layout(
+        spark, path2, df, 0, k=8, **kw
+    ).collect()
+    key = lambda r: (r.vec_id, r.centroid_id, r.code_check, r.sq_score)
+    assert [key(r) for r in got] == [key(r) for r in want]
+    # crash-replay: the same epoch lands again, results unchanged
+    A.append_ivfsq_layout(batch, path, coarse, bounds, epoch_id=7)
+    again = A.ivfsq_topk_from_layout(spark, path, df, 0, k=8, **kw).collect()
+    assert [key(r) for r in again] == [key(r) for r in want]
+    n_rows = spark.read.parquet(path).count()
+    assert n_rows == 60  # no duplicated epoch rows
+    # scheme guard: plain layout rejects an epoch append (and vice versa)
+    path3 = str(tmp_path / "ivfsq_plain")
+    A.write_ivfsq_layout(base, path3, coarse, bounds)
+    with pytest.raises(ValueError, match="epoch"):
+        A.append_ivfsq_layout(batch, path3, coarse, bounds, epoch_id=1)
+    with pytest.raises(ValueError, match="epoch"):
+        A.append_ivfsq_layout(batch, path, coarse, bounds)  # no epoch_id
