@@ -222,3 +222,28 @@ def test_bench_headline_names_resolve_with_oracles():
     # production-mode variants report under real gated-entry names
     for name in _production_impls():
         assert name in HEADLINE, name
+
+
+def test_curated_schemas_are_driver_representable(spark):
+    """Every curated entry must expose SCALAR columns only: the driver's
+    correctness harness canonicalizes results through a pandas sort,
+    which throws `unhashable type: 'list'` on ARRAY/MAP/STRUCT columns —
+    the failure that cost round 6's text_doc_metrics row. Project
+    non-scalar columns (concat_ws / md5 digest) before curating; the
+    fine-grained registry keeps the typed columns. Builds every curated
+    DataFrame at sf0.001 (training collects included) and checks the
+    analyzed schema."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf_dir = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in CURATED_QUERIES.items():
+        schema = fn(spark, sf_dir).schema
+        non_scalar = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if non_scalar:
+            bad[name] = non_scalar
+    assert not bad, f"non-scalar columns would crash the driver: {bad}"
