@@ -16,8 +16,22 @@ Two tiers, mirroring how the reference's one-query-vs-corpus text search
   partition/clustering key so a query reads a single partition instead
   of the full corpus; recall is traded via the number of planes.
 
+On top of those, the trained-quantizer matrix IVF × {raw, PQ,
+residual-PQ (IVFADC), SQ8}: Lloyd-trained coarse centroids partition
+the stored corpus so a query reads ``nprobe`` inverted lists
+(:func:`ivf_topk`, layouts via :func:`write_ivf_layout`); PQ
+(:func:`pq_topk`, ~60× compression), residual PQ
+(:func:`ivfpq_residual_topk`) and 8-bit scalar quantization
+(:func:`sq_topk` / :func:`ivfsq_topk`, 4× compression, r7) price the
+survivors from compressed codes only; two-stage exact rerank
+(:func:`ivfpq_topk_refined`) recovers quantization error; recall@k
+metrics (probe / quantization / serving, hash-sampled mode) are the
+tuning dials; every stored layout has the append / compact / stats
+maintenance lifecycle with epoch-idempotent crash replay.
+
 All vector math is JVM-side higher-order functions (``zip_with`` +
-``aggregate``) — no Python boundary anywhere.
+``aggregate``) — no Python boundary anywhere; every training is
+deterministic and SQL-replayed by the registry oracles.
 """
 
 from __future__ import annotations

@@ -1,9 +1,15 @@
 """Text-analysis operators for corpus curation: token counting, language
-identification, quality scoring, fingerprinting.
+identification, quality scoring, fingerprinting, PII scrubbing, LM/NB
+scoring, vocabulary/drift statistics, dup-span mass and exact-substring
+removal, decontamination, RAG chunking.
 
-All native column expressions (split / higher-order functions / regexp /
-md5) — one codegen'd map stage per operator, no shuffle, no Python UDFs,
-so they run at scan speed over a 100 TB corpus.
+Per-document scoring is native column expressions (split / higher-order
+functions / regexp / md5) — one codegen'd map stage per operator, no
+Python UDFs, scan speed over a 100 TB corpus. Corpus-level statistics
+(vocab, drift, dup spans, LM training) add only partial-aggregated
+term/span shuffles linear in the token stream — never a window over a
+content key (hot boilerplate would concentrate in one task) and never a
+driver-side loop.
 """
 
 from __future__ import annotations
