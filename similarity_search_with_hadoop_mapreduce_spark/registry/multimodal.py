@@ -188,6 +188,80 @@ base AS (
 )
 
 
+# the resize generation-rule replay: nearest-neighbor floor mapping
+# src = dst * src_dim // dst_dim into the shared gradient, then the same
+# 64-sample aHash over the RESIZED 16x12 grid (sample xs2 = 2bx+1,
+# ys2 = (2by+1)*12//16). Expects an upstream CTE ``base(doc_id, n_text)``.
+_RESIZED_CORE = """
+resz AS (
+  SELECT doc_id, CAST(n_text % 64 + 1 AS INTEGER) AS w,
+         CAST(doc_id % 48 + 1 AS INTEGER) AS h
+  FROM base WHERE doc_id % 2 = 0
+),
+rgrid AS (SELECT gx.i AS bx, gy.i AS by FROM range(8) gx(i), range(8) gy(i)),
+rsamples AS (
+  SELECT doc_id, by * 8 + bx AS b,
+         (3 * ((((2 * bx + 1) * 16) // 16) * w // 16)
+          + 7 * ((((2 * by + 1) * 12) // 16) * h // 12)
+          + doc_id) % 256 AS v
+  FROM resz, rgrid
+),
+rtot AS (SELECT doc_id, sum(v) AS total FROM rsamples GROUP BY doc_id),
+rbits AS (
+  SELECT s.doc_id, s.b,
+         CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+  FROM rsamples s JOIN rtot t USING (doc_id)
+),
+resized_hashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b0,
+         CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b1,
+         CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b2,
+         CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b3
+  FROM rbits GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "multimodal_image_resize",
+    oracle="WITH base AS (\n"
+    "  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents\n"
+    "),"
+    + _RESIZED_CORE
+    + """
+SELECT r.doc_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(12 AS INTEGER) AS height,
+       CAST(68 + 17 * 12 AS INTEGER) AS n_bytes,
+       h.b0, h.b1, h.b2, h.b3
+FROM resz r JOIN resized_hashes h USING (doc_id)
+""",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through two codecs (r7): decode every BMP/PNG
+    pixel array (PNG: full zlib+unfilter inverse), nearest-neighbor
+    resample to 16x12 with the exact-integer floor mapping, re-encode as
+    a spec-correct PNG — then prove the output is a real image by
+    running :func:`operators.multimodal.image_ahash` ON THE RESIZED
+    PAYLOAD (a second full decode). The oracle re-derives the resized
+    dims, the closed-form PNG byte size, and all 64 hash bits of the
+    resampled gradient — a wrong resample rule, a broken re-encode, or a
+    broken re-decode all fail the value hash."""
+    docs = table(spark, sf_dir, "documents")
+    rz = M.image_resize(M.attach_media_payload(docs), out_w=16, out_h=12)
+    bands = M.image_ahash(rz.select("doc_id", "payload")).select(
+        "doc_id", "b0", "b1", "b2", "b3"
+    )
+    return rz.select("doc_id", "width", "height", "n_bytes").join(
+        bands, "doc_id"
+    )
+
+
 
 @register(
     "multimodal_decode_meta",
@@ -255,6 +329,8 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _AUDIO_CORE
     + ","
     + _VIDEO_CORE
+    + ","
+    + _RESIZED_CORE
     + """
 , frames AS (
   SELECT doc_id,
@@ -325,6 +401,16 @@ SELECT 'vframe_lo' AS shape, doc_id,
        CAST(b2 AS BIGINT) * 65536 + b3 AS n2
 FROM video_hashes
 UNION ALL
+SELECT 'resized_meta' AS shape, doc_id,
+       CAST(68 + 17 * 12 AS BIGINT) AS n1,
+       CAST(16 * 1000 + 12 AS BIGINT) AS n2
+FROM resz
+UNION ALL
+SELECT 'resized_hash' AS shape, doc_id,
+       CAST(b0 AS BIGINT) * 65536 + b1 AS n1,
+       CAST(b2 AS BIGINT) * 65536 + b3 AS n2
+FROM resized_hashes
+UNION ALL
 SELECT 'video_pair' AS shape, v.doc_a AS doc_id,
        CAST(v.doc_b AS BIGINT) AS n1,
        CAST(v.matched_frames * 1000000 + least(ca.nf, cb.nf) AS BIGINT) AS n2
@@ -359,7 +445,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal_audio_dedup — real sample decoding;
     multimodal_video_frames + multimodal_video_dedup — real AVI
     container/frame decoding, per-frame hashes and aligned
-    frame-voting pairs; banded hamming <= 3 joins throughout)."""
+    frame-voting pairs; banded hamming <= 3 joins throughout;
+    r7: multimodal_image_resize — the two-codec resize round trip,
+    pinned by resized-payload byte size, dims, and the aHash of the
+    RE-DECODED resized PNG)."""
     docs = table(spark, sf_dir, "documents")
     mm = M.attach_media_payload(docs)
     fr = M.frame_sample(M.decode_media(mm)).select(
@@ -401,11 +490,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("matched_frames") * 1000000 + F.col("min_frames")
         ).alias("n2"),
     )
+    rz = M.image_resize(mm, out_w=16, out_h=12)
+    rmeta = rz.select(
+        F.lit("resized_meta").alias("shape"),
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n1"),
+        (F.col("width").cast("bigint") * 1000 + F.col("height")).alias("n2"),
+    )
+    rhash = M.image_ahash(rz.select("doc_id", "payload")).select(
+        F.lit("resized_hash").alias("shape"),
+        "doc_id",
+        (F.col("b0").cast("bigint") * 65536 + F.col("b1")).alias("n1"),
+        (F.col("b2").cast("bigint") * 65536 + F.col("b3")).alias("n2"),
+    )
     return (
         fr.unionByName(pr)
         .unionByName(ap)
         .unionByName(vhi)
         .unionByName(vlo)
+        .unionByName(rmeta)
+        .unionByName(rhash)
         .unionByName(vp)
     )
 

@@ -313,3 +313,45 @@ def test_video_dedup_pairs_frame_voting(spark):
     for k, (m, n) in pairs.items():
         if k != (1, 2):
             assert m <= n
+
+
+def test_image_resize_two_codec_roundtrip(spark):
+    """image_resize decodes BMP or PNG pixels, NN-resamples with the
+    exact floor mapping, and re-encodes a real PNG the hash operator can
+    decode again: identity resize preserves the aHash, BMP and PNG
+    sources of the same content resize identically, non-image payloads
+    are skipped, and the output byte size is closed-form."""
+    w, h, seed = 20, 14, 6
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(M._encode_bmp(w, h, seed=seed))),
+            (2, bytearray(M._encode_png(w, h, seed=seed))),
+            (3, bytearray(M._encode_wav(8000, 60, seed=seed))),  # skipped
+        ],
+        "doc_id long, payload binary",
+    )
+    # identity resize: same dims -> same pixels -> same perceptual hash
+    ident = M.image_resize(df, out_w=w, out_h=h)
+    orig = {r.doc_id: r for r in M.image_ahash(df).collect()}
+    after = {
+        r.doc_id: r
+        for r in M.image_ahash(ident.select("doc_id", "payload")).collect()
+    }
+    assert set(after) == {1, 2}  # the WAV row was skipped
+    for d in (1, 2):
+        for c in ("b0", "b1", "b2", "b3"):
+            assert after[d][c] == orig[d][c], (d, c)
+    # downsample: both codecs produce the identical resized payload
+    rows = {r.doc_id: r for r in M.image_resize(df, 8, 6).collect()}
+    assert bytes(rows[1].payload) == bytes(rows[2].payload)
+    assert rows[1].n_bytes == 68 + 9 * 6 == len(bytes(rows[1].payload))
+    # pixel-exact floor mapping, verified through a full re-decode
+    _w, _h, px = M._png_pixels(bytes(rows[1].payload))
+    for y2 in range(6):
+        for x2 in range(8):
+            sx, sy = x2 * w // 8, y2 * h // 6
+            assert px[y2][x2] == (3 * sx + 7 * sy + seed) % 256
+    import pytest
+
+    with pytest.raises(ValueError, match="dims"):
+        M.image_resize(df, 0, 6)
