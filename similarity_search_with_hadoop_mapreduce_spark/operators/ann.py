@@ -2065,13 +2065,17 @@ def save_books(path: str, **books) -> None:
     built with (codes are meaningless under a different book), so a
     deployment ships them together; JSON keeps the artifact
     human-auditable and engine-independent. Accepts any mix of
-    ``coarse_book=[(cid, vec, norm), ...]`` and
-    ``pq_books=[[(cid, vec, norm), ...], ...]`` keyword entries."""
+    ``coarse_book=[(cid, vec, norm), ...]``,
+    ``pq_books=[[(cid, vec, norm), ...], ...]``, and SQ8
+    ``bounds=[(mn, mx), ...]`` keyword entries (r7 — the scalar
+    quantizer's training artifact ships under the same contract)."""
     import json
 
     def enc(b):
         if b and isinstance(b[0], list):  # list of books (PQ)
             return [enc(sub) for sub in b]
+        if b and len(b[0]) == 2:  # SQ8 per-dimension (min, max) bounds
+            return [{"mn": float(mn), "mx": float(mx)} for mn, mx in b]
         return [
             {"cid": int(c), "vec": [float(x) for x in v], "norm": float(n)}
             for c, v, n in b
@@ -2093,6 +2097,8 @@ def load_books(path: str) -> dict:
     def dec(b):
         if b and isinstance(b[0], list):
             return [dec(sub) for sub in b]
+        if b and "mn" in b[0]:  # SQ8 bounds
+            return [(e["mn"], e["mx"]) for e in b]
         return [(e["cid"], e["vec"], e["norm"]) for e in b]
 
     with open(path) as f:

@@ -1029,3 +1029,31 @@ def test_append_ivfsq_layout_equals_rebuild_and_replays_idempotently(
         A.append_ivfsq_layout(batch, path3, coarse, bounds, epoch_id=1)
     with pytest.raises(ValueError, match="epoch"):
         A.append_ivfsq_layout(batch, path, coarse, bounds)  # no epoch_id
+
+
+def test_books_json_roundtrips_sq8_bounds(tmp_path, spark):
+    """SQ8 bounds ship in the same JSON artifact as codebooks and
+    round-trip exactly; the loaded bounds serve a stored layout with
+    results identical to the in-memory training."""
+    df, _ = _emb_df(spark, n=50, dim=8)
+    coarse = A.kmeans_codebook(df, n_centroids=4, iters=1)
+    bounds = A.sq_bounds(df)
+    meta = str(tmp_path / "books.json")
+    A.save_books(meta, coarse_book=coarse, bounds=bounds)
+    loaded = A.load_books(meta)
+    assert loaded["bounds"] == bounds  # exact float round-trip
+    assert loaded["coarse_book"] == [
+        (c, list(v), n) for c, v, n in coarse
+    ] or loaded["coarse_book"] == coarse
+    path = str(tmp_path / "ivfsq")
+    A.write_ivfsq_layout(df, path, coarse, bounds)
+    got = A.ivfsq_topk_from_layout(
+        spark, path, df, 0, k=6, n_centroids=4, nprobe=2,
+        coarse_book=loaded["coarse_book"], bounds=loaded["bounds"],
+    ).collect()
+    want = A.ivfsq_topk(
+        df, 0, k=6, n_centroids=4, nprobe=2,
+        coarse_book=coarse, bounds=bounds,
+    ).collect()
+    key = lambda r: (r.vec_id, r.centroid_id, r.code_check, r.sq_score)
+    assert [key(r) for r in got] == [key(r) for r in want]
