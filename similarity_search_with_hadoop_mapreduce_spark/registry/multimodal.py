@@ -1,4 +1,4 @@
-"""Multimodal queries: real BMP/WAV codecs through Arrow-batched Pandas
+"""Multimodal queries: real BMP/PNG/WAV/AVI codecs through Arrow-batched Pandas
 UDFs, oracle-checked.
 
 The engine writes a byte-correct media file per document and then parses

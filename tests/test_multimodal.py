@@ -1,5 +1,6 @@
-"""Real-codec multimodal plumbing: BMP/WAV writers must be byte-correct
-and the struct-based header parser must invert them exactly."""
+"""Real-codec multimodal plumbing: BMP/PNG/WAV/AVI writers must be
+byte-correct and the struct/zlib-based decoders must invert them
+exactly."""
 
 from __future__ import annotations
 
