@@ -227,6 +227,84 @@ resized_hashes AS (
 """
 
 
+# the audio-resample generation-rule replay: duration-preserving
+# nearest-sample mapping out_n = n * 16000 // rate, src = i * n // out_n
+# into the shared sawtooth, then the same 64-frame energy fingerprint
+# over the RESAMPLED stream. Expects an upstream CTE ``base``.
+_RESAMPLED_CORE = """
+rsw AS (
+  SELECT doc_id,
+         CAST(n_text % 500 + 50 AS INTEGER) AS n,
+         CAST(([8000, 16000, 22050, 44100])[CAST(doc_id % 4 AS INTEGER) + 1]
+              AS INTEGER) AS rate
+  FROM base WHERE doc_id % 2 = 1
+),
+rsn AS (
+  SELECT doc_id, n, rate, CAST(n * 16000 // rate AS INTEGER) AS out_n
+  FROM rsw
+),
+rsidx AS (SELECT doc_id, n, out_n, unnest(range(out_n)) AS i FROM rsn),
+rsvals AS (
+  SELECT doc_id, CAST(i * 64 // out_n AS INTEGER) AS f,
+         abs(((37 * (i * n // out_n) + doc_id) % 2001) - 1000) AS a
+  FROM rsidx
+),
+rsframes AS (SELECT doc_id, f, sum(a) AS e FROM rsvals GROUP BY doc_id, f),
+rstot AS (SELECT doc_id, sum(e) AS te FROM rsframes GROUP BY doc_id),
+rsbits AS (
+  SELECT fr.doc_id, fr.f,
+         CASE WHEN fr.e * 64 >= t.te THEN 1 ELSE 0 END AS bit
+  FROM rsframes fr JOIN rstot t USING (doc_id)
+),
+resampled_hashes AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN f // 16 = 0 THEN bit * (1 << (f % 16)) ELSE 0 END)
+              AS INTEGER) AS b0,
+         CAST(sum(CASE WHEN f // 16 = 1 THEN bit * (1 << (f % 16)) ELSE 0 END)
+              AS INTEGER) AS b1,
+         CAST(sum(CASE WHEN f // 16 = 2 THEN bit * (1 << (f % 16)) ELSE 0 END)
+              AS INTEGER) AS b2,
+         CAST(sum(CASE WHEN f // 16 = 3 THEN bit * (1 << (f % 16)) ELSE 0 END)
+              AS INTEGER) AS b3
+  FROM rsbits GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle="WITH base AS (\n"
+    "  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents\n"
+    "),"
+    + _RESAMPLED_CORE
+    + """
+SELECT r.doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       r.out_n AS n_samples,
+       CAST(44 + 2 * r.out_n AS INTEGER) AS n_bytes,
+       h.b0, h.b1, h.b2, h.b3
+FROM rsn r JOIN resampled_hashes h USING (doc_id)
+""",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample through the codec (r7): decode every WAV's
+    int16 samples (RIFF chunk walk), convert to 16 kHz by the
+    duration-preserving nearest-sample integer mapping, re-encode a
+    byte-correct WAV — then prove the output is a real clip by running
+    :func:`operators.multimodal.audio_energy_hash` ON THE RESAMPLED
+    PAYLOAD (a second full decode). The oracle re-derives the output
+    sample count, the exact byte size, and all 64 fingerprint bits of
+    the resampled sawtooth."""
+    docs = table(spark, sf_dir, "documents")
+    rz = M.audio_resample(M.attach_media_payload(docs), out_rate=16000)
+    bands = M.audio_energy_hash(rz.select("doc_id", "payload")).select(
+        "doc_id", "b0", "b1", "b2", "b3"
+    )
+    return rz.select("doc_id", "sample_rate", "n_samples", "n_bytes").join(
+        bands, "doc_id"
+    )
+
+
 @register(
     "multimodal_image_resize",
     oracle="WITH base AS (\n"
@@ -331,6 +409,8 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _VIDEO_CORE
     + ","
     + _RESIZED_CORE
+    + ","
+    + _RESAMPLED_CORE
     + """
 , frames AS (
   SELECT doc_id,
@@ -411,6 +491,16 @@ SELECT 'resized_hash' AS shape, doc_id,
        CAST(b2 AS BIGINT) * 65536 + b3 AS n2
 FROM resized_hashes
 UNION ALL
+SELECT 'resampled_meta' AS shape, doc_id,
+       CAST(44 + 2 * out_n AS BIGINT) AS n1,
+       CAST(out_n AS BIGINT) AS n2
+FROM rsn
+UNION ALL
+SELECT 'resampled_hash' AS shape, doc_id,
+       CAST(b0 AS BIGINT) * 65536 + b1 AS n1,
+       CAST(b2 AS BIGINT) * 65536 + b3 AS n2
+FROM resampled_hashes
+UNION ALL
 SELECT 'video_pair' AS shape, v.doc_a AS doc_id,
        CAST(v.doc_b AS BIGINT) AS n1,
        CAST(v.matched_frames * 1000000 + least(ca.nf, cb.nf) AS BIGINT) AS n2
@@ -448,7 +538,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-voting pairs; banded hamming <= 3 joins throughout;
     r7: multimodal_image_resize — the two-codec resize round trip,
     pinned by resized-payload byte size, dims, and the aHash of the
-    RE-DECODED resized PNG)."""
+    RE-DECODED resized PNG — and multimodal_audio_resample, the
+    16 kHz normalize round trip pinned the same way through the
+    energy fingerprint of the re-decoded resampled WAV)."""
     docs = table(spark, sf_dir, "documents")
     mm = M.attach_media_payload(docs)
     fr = M.frame_sample(M.decode_media(mm)).select(
@@ -503,6 +595,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b0").cast("bigint") * 65536 + F.col("b1")).alias("n1"),
         (F.col("b2").cast("bigint") * 65536 + F.col("b3")).alias("n2"),
     )
+    rs = M.audio_resample(mm, out_rate=16000)
+    rsmeta = rs.select(
+        F.lit("resampled_meta").alias("shape"),
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n1"),
+        F.col("n_samples").cast("bigint").alias("n2"),
+    )
+    rshash = M.audio_energy_hash(rs.select("doc_id", "payload")).select(
+        F.lit("resampled_hash").alias("shape"),
+        "doc_id",
+        (F.col("b0").cast("bigint") * 65536 + F.col("b1")).alias("n1"),
+        (F.col("b2").cast("bigint") * 65536 + F.col("b3")).alias("n2"),
+    )
     return (
         fr.unionByName(pr)
         .unionByName(ap)
@@ -510,6 +615,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vlo)
         .unionByName(rmeta)
         .unionByName(rhash)
+        .unionByName(rsmeta)
+        .unionByName(rshash)
         .unionByName(vp)
     )
 

@@ -356,3 +356,38 @@ def test_image_resize_two_codec_roundtrip(spark):
 
     with pytest.raises(ValueError, match="dims"):
         M.image_resize(df, 0, 6)
+
+
+def test_audio_resample_codec_roundtrip(spark):
+    """audio_resample decodes WAV samples, nearest-sample converts to the
+    target rate, and re-encodes a real WAV the fingerprint operator can
+    decode again: identity resample is byte-identical, the NN mapping is
+    pinned against Python, and non-WAV payloads are skipped."""
+    n, seed = 200, 4
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(M._encode_wav(16000, n, seed=seed))),   # identity
+            (2, bytearray(M._encode_wav(44100, n, seed=seed))),   # down
+            (3, bytearray(M._encode_wav(8000, n, seed=seed))),    # up
+            (4, bytearray(M._encode_bmp(8, 6, seed=seed))),       # skipped
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in M.audio_resample(df, out_rate=16000).collect()}
+    assert set(rows) == {1, 2, 3}
+    # identity: byte-for-byte the original file
+    assert bytes(rows[1].payload) == bytes(M._encode_wav(16000, n, seed=seed))
+    assert rows[1].n_samples == n
+    # down/up sample: exact NN mapping, verified through a full re-decode
+    for d, rate in ((2, 44100), (3, 8000)):
+        out_n = n * 16000 // rate
+        assert rows[d].n_samples == out_n
+        assert rows[d].n_bytes == 44 + 2 * out_n == len(bytes(rows[d].payload))
+        got_rate, got = M._decode_wav_samples(bytes(rows[d].payload))
+        assert got_rate == 16000
+        src = [((37 * i + seed) % 2001) - 1000 for i in range(n)]
+        assert got == [src[i * n // out_n] for i in range(out_n)]
+    import pytest
+
+    with pytest.raises(ValueError, match="rate"):
+        M.audio_resample(df, out_rate=0)
