@@ -272,6 +272,47 @@ resampled_hashes AS (
 
 
 @register(
+    "multimodal_video_subsample",
+    oracle="WITH base AS (\n"
+    "  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents\n"
+    "),"
+    + _VIDEO_CORE
+    + """
+SELECT v.doc_id,
+       CAST(h.frame_idx // 2 AS INTEGER) AS frame_idx,
+       v.w AS width, v.h AS height,
+       CAST((v.nf + 1) // 2 AS INTEGER) AS n_frames,
+       CAST(224 + ((v.nf + 1) // 2)
+                  * (8 + ((v.w * 3 + 3) // 4 * 4) * v.h) AS INTEGER)
+         AS n_bytes,
+       h.b0, h.b1, h.b2, h.b3
+FROM vids v JOIN video_hashes h USING (doc_id)
+WHERE h.frame_idx % 2 = 0
+""",
+)
+def multimodal_video_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame subsampling through the container codec (r7):
+    walk every AVI's movi list, keep every 2nd frame, re-encode a
+    byte-correct AVI — then prove the output is a real video by running
+    :func:`operators.multimodal.video_frame_hashes` ON THE SUBSAMPLED
+    PAYLOAD (a second full container decode). One row per kept frame;
+    the oracle re-derives the new frame indices, the closed-form
+    container byte size, and all 64 hash bits of each kept frame (which
+    must equal the ORIGINAL frames at the even source indices)."""
+    docs = table(spark, sf_dir, "documents")
+    vs = M.video_subsample(M.attach_video_payload(docs), every_n=2)
+    hashes = M.video_frame_hashes(vs.select("doc_id", "payload")).select(
+        "doc_id", "frame_idx", "b0", "b1", "b2", "b3"
+    )
+    return vs.select(
+        "doc_id", "width", "height", "n_frames", "n_bytes"
+    ).join(hashes, "doc_id").select(
+        "doc_id", "frame_idx", "width", "height", "n_frames", "n_bytes",
+        "b0", "b1", "b2", "b3",
+    )
+
+
+@register(
     "multimodal_audio_resample",
     oracle="WITH base AS (\n"
     "  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents\n"
@@ -501,6 +542,22 @@ SELECT 'resampled_hash' AS shape, doc_id,
        CAST(b2 AS BIGINT) * 65536 + b3 AS n2
 FROM resampled_hashes
 UNION ALL
+SELECT 'vsub_meta' AS shape, doc_id,
+       CAST(224 + ((nf + 1) // 2) * (8 + ((w * 3 + 3) // 4 * 4) * h)
+            AS BIGINT) AS n1,
+       CAST(((nf + 1) // 2) * 1000000 + w * 1000 + h AS BIGINT) AS n2
+FROM vids
+UNION ALL
+SELECT 'vsub_hi' AS shape, doc_id,
+       CAST(frame_idx // 2 AS BIGINT) AS n1,
+       CAST(b0 AS BIGINT) * 65536 + b1 AS n2
+FROM video_hashes WHERE frame_idx % 2 = 0
+UNION ALL
+SELECT 'vsub_lo' AS shape, doc_id,
+       CAST(frame_idx // 2 AS BIGINT) AS n1,
+       CAST(b2 AS BIGINT) * 65536 + b3 AS n2
+FROM video_hashes WHERE frame_idx % 2 = 0
+UNION ALL
 SELECT 'video_pair' AS shape, v.doc_a AS doc_id,
        CAST(v.doc_b AS BIGINT) AS n1,
        CAST(v.matched_frames * 1000000 + least(ca.nf, cb.nf) AS BIGINT) AS n2
@@ -540,7 +597,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by resized-payload byte size, dims, and the aHash of the
     RE-DECODED resized PNG — and multimodal_audio_resample, the
     16 kHz normalize round trip pinned the same way through the
-    energy fingerprint of the re-decoded resampled WAV)."""
+    energy fingerprint of the re-decoded resampled WAV — and
+    multimodal_video_subsample, the every-2nd-frame re-encoded AVI
+    pinned through the per-frame hashes of the re-decoded container)."""
     docs = table(spark, sf_dir, "documents")
     mm = M.attach_media_payload(docs)
     fr = M.frame_sample(M.decode_media(mm)).select(
@@ -608,6 +667,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b0").cast("bigint") * 65536 + F.col("b1")).alias("n1"),
         (F.col("b2").cast("bigint") * 65536 + F.col("b3")).alias("n2"),
     )
+    vs = M.video_subsample(M.attach_video_payload(docs), every_n=2)
+    vsmeta = vs.select(
+        F.lit("vsub_meta").alias("shape"),
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n1"),
+        (
+            F.col("n_frames").cast("bigint") * 1000000
+            + F.col("width").cast("bigint") * 1000
+            + F.col("height")
+        ).alias("n2"),
+    )
+    vsh = M.video_frame_hashes(vs.select("doc_id", "payload"))
+    vshi = vsh.select(
+        F.lit("vsub_hi").alias("shape"),
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("n1"),
+        (F.col("b0").cast("bigint") * 65536 + F.col("b1")).alias("n2"),
+    )
+    vslo = vsh.select(
+        F.lit("vsub_lo").alias("shape"),
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("n1"),
+        (F.col("b2").cast("bigint") * 65536 + F.col("b3")).alias("n2"),
+    )
     return (
         fr.unionByName(pr)
         .unionByName(ap)
@@ -617,6 +700,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rhash)
         .unionByName(rsmeta)
         .unionByName(rshash)
+        .unionByName(vsmeta)
+        .unionByName(vshi)
+        .unionByName(vslo)
         .unionByName(vp)
     )
 

@@ -391,3 +391,50 @@ def test_audio_resample_codec_roundtrip(spark):
 
     with pytest.raises(ValueError, match="rate"):
         M.audio_resample(df, out_rate=0)
+
+
+def test_video_subsample_container_roundtrip(spark):
+    """video_subsample walks the real AVI container, keeps every Nth
+    frame, and re-encodes a byte-correct AVI the frame hasher decodes
+    again: every_n=1 is byte-identical, kept frames hash identically to
+    their source indices, and non-AVI payloads are skipped."""
+    docs = spark.createDataFrame(
+        [(1, "x" * 30), (2, "y" * 100)], "doc_id long, text string"
+    )
+    vids = M.attach_video_payload(docs)
+    # identity: byte-for-byte container round trip
+    ident = {
+        r.doc_id: bytes(r.payload)
+        for r in M.video_subsample(vids, every_n=1).collect()
+    }
+    orig = {r.doc_id: bytes(r.payload) for r in vids.collect()}
+    assert ident == orig
+    # every-2nd-frame: hashes equal the originals at even indices
+    sub = M.video_subsample(vids, every_n=2)
+    sub_h = {
+        (r.doc_id, r.frame_idx): (r.b0, r.b1, r.b2, r.b3)
+        for r in M.video_frame_hashes(
+            sub.select("doc_id", "payload")
+        ).collect()
+    }
+    orig_h = {
+        (r.doc_id, r.frame_idx): (r.b0, r.b1, r.b2, r.b3)
+        for r in M.video_frame_hashes(vids).collect()
+    }
+    assert sub_h  # something was kept
+    for (d, k), bands in sub_h.items():
+        assert bands == orig_h[(d, 2 * k)], (d, k)
+    # closed-form byte size + skip of non-AVI payloads
+    meta = {r.doc_id: r for r in sub.collect()}
+    for d, r in meta.items():
+        stride = (r.width * 3 + 3) // 4 * 4
+        assert r.n_bytes == 224 + r.n_frames * (8 + stride * r.height)
+        assert r.n_bytes == len(bytes(r.payload))
+    mixed = spark.createDataFrame(
+        [(9, bytearray(M._encode_bmp(4, 4)))], "doc_id long, payload binary"
+    )
+    assert M.video_subsample(mixed).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="every_n"):
+        M.video_subsample(vids, every_n=0)

@@ -97,6 +97,7 @@ FOLDED = {
     "multimodal_video_dedup": "multimodal_frame_sample",
     "multimodal_image_resize": "multimodal_frame_sample",
     "multimodal_audio_resample": "multimodal_frame_sample",
+    "multimodal_video_subsample": "multimodal_frame_sample",
     "dedup_incremental_refresh": "curation_suite",
     "curation_recipe_v3": "curation_suite",
     "events_tumbling_window": "events_time_windows",
