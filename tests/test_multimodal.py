@@ -438,3 +438,90 @@ def test_video_subsample_container_roundtrip(spark):
 
     with pytest.raises(ValueError, match="every_n"):
         M.video_subsample(vids, every_n=0)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the codecs must round-trip ARBITRARY content, not just
+# the gradient fixtures — a filter-inverse bug that happens to cancel on
+# smooth gradients (e.g. Average vs Paeth confusion on low-contrast rows)
+# shows up under random pixels/samples.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    data=st.data(),
+)
+def test_png_roundtrips_random_pixels(w, h, data):
+    rows = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w, max_size=w
+                )
+            )
+        )
+        for _ in range(h)
+    ]
+    buf = M._encode_png_rows(rows)
+    assert len(buf) == 68 + (w + 1) * h
+    pw, ph, got = M._png_pixels(buf)
+    assert (pw, ph) == (w, h) and got == rows
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+)
+def test_wav_roundtrips_random_samples(rate, samples):
+    buf = M._encode_wav_samples(rate, samples)
+    got_rate, got = M._decode_wav_samples(buf)
+    assert got_rate == rate and got == samples
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    n_frames=st.integers(1, 5),
+    data=st.data(),
+)
+def test_avi_roundtrips_random_frames(w, h, n_frames, data):
+    stride = (w * 3 + 3) // 4 * 4
+    frames = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=stride * h,
+                    max_size=stride * h,
+                )
+            )
+        )
+        for _ in range(n_frames)
+    ]
+    buf = M._encode_avi_frames(w, h, frames)
+    assert len(buf) == 224 + n_frames * (8 + stride * h)
+    gw, gh, got = M._decode_avi_frames(buf)
+    assert (gw, gh) == (w, h) and got == frames
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 300),
+    out_n=st.integers(1, 300),
+)
+def test_nn_resample_mapping_properties(n, out_n):
+    """The nearest-sample mapping is total (every output index maps to a
+    valid source), monotone, and surjective onto a prefix-preserving
+    selection (first sample always kept)."""
+    idx = [i * n // out_n for i in range(out_n)]
+    assert all(0 <= j < n for j in idx)
+    assert idx == sorted(idx)
+    assert idx[0] == 0
