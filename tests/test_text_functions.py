@@ -1171,3 +1171,71 @@ def test_property_vocab_coverage_minimality(spark, toks, cov_ppm):
     # the selected prefix reaches the target (or is the whole vocab)
     if out_vocab:
         assert in_vocab[-1].cum_tf * 1000000 >= cov_ppm * total
+
+
+def _remove_dup_spans_model(texts: dict[int, str], w: int):
+    """Pure-Python model of remove_dup_spans: Java-split tokens, per-doc
+    DISTINCT w-windows for the document frequency, ALL positions of a
+    df>1 window covered, kept tokens re-joined in order."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        _java_split_py,
+    )
+
+    toks = {d: _java_split_py(t) for d, t in texts.items()}
+    df: dict[str, set] = {}
+    for d, ts in toks.items():
+        for p in range(len(ts) - w + 1):
+            df.setdefault(" ".join(ts[p : p + w]), set()).add(d)
+    dup = {win for win, docs in df.items() if len(docs) > 1}
+    out = {}
+    for d, ts in toks.items():
+        covered = set()
+        for p in range(len(ts) - w + 1):
+            if " ".join(ts[p : p + w]) in dup:
+                covered.update(range(p, p + w))
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        out[d] = (" ".join(kept), len(kept), len(covered))
+    return out
+
+
+def test_remove_dup_spans_matches_python_model_random_corpora(spark):
+    """Model equality on randomized small-alphabet corpora (the regime
+    where window overlaps, within-doc repeats, and multi-doc sharing all
+    interact): Spark's distributed plan must equal the brute-force
+    Python model doc for doc."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        remove_dup_spans,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        corpus=st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]),
+                min_size=0,
+                max_size=12,
+            ),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def inner(corpus):
+        texts = {i: " ".join(ts) for i, ts in enumerate(corpus)}
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.clean_text, r.n_kept, r.n_removed)
+            for r in remove_dup_spans(docs, w=3, span_key="raw").collect()
+        }
+        want = _remove_dup_spans_model(texts, w=3)
+        assert got == want, (got, want)
+
+    inner()
