@@ -1057,3 +1057,58 @@ def test_books_json_roundtrips_sq8_bounds(tmp_path, spark):
     ).collect()
     key = lambda r: (r.vec_id, r.centroid_id, r.code_check, r.sq_score)
     assert [key(r) for r in got] == [key(r) for r in want]
+
+
+def test_sq8_quantization_properties_random_vectors(spark):
+    """Hypothesis over random vector sets: codes stay in [0, 255], the
+    quantizer is monotone per dimension (x <= y never encodes higher),
+    and midpoint reconstruction lands within one quantization step of
+    the source on non-degenerate dimensions."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.floats(-10, 10, allow_nan=False, width=32),
+                min_size=4,
+                max_size=4,
+            ),
+            min_size=3,
+            max_size=12,
+        )
+    )
+    def inner(vecs):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        bounds = A.sq_bounds(df)
+        mins, fwd, inv = A._sq_scales(bounds)
+        rows = {r.vec_id: list(r.qcode) for r in A.sq_encode(df, bounds).collect()}
+        import numpy as np
+
+        f32 = [[float(np.float32(x)) for x in v] for v in vecs]
+        for i, v in enumerate(f32):
+            code = rows[i]
+            for d in range(4):
+                assert 0 <= code[d] <= 255
+                mn, mx = bounds[d]
+                if mx > mn:
+                    # reconstruction error bounded by one step
+                    xhat = mins[d] + (code[d] + 0.5) * inv[d]
+                    assert abs(xhat - v[d]) <= inv[d] * 1.0000001
+                else:
+                    assert code[d] == 0
+        # per-dimension monotonicity across the corpus
+        for d in range(4):
+            order = sorted(range(len(f32)), key=lambda i: f32[i][d])
+            codes_sorted = [rows[i][d] for i in order]
+            assert codes_sorted == sorted(codes_sorted)
+
+    inner()
