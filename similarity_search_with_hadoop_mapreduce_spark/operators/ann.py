@@ -1101,6 +1101,87 @@ def ivfsq_topk(
     )
 
 
+def ivfsq_recall_multi(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    coarse_book: list | None = None,
+    bounds: list[tuple[float, float]] | None = None,
+    index: DataFrame | None = None,
+    id_col: str = "vec_id",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Mean serving recall@k of the composed IVF-SQ8 rank (probe pruning
+    + SQ8 ADC scoring) against the exact brute-force top-k — the
+    end-to-end number that folds probe loss AND quantization loss for
+    the scalar-quantized deployment, the :func:`ivfpq_recall_multi`
+    sibling. One DAG for the whole battery: per-query probes and the
+    driver-folded (C, w) terms ride broadcast tables."""
+    from pyspark.sql import Window
+
+    if index is not None and (bounds is None or coarse_book is None):
+        raise ValueError(
+            "index provided without the bounds/coarse book it was built "
+            "with; pass all three"
+        )
+    if coarse_book is None:
+        coarse_book = kmeans_codebook(
+            embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col
+        )
+    if bounds is None:
+        bounds = sq_bounds(embeddings, id_col=id_col)
+    if index is None:
+        index = ivfsq_index(embeddings, coarse_book, bounds, id_col=id_col)
+    q_rows, probe_rows = [], []
+    for qid, qv, qn in _query_battery(embeddings, n_queries, id_col):
+        ranked = sorted(
+            (
+                (_round6(_pydot(v, qv) / (cn * qn)) if cn * qn != 0.0 else 0.0, cid)
+                for cid, v, cn in coarse_book
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probe_rows.extend((qid, cid) for _, cid in ranked[:nprobe])
+        c0, w = _sq_score_terms(bounds, qv)
+        q_rows.append((qid, qv, qn, c0, w))
+    spark = embeddings.sparkSession
+    q_df = F.broadcast(
+        spark.createDataFrame(
+            q_rows,
+            "qid BIGINT, q_emb ARRAY<DOUBLE>, q_nrm DOUBLE, "
+            "c0 DOUBLE, w ARRAY<DOUBLE>",
+        )
+    )
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "qid BIGINT, centroid_id INT")
+    )
+    adc_score = F.expr(
+        "round(coalesce((c0 + aggregate(zip_with(qcode, w, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)) / nullif(nrm * q_nrm, 0.0D), "
+        "0.0D), 6)"
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    samp = _recall_sample_filter("vec_id", sample_fraction)
+    idx_side = index if samp is None else index.filter(samp)
+    approx = (
+        idx_side.join(probes, ["centroid_id"])
+        .join(q_df, ["qid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", adc_score.alias("c"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    exact = _exact_topk_per_query(
+        embeddings, q_df, w_rank, k, id_col, sample_fraction
+    )
+    return _recall_reduce(approx, exact, k, n_queries)
+
+
 def ivfpq_index(
     embeddings: DataFrame,
     coarse_book: list[tuple[int, list[float], float]],

@@ -1496,3 +1496,109 @@ def ann_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         index=index,
         probe_state=_ivf_probe(spark, sf_dir, 0),
     )
+
+
+def _ivfsq_recall_oracle() -> str:
+    """ann_ivfsq_recall oracle: per-query probe pruning (coarse Lloyd
+    replay) + SQ8 ADC ranking within the probed lists vs exact ranking
+    over the full corpus, reduced to mean serving recall@k."""
+    dot_nq = (
+        f"list_sum(list_transform(range(1, {_DIM} + 1), "
+        "i -> CAST(nv.embedding[i] AS DOUBLE) * q.q_emb[i]))"
+    )
+    parts = [
+        f"n AS MATERIALIZED (SELECT vec_id, embedding, {_NORM} AS nrm "
+        "FROM embeddings)"
+    ]
+    parts.append(_kmeans_cents_cte())
+    parts.append(_ASSIGNED_CTE)
+    parts.extend(_sq_parts()[1:])
+    parts.append(
+        f"""qs AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb,
+         nrm AS q_nrm
+  FROM n WHERE vec_id < {_N_QUERIES}
+)"""
+    )
+    parts.append(
+        f"qw AS (SELECT q.qid, q.q_emb, q.q_nrm, {_SQ_QW_COLS} "
+        "FROM qs q, sqb b)"
+    )
+    parts.append(
+        f"""probed AS (
+  SELECT qid, centroid_id FROM (
+    SELECT q.qid, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round({_DOT_CQ} / (c.c_nrm * q.q_nrm), 6) DESC,
+                      c.centroid_id) AS rn
+    FROM cents c CROSS JOIN qs q
+  ) WHERE rn <= {_NPROBE}
+)"""
+    )
+    parts.append(
+        f"""sq_scored AS (
+  SELECT qw.qid, c.vec_id, {_SQ_ADC} AS s
+  FROM sqcodes c
+  JOIN assigned a USING (vec_id)
+  CROSS JOIN qw
+  JOIN probed p ON p.qid = qw.qid AND p.centroid_id = a.centroid_id
+  WHERE c.vec_id != qw.qid
+)"""
+    )
+    parts.append(
+        f"""adc AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+    FROM sq_scored
+  ) WHERE rn <= {_K}
+)"""
+    )
+    parts.append(
+        f"""exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, nv.vec_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(coalesce({dot_nq}
+                        / nullif(nv.nrm * q.q_nrm, 0.0), 0.0), 6) DESC,
+                      nv.vec_id) AS rn
+    FROM n nv CROSS JOIN qs q
+    WHERE nv.vec_id != q.qid
+  ) WHERE rn <= {_K}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST((SELECT count(*) FROM adc JOIN exact USING (qid, vec_id)) AS DOUBLE)
+         / nullif(CAST((SELECT count(*) FROM exact) AS DOUBLE), 0.0)
+           AS recall_at_k,
+       CAST({_K} AS INTEGER) AS k,
+       CAST({_N_QUERIES} AS INTEGER) AS n_queries
+"""
+    )
+
+
+@register("ann_ivfsq_recall", oracle=_ivfsq_recall_oracle())
+def ann_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving recall@10 of the composed IVF-SQ8 rank (probe pruning +
+    SQ8 ADC) over the shared 10-query battery — folds probe loss and
+    quantization loss end to end; compared against ann_sq8_recall it
+    isolates the probe-pruning cost, against ann_ivfpq_recall the
+    quantizer-fidelity gain. The oracle replays both trainings, the
+    per-query pruning, both rankings, and the reduction."""
+    coarse, bounds, index = _ivfsq_index(spark, sf_dir)
+    return A.ivfsq_recall_multi(
+        table(spark, sf_dir, "embeddings"),
+        n_queries=_N_QUERIES,
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE,
+        coarse_book=coarse,
+        bounds=bounds,
+        index=index,
+    )

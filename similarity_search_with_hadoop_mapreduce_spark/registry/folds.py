@@ -437,6 +437,11 @@ def _register_ann_ivf_suite() -> None:
             "centroid_id * 1048576 + code_check AS centroid_id, "
             "sq_score AS v",
         ),
+        (
+            "ann_ivfsq_recall",
+            "'ivfsq_recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
+            "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
+        ),
     ]
 
     @register("ann_ivf_suite", oracle=_union_oracle(parts))
@@ -463,8 +468,9 @@ def _register_ann_ivf_suite() -> None:
         quantization, the high-recall/low-compression point on the same
         compressed-serving curve, bounds training and encoding
         SQL-replayed, the positional code checksum in the slot — and
-        ann_ivfsq_topk, the FAISS IVF,SQ8 composition completing the
-        quantizer matrix IVF x {raw, PQ, residual-PQ, SQ8})."""
+        ann_ivfsq_topk + ann_ivfsq_recall, the FAISS IVF,SQ8 composition
+        and its end-to-end serving recall, completing the quantizer
+        matrix IVF x {raw, PQ, residual-PQ, SQ8})."""
         topk = _q("ann_ivf_topk")(spark, sf_dir).select(
             F.lit("topk").alias("shape"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -568,10 +574,16 @@ def _register_ann_ivf_suite() -> None:
              + F.col("code_check").cast("bigint")).alias("centroid_id"),
             F.col("sq_score").alias("v"),
         )
+        ivfsq_rec = _q("ann_ivfsq_recall")(spark, sf_dir).select(
+            F.lit("ivfsq_recall").alias("shape"),
+            F.col("k").cast("bigint").alias("vec_id"),
+            F.col("n_queries").cast("bigint").alias("centroid_id"),
+            F.col("recall_at_k").alias("v"),
+        )
         return _union_spark(
             [topk, rec, pq, ivfpq, pq_rec, rec_s, ivfpq_res, ipq_rec,
              ipq_res_rec, knn, knn_l, ref_rec, refined, sq8, sq8_rec,
-             ivfsq]
+             ivfsq, ivfsq_rec]
         )
 
 

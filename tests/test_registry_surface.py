@@ -65,6 +65,7 @@ FOLDED = {
     "ann_sq8_topk": "ann_ivf_suite",
     "ann_sq8_recall": "ann_ivf_suite",
     "ann_ivfsq_topk": "ann_ivf_suite",
+    "ann_ivfsq_recall": "ann_ivf_suite",
     "text_token_count": "text_doc_metrics",
     "text_lang_id": "text_doc_metrics",
     "text_quality": "text_doc_metrics",
