@@ -696,20 +696,27 @@ def dup_span_stats(
     thresholds on (docs above ~0.8 are boilerplate/mirrors; the planted
     near-duplicates in the fixture corpus light up at any w).
 
-    Plan (unique-span attribution): spans are distinct per doc, so a
-    span with global document frequency 1 belongs to exactly ONE doc —
-    ``min(doc_id)`` in the same partial-aggregated ``groupBy(win)`` pass
-    names it, and ``dup_spans = n_spans - n_uniq``. The exploded
-    (doc_id, win) stream is therefore shuffled exactly ONCE, map-side
-    pre-combined (a universally-common boilerplate span collapses to one
-    row per task before the exchange); the per-doc span count never
-    needs the explode at all (it is the distinct window-array size,
-    map-only on the spine branch); the two tiny per-doc aggregates
-    broadcast-join back to the doc spine. Deliberately NOT a window
-    over the span key — WindowExec sorts every occurrence of a hot span
-    in one task and window skew is not AQE-mitigated — and NOT a
-    DF-table join back onto the exploded stream, which would shuffle
-    the stream a second time. Shuffle
+    Plan (unique-span attribution, single tokenize): spans are distinct
+    per doc, so a span with global document frequency 1 belongs to
+    exactly ONE doc — ``min(doc_id)`` in the same partial-aggregated
+    ``groupBy`` pass names it, and ``dup_spans = n_spans - n_uniq``.
+    The per-doc span count rides the SAME exchange as the span rows:
+    every doc emits one SENTINEL row ``(win = n_spans, sdoc = doc_id)``
+    alongside its real span rows ``(win = span hash, sdoc = NULL)`` —
+    the grouping key is ``(win, sdoc)``, so sentinels can never merge
+    with real spans (sdoc differs) nor with each other (doc_id is
+    unique), and each arrives at the reducer as its own df=1 group
+    carrying the doc's span count in the key itself. The corpus is
+    therefore tokenized ONCE and the exploded stream shuffled ONCE,
+    map-side pre-combined (a universally-common boilerplate span
+    collapses to one row per task before the exchange); r7's variant
+    re-evaluated the window expression map-only on a spine branch just
+    to take ``size()``, tokenizing every document twice — the sentinel
+    removes that entire pass. Deliberately NOT a window over the span
+    key — WindowExec sorts every occurrence of a hot span in one task
+    and window skew is not AQE-mitigated — and NOT a DF-table join back
+    onto the exploded stream, which would shuffle the stream a second
+    time. Shuffle
     payload is one fixed-width hash per token position, not the w-word
     string: ``span_key='xxhash64'`` (production, codegen'd);
     ``'md5'`` for cross-engine oracle digest parity; ``'raw'`` keeps the
@@ -737,7 +744,29 @@ def dup_span_stats(
         f"i -> {keyers[span_key](span)})) "
         f"ELSE CAST(array() AS ARRAY<{key_type}>) END"
     )
-    wins = base.select("doc_id", F.explode(F.expr(wins_expr)).alias("win"))
+    # Stage the distinct-window array behind a projection barrier
+    # (CollapseProject declines to inline a non-cheap alias referenced
+    # more than once), then emit the sentinel + span rows from the ONE
+    # computed array: the corpus is tokenized exactly once.
+    staged = base.select("doc_id", F.expr(wins_expr).alias("_wins"))
+    # posexplode of the PLAIN array with the sentinel value prepended —
+    # pos 0 is the sentinel, pos > 0 a real span. No per-element struct
+    # lambda over the big array (measured ~25% of the map CPU when the
+    # sentinel was struct-wrapped via transform); sdoc is one codegen'd
+    # CASE on the generator's position column.
+    sent_win = f"CAST(size(_wins) AS {key_type})"
+    rows = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"concat(array({sent_win}), _wins)")
+        ).alias("_pos", "win"),
+    ).select(
+        "doc_id",
+        "win",
+        F.when(F.col("_pos") == 0, F.col("doc_id").cast("string")).alias(
+            "sdoc"
+        ),
+    )
     # Unique-span attribution, NOT a window over the span key and NOT a
     # join back onto the exploded stream: spans are DISTINCT per doc, so
     # a span with global document frequency 1 belongs to exactly one doc
@@ -747,23 +776,27 @@ def dup_span_stats(
     # boilerplate span collapses to one row per task before the
     # exchange), and no hot span key ever concentrates in one task —
     # whereas WindowExec would sort every occurrence of a hot span in a
-    # single task (window skew is not AQE-mitigated).
-    uniq_per_doc = (
-        wins.groupBy("win")
+    # single task (window skew is not AQE-mitigated). Sentinel groups
+    # (sdoc non-NULL) are kept unconditionally; real span groups only
+    # when df=1 (a unique span). The second groupBy sees one row per
+    # unique span plus one per doc — already reduced, cheap exchange.
+    per_doc = (
+        rows.groupBy("win", "sdoc")
         .agg(F.count(F.lit(1)).alias("_df"), F.min("doc_id").alias("_d0"))
-        .where(F.col("_df") == 1)
+        .where(F.col("sdoc").isNotNull() | (F.col("_df") == 1))
         .groupBy(F.col("_d0").alias("doc_id"))
-        .agg(F.count(F.lit(1)).alias("n_uniq"))
-    )
-    # per-doc span count never needs the explode: it is the distinct
-    # window-array size, computed map-only on the spine branch
-    spine = base.select(
-        "doc_id", F.expr(f"size({wins_expr})").cast("bigint").alias("n_spans")
+        .agg(
+            F.max(F.when(F.col("sdoc").isNotNull(), F.col("win")))
+            .cast("bigint")
+            .alias("n_spans"),
+            F.sum(F.when(F.col("sdoc").isNull(), 1).otherwise(0)).alias(
+                "n_uniq"
+            ),
+        )
     )
     return (
         documents.select("doc_id")
-        .join(spine, "doc_id", "left")
-        .join(uniq_per_doc, "doc_id", "left")
+        .join(F.broadcast(per_doc), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),

@@ -508,8 +508,9 @@ def test_avi_roundtrips_random_frames(w, h, n_frames, data):
     ]
     buf = M._encode_avi_frames(w, h, frames)
     assert len(buf) == 224 + n_frames * (8 + stride * h)
-    gw, gh, got = M._decode_avi_frames(buf)
+    gw, gh, got, us = M._decode_avi_frames(buf)
     assert (gw, gh) == (w, h) and got == frames
+    assert us == 40000  # writer default round-trips through the avih
 
 
 @settings(max_examples=40, deadline=None)
@@ -525,3 +526,62 @@ def test_nn_resample_mapping_properties(n, out_n):
     assert all(0 <= j < n for j in idx)
     assert idx == sorted(idx)
     assert idx[0] == 0
+
+
+def test_subsample_preserves_clip_duration(spark):
+    """Keeping every Nth frame is a frame-RATE reduction, not a clip
+    shortening: the re-encoded AVI's per-frame interval is the source
+    interval scaled by every_n, so n_frames/2 frames at 2x the interval
+    span the same wall-clock duration (ADVICE r7)."""
+    buf = M._encode_avi(4, 4, n_frames=6, us_per_frame=33333)
+    vids = spark.createDataFrame(
+        [(1, bytearray(buf))], "doc_id long, payload binary"
+    )
+    sub = bytes(M.video_subsample(vids, every_n=3).collect()[0].payload)
+    w, h, frames, us = M._decode_avi_frames(sub)
+    assert us == 33333 * 3 and len(frames) == 2
+    # identity subsample keeps the source timing exactly
+    ident = bytes(M.video_subsample(vids, every_n=1).collect()[0].payload)
+    assert ident == buf
+
+
+def test_malformed_payloads_skip_not_crash(spark):
+    """A payload that passes the magic-byte check but is truncated or
+    corrupt is SKIPPED, matching the non-matching-magic skip semantics —
+    one bad row must not fail the whole mapInPandas job (ADVICE r7)."""
+    png = M._encode_png(8, 6, seed=3)
+    wav = M._encode_wav(8000, 100, seed=1)
+    avi = M._encode_avi(4, 4, n_frames=3)
+    bmp = M._encode_bmp(8, 6, seed=2)
+    rows = [
+        (1, bytearray(png)),
+        (2, bytearray(png[:20])),          # truncated PNG
+        (3, bytearray(wav[:16])),          # truncated WAV
+        (4, bytearray(avi[: len(avi) - 30])),  # truncated AVI tail
+        (5, bytearray(png[:29] + bytes([png[29] ^ 0xFF]) + png[30:])),  # bad CRC
+        (6, bytearray(bmp[:40])),          # truncated BMP header->skip
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    assert [r.doc_id for r in M.image_resize(df).collect()] == [1]
+    assert [r.doc_id for r in M.image_ahash(df).collect()] == [1]
+    assert M.audio_resample(df).count() == 0  # only corrupt WAV present
+    wdf = spark.createDataFrame(
+        [(7, bytearray(wav)), (8, bytearray(wav[:16]))],
+        "doc_id long, payload binary",
+    )
+    assert [r.doc_id for r in M.audio_resample(wdf).collect()] == [7]
+    # truncated AVI: whole frames still hash; the cut tail frame skips
+    vs = M.video_subsample(df.where("doc_id = 4"), every_n=1)
+    assert vs.count() <= 1  # decoded-what-fits or skipped, never raised
+    hashes = M.video_frame_hashes(df.where("doc_id = 4"))
+    assert hashes.count() == 2  # 3 frames, last one truncated away
+
+
+def test_encode_avi_frames_rejects_wrong_length_body(spark):
+    """_encode_avi_frames stamps chunk sizes as stride*height — a body
+    of any other length would silently corrupt the container, so it
+    must raise instead (ADVICE r7)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="frame body"):
+        M._encode_avi_frames(4, 4, [b"\x00" * 10])
