@@ -1113,13 +1113,20 @@ def ivfsq_recall_multi(
     index: DataFrame | None = None,
     id_col: str = "vec_id",
     sample_fraction: float | None = None,
+    refine_factor: int | None = None,
 ) -> DataFrame:
     """Mean serving recall@k of the composed IVF-SQ8 rank (probe pruning
     + SQ8 ADC scoring) against the exact brute-force top-k — the
     end-to-end number that folds probe loss AND quantization loss for
     the scalar-quantized deployment, the :func:`ivfpq_recall_multi`
     sibling. One DAG for the whole battery: per-query probes and the
-    driver-folded (C, w) terms ride broadcast tables."""
+    driver-folded (C, w) terms ride broadcast tables.
+
+    ``refine_factor`` switches the measured deployment to the two-stage
+    mode (:func:`ivfsq_topk_refined`): SQ8 shortlist of
+    ``refine_factor*k`` per query, exact-cosine rerank of only those
+    raw vectors — within the probed lists the rerank recovers the
+    (already small) SQ8 quantization error exactly."""
     from pyspark.sql import Window
 
     if index is not None and (bounds is None or coarse_book is None):
@@ -1167,19 +1174,99 @@ def ivfsq_recall_multi(
     w_rank = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
     samp = _recall_sample_filter("vec_id", sample_fraction)
     idx_side = index if samp is None else index.filter(samp)
-    approx = (
+    sq_ranked = (
         idx_side.join(probes, ["centroid_id"])
         .join(q_df, ["qid"])
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", adc_score.alias("c"))
         .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= k)
-        .select("qid", "vec_id")
     )
+    if refine_factor is None:
+        approx = sq_ranked.filter(F.col("rn") <= k).select("qid", "vec_id")
+    else:
+        if refine_factor < 1:
+            raise ValueError(
+                f"refine_factor must be >= 1, got {refine_factor}"
+            )
+        shortlist = sq_ranked.filter(
+            F.col("rn") <= k * refine_factor
+        ).select("qid", "vec_id")
+        approx = (
+            shortlist.join(
+                embeddings.select(F.col(id_col).alias("vec_id"), "embedding"),
+                ["vec_id"],
+            )
+            .join(q_df.select("qid", "q_emb", "q_nrm"), ["qid"])
+            .select("qid", "vec_id", _recall_cos_expr().alias("c"))
+            .withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") <= k)
+            .select("qid", "vec_id")
+        )
     exact = _exact_topk_per_query(
         embeddings, q_df, w_rank, k, id_col, sample_fraction
     )
     return _recall_reduce(approx, exact, k, n_queries)
+
+
+def ivfsq_topk_refined(
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    **ivfsq_kwargs,
+) -> DataFrame:
+    """Two-stage IVF-SQ8 retrieval: SQ8 shortlist, exact rerank — the
+    :func:`ivfpq_topk_refined` sibling completing the serving matrix
+    ({PQ, SQ8} × {unrefined, refined}): the scalar-quantized index
+    prices ``refine_factor·k`` candidates with the driver-folded
+    (C, w) integer fold, then ONLY those candidates' raw vectors are
+    fetched and scored with the exact cosine, and the top ``k`` by
+    exact score are returned. SQ8's quantization error is already small
+    (4× compression), so the rerank mostly re-breaks rounding ties —
+    recall ≥ the unrefined mode is pytest-pinned. Cost:
+    ``refine_factor·k`` raw-vector reads per query, independent of
+    corpus size.
+
+    Plan shape: the shortlist (tiny by construction) broadcasts into a
+    hash join against the raw table — no shuffle of the corpus. Returns
+    ``(vec_id, sq_score, cosine)`` so the pinned values witness BOTH
+    stages."""
+    if refine_factor < 1:
+        raise ValueError(
+            f"refine_factor must be >= 1, got {refine_factor}"
+        )
+    shortlist = ivfsq_topk(
+        embeddings, query_vec_id, k=k * refine_factor, id_col=id_col,
+        **ivfsq_kwargs,
+    ).select("vec_id", "sq_score")
+    if id_col != "vec_id":
+        shortlist = shortlist.withColumnRenamed("vec_id", id_col)
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col) == F.lit(query_vec_id)).select(
+            F.col("embedding").alias("q_emb"),
+            l2_norm(F.col("embedding")).alias("q_nrm"),
+        )
+    )
+    cos = F.round(
+        F.coalesce(
+            dot(F.col("embedding"), F.col("q_emb"))
+            / F.nullif(l2_norm(F.col("embedding")) * F.col("q_nrm"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        embeddings.join(F.broadcast(shortlist), id_col)
+        .join(q)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            "sq_score",
+            cos.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 def ivfpq_index(

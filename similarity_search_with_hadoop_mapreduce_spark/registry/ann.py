@@ -1414,11 +1414,13 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfsq_oracle() -> str:
+def _ivfsq_oracle(k: int = _K) -> str:
     """ann_ivfsq_topk oracle: coarse Lloyd replay + assignment prunes to
     the query's nprobe inverted lists; the SQ8 bounds/encode replay +
     driver-folded ADC terms price the survivors — the SQL twin of
-    :func:`operators.ann.ivfsq_topk`, both trainings included."""
+    :func:`operators.ann.ivfsq_topk`, both trainings included.
+    ``k`` parameterizes the final LIMIT so the refined entry can embed
+    this as its shortlist subquery."""
     parts = [
         f"n AS MATERIALIZED (SELECT vec_id, embedding, {_NORM} AS nrm "
         "FROM embeddings)"
@@ -1451,7 +1453,7 @@ JOIN assigned a USING (vec_id)
 JOIN probed USING (centroid_id), qw
 WHERE c.vec_id != 0
 ORDER BY sq_score DESC, c.vec_id
-LIMIT {_K}
+LIMIT {k}
 """
     )
 
@@ -1498,10 +1500,13 @@ def ann_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfsq_recall_oracle() -> str:
+def _ivfsq_recall_oracle(refine_factor: int | None = None) -> str:
     """ann_ivfsq_recall oracle: per-query probe pruning (coarse Lloyd
     replay) + SQ8 ADC ranking within the probed lists vs exact ranking
-    over the full corpus, reduced to mean serving recall@k."""
+    over the full corpus, reduced to mean serving recall@k.
+    ``refine_factor`` switches to the two-stage deployment: SQ8
+    shortlist of ``refine_factor*k``, exact-cosine rerank (the
+    :func:`_ivfpq_recall_oracle` refined shape)."""
     dot_nq = (
         f"list_sum(list_transform(range(1, {_DIM} + 1), "
         "i -> CAST(nv.embedding[i] AS DOUBLE) * q.q_emb[i]))"
@@ -1547,15 +1552,34 @@ def _ivfsq_recall_oracle() -> str:
   WHERE c.vec_id != qw.qid
 )"""
     )
+    adc_limit = _K if refine_factor is None else _K * refine_factor
     parts.append(
         f"""adc AS (
   SELECT qid, vec_id FROM (
     SELECT qid, vec_id,
            row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
     FROM sq_scored
-  ) WHERE rn <= {_K}
+  ) WHERE rn <= {adc_limit}
 )"""
     )
+    served = "adc"
+    if refine_factor is not None:
+        served = "refined"
+        parts.append(
+            f"""refined AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, nv.vec_id,
+           row_number() OVER (
+             PARTITION BY s.qid
+             ORDER BY round(coalesce({dot_nq}
+                        / nullif(nv.nrm * q.q_nrm, 0.0), 0.0), 6) DESC,
+                      nv.vec_id) AS rn
+    FROM adc s
+    JOIN n nv ON nv.vec_id = s.vec_id
+    JOIN qs q ON q.qid = s.qid
+  ) WHERE rn <= {_K}
+)"""
+        )
     parts.append(
         f"""exact AS (
   SELECT qid, vec_id FROM (
@@ -1574,7 +1598,7 @@ def _ivfsq_recall_oracle() -> str:
         "WITH "
         + ",\n".join(parts)
         + f"""
-SELECT CAST((SELECT count(*) FROM adc JOIN exact USING (qid, vec_id)) AS DOUBLE)
+SELECT CAST((SELECT count(*) FROM {served} JOIN exact USING (qid, vec_id)) AS DOUBLE)
          / nullif(CAST((SELECT count(*) FROM exact) AS DOUBLE), 0.0)
            AS recall_at_k,
        CAST({_K} AS INTEGER) AS k,
@@ -1601,4 +1625,70 @@ def ann_ivfsq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_book=coarse,
         bounds=bounds,
         index=index,
+    )
+
+
+@register(
+    "ann_ivfsq_refined_topk",
+    oracle=f"""
+WITH short AS MATERIALIZED (
+{_ivfsq_oracle(k=_K * _REFINE)}
+),
+n AS (SELECT vec_id, embedding, {_NORM} AS nrm FROM embeddings),
+q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0)
+SELECT s.vec_id, s.sq_score,
+       round(coalesce(list_sum(list_transform(range(1, {_DIM} + 1),
+             i -> CAST(n.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+             / nullif(n.nrm * q.q_nrm, 0.0), 0.0), 6) AS cosine
+FROM short s JOIN n USING (vec_id), q
+ORDER BY cosine DESC, s.vec_id
+LIMIT {_K}
+""",
+)
+def ann_ivfsq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-SQ8 serving: SQ8 shortlist of 4·k candidates from
+    the scalar-quantized index, exact-cosine rerank of only those raw
+    vectors, top-k by exact score — the :func:`ann_ivfpq_refined_topk`
+    sibling completing the quantizer serving matrix ({PQ, SQ8} ×
+    {unrefined, refined}). Both stages value-pinned (sq_score witnesses
+    the shortlist pricing, cosine the rerank); the oracle embeds the
+    full ivfsq oracle (coarse Lloyd + bounds replays) as its shortlist
+    subquery."""
+    coarse, bounds, index = _ivfsq_index(spark, sf_dir)
+    return A.ivfsq_topk_refined(
+        table(spark, sf_dir, "embeddings"),
+        0,
+        k=_K,
+        refine_factor=_REFINE,
+        n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE,
+        coarse_book=coarse,
+        bounds=bounds,
+        index=index,
+        probe_state=_ivf_probe(spark, sf_dir, 0),
+    )
+
+
+@register(
+    "ann_ivfsq_refined_recall",
+    oracle=_ivfsq_recall_oracle(refine_factor=_REFINE),
+)
+def ann_ivfsq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving recall@10 of the TWO-STAGE IVF-SQ8 mode (SQ8 shortlist
+    of 4·k, exact-cosine rerank) — pins the refinement's effect against
+    ann_ivfsq_recall on the same probes: within the probed lists the
+    rerank recovers the (already small) SQ8 quantization error exactly,
+    so recall ≥ the unrefined mode (pytest-pinned) and the remaining
+    loss is probe pruning alone. The oracle replays both stages."""
+    coarse, bounds, index = _ivfsq_index(spark, sf_dir)
+    return A.ivfsq_recall_multi(
+        table(spark, sf_dir, "embeddings"),
+        n_queries=_N_QUERIES,
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        nprobe=_NPROBE,
+        coarse_book=coarse,
+        bounds=bounds,
+        index=index,
+        refine_factor=_REFINE,
     )

@@ -442,6 +442,19 @@ def _register_ann_ivf_suite() -> None:
             "'ivfsq_recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
             "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
         ),
+        (
+            # sq_score rides the bigint slot as micro-units (the
+            # ivfpq_refined pattern); v pins the exact-rerank cosine
+            "ann_ivfsq_refined_topk",
+            "'ivfsq_refined' AS shape, vec_id, "
+            "CAST(round(sq_score * 1000000.0, 0) AS BIGINT) AS centroid_id, "
+            "cosine AS v",
+        ),
+        (
+            "ann_ivfsq_refined_recall",
+            "'ivfsq_ref_recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
+            "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
+        ),
     ]
 
     @register("ann_ivf_suite", oracle=_union_oracle(parts))
@@ -470,7 +483,11 @@ def _register_ann_ivf_suite() -> None:
         SQL-replayed, the positional code checksum in the slot — and
         ann_ivfsq_topk + ann_ivfsq_recall, the FAISS IVF,SQ8 composition
         and its end-to-end serving recall, completing the quantizer
-        matrix IVF x {raw, PQ, residual-PQ, SQ8})."""
+        matrix IVF x {raw, PQ, residual-PQ, SQ8}; r8 adds
+        ann_ivfsq_refined_topk + ann_ivfsq_refined_recall — the
+        two-stage SQ8-shortlist + exact-rerank serving mode, completing
+        the {PQ, SQ8} x {unrefined, refined} serving matrix, refined
+        recall >= unrefined pytest-pinned)."""
         topk = _q("ann_ivf_topk")(spark, sf_dir).select(
             F.lit("topk").alias("shape"),
             F.col("vec_id").cast("bigint").alias("vec_id"),
@@ -580,10 +597,24 @@ def _register_ann_ivf_suite() -> None:
             F.col("n_queries").cast("bigint").alias("centroid_id"),
             F.col("recall_at_k").alias("v"),
         )
+        ivfsq_ref = _q("ann_ivfsq_refined_topk")(spark, sf_dir).select(
+            F.lit("ivfsq_refined").alias("shape"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.round(F.col("sq_score") * 1000000.0, 0)
+            .cast("bigint")
+            .alias("centroid_id"),
+            F.col("cosine").alias("v"),
+        )
+        ivfsq_ref_rec = _q("ann_ivfsq_refined_recall")(spark, sf_dir).select(
+            F.lit("ivfsq_ref_recall").alias("shape"),
+            F.col("k").cast("bigint").alias("vec_id"),
+            F.col("n_queries").cast("bigint").alias("centroid_id"),
+            F.col("recall_at_k").alias("v"),
+        )
         return _union_spark(
             [topk, rec, pq, ivfpq, pq_rec, rec_s, ivfpq_res, ipq_rec,
              ipq_res_rec, knn, knn_l, ref_rec, refined, sq8, sq8_rec,
-             ivfsq, ivfsq_rec]
+             ivfsq, ivfsq_rec, ivfsq_ref, ivfsq_ref_rec]
         )
 
 

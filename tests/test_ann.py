@@ -1112,3 +1112,64 @@ def test_sq8_quantization_properties_random_vectors(spark):
             assert codes_sorted == sorted(codes_sorted)
 
     inner()
+
+
+def test_ivfsq_refined_reranks_shortlist_with_exact_cosine(spark):
+    """ivfsq_topk_refined mirrors the PQ refined contract: (a) subset of
+    the SQ8 shortlist, (b) exact cosine on every returned vector (numpy
+    check), (c) ordered by exact cosine, (d) exact-score quality >= the
+    unrefined ivfsq top-k's."""
+    import pytest
+
+    df, vecs = _emb_df(spark, n=60, dim=8)
+    nc, nprobe, k, rf = 4, 2, 5, 3
+    coarse = A.kmeans_codebook(df, n_centroids=nc, iters=1)
+    bounds = A.sq_bounds(df)
+    kw = dict(n_centroids=nc, nprobe=nprobe, coarse_book=coarse,
+              bounds=bounds)
+    shortlist = {
+        r.vec_id for r in A.ivfsq_topk(df, 0, k=k * rf, **kw).collect()
+    }
+    got = A.ivfsq_topk_refined(df, 0, k=k, refine_factor=rf, **kw).collect()
+    assert len(got) == k
+    assert {r.vec_id for r in got} <= shortlist
+    q = vecs[0]
+
+    def exact(i):
+        v = vecs[i]
+        return round(
+            float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q))), 6
+        )
+
+    for r in got:
+        assert r.cosine == pytest.approx(exact(r.vec_id), abs=2e-6)
+    cos_list = [r.cosine for r in got]
+    assert cos_list == sorted(cos_list, reverse=True)
+    plain = [exact(r.vec_id) for r in A.ivfsq_topk(df, 0, k=k, **kw).collect()]
+    assert sum(cos_list) >= sum(plain) - 1e-9
+    with pytest.raises(ValueError):
+        A.ivfsq_topk_refined(df, 0, k=k, refine_factor=0, **kw)
+
+
+def test_ivfsq_refined_recall_at_least_plain(spark):
+    """Two-stage IVF-SQ8 serving recall >= unrefined SQ8 serving on the
+    same probes; with a shortlist covering the whole probed set it
+    equals the probe-pruning ceiling (IVF with exact scoring)."""
+    df, _ = _emb_df(spark, n=60, dim=8)
+    nc, nprobe = 4, 2
+    coarse = A.kmeans_codebook(df, n_centroids=nc, iters=1)
+    bounds = A.sq_bounds(df)
+    kw = dict(n_queries=5, k=5, n_centroids=nc, nprobe=nprobe,
+              coarse_book=coarse, bounds=bounds)
+    plain = A.ivfsq_recall_multi(df, **kw).collect()[0].recall_at_k
+    refined = A.ivfsq_recall_multi(
+        df, refine_factor=3, **kw
+    ).collect()[0].recall_at_k
+    assert refined >= plain - 1e-9
+    refined_all = A.ivfsq_recall_multi(
+        df, refine_factor=12, **kw
+    ).collect()[0].recall_at_k
+    ivf_exact = A.ivf_recall_multi(
+        df, n_queries=5, k=5, n_centroids=nc, nprobe=nprobe, book=coarse
+    ).collect()[0].recall_at_k
+    assert refined_all == ivf_exact
