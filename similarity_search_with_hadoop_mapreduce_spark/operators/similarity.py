@@ -268,6 +268,12 @@ def similarity_multi_query(
             F.size("shingle_set").alias("sz_d"),
             F.explode("shingle_set").alias("term"),
         )
+        # the corpus term stream is orders of magnitude wider than the
+        # query term table — a sort-merge join would SORT the corpus
+        # stream per partition (measured 2.9 -> 0.7 s at the 10x corpus);
+        # build the hash map on the query side instead (same shuffle,
+        # no sorts)
+        qterms = qterms.hint("shuffle_hash")
     pairs = (
         kept.join(qterms, "term")
         .filter(F.col("doc_id") != F.col("qid"))
