@@ -722,6 +722,140 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_ahash(M.attach_media_payload(docs))
 
 
+# JPEG is LOSSY, so the oracle replays the decode through the one shape
+# with a closed-form inverse: block-constant content. A flat 8x8 block
+# has a single non-zero coefficient (DC = 8*(v-128)); through the
+# Annex K DC quantum 16 the decoded value is exactly
+# v' = clamp(2*floor((v-128)/2 + 0.5) + 128, 0, 255) — pure integer
+# arithmetic both engines agree on. The engine side runs the REAL codec
+# (marker walk, canonical huffman decode, dequant, IDCT); the fixture's
+# content rule v(x,y) = (3*(x//8) + 7*(y//8) + doc_id) % 256 is what
+# makes the lossy round trip SQL-pinnable (operators/jpeg.py docstring).
+_JPEG_AHASH_CTE = """
+base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents
+),
+jimgs AS (
+  SELECT doc_id, CAST(n_text % 64 + 1 AS INTEGER) AS w,
+         CAST(doc_id % 48 + 1 AS INTEGER) AS h
+  FROM base
+),
+grid AS (SELECT gx.i AS bx, gy.i AS by FROM range(8) gx(i), range(8) gy(i)),
+jsamples AS (
+  SELECT doc_id, w, h, by * 8 + bx AS b,
+         least(255, greatest(0,
+           2 * CAST(floor(
+             ((3 * (((2 * bx + 1) * w // 16) // 8)
+               + 7 * (((2 * by + 1) * h // 16) // 8)
+               + doc_id) % 256 - 128) / 2.0 + 0.5) AS BIGINT) + 128))
+           AS v
+  FROM jimgs, grid
+),
+jtot AS (SELECT doc_id, sum(v) AS total FROM jsamples GROUP BY doc_id),
+jbits AS (
+  SELECT s.doc_id, s.b,
+         CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+  FROM jsamples s JOIN jtot t USING (doc_id)
+),
+jpeg_hashes AS (
+  SELECT i.doc_id, i.w AS width, i.h AS height,
+         CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b0,
+         CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b1,
+         CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b2,
+         CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b3
+  FROM jbits JOIN jimgs i USING (doc_id) GROUP BY i.doc_id, i.w, i.h
+)
+"""
+
+
+_JPEG_RESIZE_CTE = """
+base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents
+),
+jresz AS (
+  SELECT doc_id, CAST(n_text % 64 + 1 AS INTEGER) AS w,
+         CAST(doc_id % 48 + 1 AS INTEGER) AS h
+  FROM base
+),
+jrgrid AS (SELECT gx.i AS bx, gy.i AS by FROM range(8) gx(i), range(8) gy(i)),
+jrsamples AS (
+  SELECT doc_id, by * 8 + bx AS b,
+         least(255, greatest(0,
+           2 * CAST(floor(
+             ((3 * (((((2 * bx + 1) * 16) // 16) * w // 16) // 8)
+               + 7 * (((((2 * by + 1) * 12) // 16) * h // 12) // 8)
+               + doc_id) % 256 - 128) / 2.0 + 0.5) AS BIGINT) + 128))
+           AS v
+  FROM jresz, jrgrid
+),
+jrtot AS (SELECT doc_id, sum(v) AS total FROM jrsamples GROUP BY doc_id),
+jrbits AS (
+  SELECT s.doc_id, s.b,
+         CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+  FROM jrsamples s JOIN jrtot t USING (doc_id)
+),
+jpeg_resized AS (
+  SELECT doc_id,
+         CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+         CAST(68 + 17 * 12 AS INTEGER) AS n_bytes,
+         CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b0,
+         CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b1,
+         CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b2,
+         CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b3
+  FROM jrbits GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "multimodal_image_resize_jpeg",
+    oracle="WITH " + _JPEG_RESIZE_CTE + "\nSELECT * FROM jpeg_resized",
+)
+def multimodal_image_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec transform round trip (r8): decode the real JPEG
+    (huffman + IDCT), nearest-neighbor resize to 16×12, re-encode as
+    PNG (lossless, closed-form size), then PROVE the output is a real
+    image by re-decoding it through image_ahash. The oracle replays the
+    whole chain — the lossy JPEG decode via the flat-block rule, the
+    exact-integer resize mapping, the PNG's closed-form byte size, and
+    all 64 aHash bits of the resized pixels."""
+    docs = table(spark, sf_dir, "documents")
+    rz = M.image_resize(M.attach_jpeg_payload(docs), out_w=16, out_h=12)
+    hashes = M.image_ahash(rz.select("doc_id", "payload")).select(
+        "doc_id", "b0", "b1", "b2", "b3"
+    )
+    return rz.select("doc_id", "width", "height", "n_bytes").join(
+        hashes, "doc_id"
+    )
+
+
+@register(
+    "multimodal_image_ahash_jpeg",
+    oracle="WITH " + _JPEG_AHASH_CTE + "\nSELECT * FROM jpeg_hashes",
+)
+def multimodal_image_ahash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash through the REAL baseline-JPEG codec
+    (r8, closing the r7 entropy-coding boundary): every document gets a
+    spec-correct grayscale JPEG (Annex K quant + huffman tables, full
+    DCT entropy coding — operators/jpeg.py), and image_ahash decodes it
+    with the full inverse (marker walk, canonical huffman, dequant,
+    IDCT) before sampling the same 64 aHash pixels as the BMP/PNG
+    branches. The oracle replays the lossy round trip exactly because
+    the fixture content is block-constant (closed-form DC-only decode);
+    the codec's general path is hypothesis-tested in
+    tests/test_multimodal.py."""
+    docs = table(spark, sf_dir, "documents")
+    return M.image_ahash(M.attach_jpeg_payload(docs))
+
+
 @register(
     "multimodal_image_dedup",
     oracle="WITH "

@@ -129,7 +129,7 @@ def test_unknown_magic_rejected():
 
 
 def test_decode_real_is_explicit_boundary():
-    with pytest.raises(NotImplementedError, match="PIL"):
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
         M.decode_real(b"BM")
 
 
@@ -585,3 +585,128 @@ def test_encode_avi_frames_rejects_wrong_length_body(spark):
 
     with pytest.raises(ValueError, match="frame body"):
         M._encode_avi_frames(4, 4, [b"\x00" * 10])
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (r8): the lossy member of the codec set. Flat
+# blocks must round-trip through the EXACT closed-form DC rule the SQL
+# oracle replays; arbitrary content must decode within quantization
+# error; the container must be spec-shaped and reject corruption.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_blocks_exact_closed_form():
+    from similarity_search_with_hadoop_mapreduce_spark.operators import jpeg as J
+
+    for w, h, seed in [(1, 1, 0), (24, 16, 5), (64, 48, 123), (17, 9, 250)]:
+        rows = [
+            bytes((3 * (x // 8) + 7 * (y // 8) + seed) % 256 for x in range(w))
+            for y in range(h)
+        ]
+        buf = J.encode_jpeg_gray(w, h, rows)
+        assert buf[:3] == b"\xff\xd8\xff" and buf[-2:] == b"\xff\xd9"
+        gw, gh, got = J.decode_jpeg_gray(buf)
+        assert (gw, gh) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                assert got[y][x] == J.flat_roundtrip_value(rows[y][x]), (x, y)
+
+
+def test_jpeg_general_content_bounded_error():
+    """The codec is general, not flat-only: smooth content decodes
+    within a few grey levels; pure noise within the loss the Annex K
+    table allows. hypothesis drives arbitrary block content."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators import jpeg as J
+
+    w, h = 64, 48
+    img = [[(x + y) % 256 for x in range(w)] for y in range(h)]
+    buf = J.encode_jpeg_gray(w, h, [bytes(r) for r in img])
+    _, _, got = J.decode_jpeg_gray(buf)
+    err = max(
+        abs(got[y][x] - img[y][x]) for y in range(h) for x in range(w)
+    )
+    assert err <= 4, err  # smooth gradient: near-lossless
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        data=st.lists(st.integers(0, 255), min_size=64, max_size=64),
+    )
+    def one_block(data):
+        rows = [bytes(data[y * 8 : y * 8 + 8]) for y in range(8)]
+        b = J.encode_jpeg_gray(8, 8, rows)
+        _, _, dec = J.decode_jpeg_gray(b)
+        a = np.array(data).reshape(8, 8)
+        d = np.array([list(r) for r in dec])
+        # quantization loss bound: sum of quant steps / 8 is the worst
+        # per-pixel IDCT error; random noise stays well inside 255
+        assert np.abs(a - d).max() <= 200
+        # energy is roughly preserved (codec is not returning garbage)
+        assert abs(float(a.mean()) - float(d.mean())) <= 17  # DC quantum 16
+
+    one_block()
+
+
+def test_jpeg_malformed_rejected():
+    import pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators import jpeg as J
+
+    rows = [bytes(range(16))] * 4
+    buf = J.encode_jpeg_gray(16, 4, rows)
+    for bad in (
+        buf[:10],                         # truncated in headers
+        buf[: len(buf) // 2],             # truncated mid-scan
+        b"\xff\xd8\xff\xe0XX",            # no segments
+        buf.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF
+    ):
+        with pytest.raises(ValueError):
+            J.decode_jpeg_gray(bad)
+    with pytest.raises(ValueError):
+        J.encode_jpeg_gray(0, 4, [])
+
+
+def test_jpeg_ahash_branch_and_mixed_corpus(spark):
+    """image_ahash decodes the real JPEG payloads (values equal the
+    closed-form flat rule recomputation), skips truncated JPEGs, and
+    coexists with BMP/PNG in one corpus."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators import jpeg as J
+
+    docs = spark.createDataFrame(
+        [(2, "x" * 30), (4, "y" * 100)], "doc_id long, text string"
+    )
+    jp = M.attach_jpeg_payload(docs)
+    rows = {r.doc_id: r for r in M.image_ahash(jp).collect()}
+    assert set(rows) == {2, 4}
+    for doc_id, n_text in [(2, 30), (4, 100)]:
+        w, h = n_text % 64 + 1, doc_id % 48 + 1
+        samples = []
+        for by in range(8):
+            ys = (2 * by + 1) * h // 16
+            for bx in range(8):
+                xs = (2 * bx + 1) * w // 16
+                v = (3 * (xs // 8) + 7 * (ys // 8) + doc_id) % 256
+                samples.append(J.flat_roundtrip_value(v))
+        total = sum(samples)
+        bands = [0, 0, 0, 0]
+        for b, v in enumerate(samples):
+            if v * 64 >= total:
+                bands[b // 16] |= 1 << (b % 16)
+        got = rows[doc_id]
+        assert [got.b0, got.b1, got.b2, got.b3] == bands, doc_id
+        assert (got.width, got.height) == (w, h)
+    # mixed corpus: one of each codec + one truncated JPEG (skipped)
+    jbuf = bytes(jp.collect()[0].payload)
+    mixed = spark.createDataFrame(
+        [
+            (1, bytearray(M._encode_bmp(9, 7, seed=1))),
+            (2, bytearray(M._encode_png(9, 7, seed=1))),
+            (3, bytearray(jbuf)),
+            (4, bytearray(jbuf[:40])),
+        ],
+        "doc_id long, payload binary",
+    )
+    assert {r.doc_id for r in M.image_ahash(mixed).collect()} == {1, 2, 3}
