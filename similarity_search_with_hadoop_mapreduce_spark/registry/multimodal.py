@@ -270,6 +270,107 @@ resampled_hashes AS (
 )
 """
 
+# JPEG is LOSSY, so the oracle replays the decode through the one shape
+# with a closed-form inverse: block-constant content. A flat 8x8 block
+# has a single non-zero coefficient (DC = 8*(v-128)); through the
+# Annex K DC quantum 16 the decoded value is exactly
+# v' = clamp(2*floor((v-128)/2 + 0.5) + 128, 0, 255) — pure integer
+# arithmetic both engines agree on. The engine side runs the REAL codec
+# (marker walk, canonical huffman decode, dequant, IDCT); the fixture's
+# content rule v(x,y) = (3*(x//8) + 7*(y//8) + doc_id) % 256 is what
+# makes the lossy round trip SQL-pinnable (operators/jpeg.py docstring).
+_JPEG_AHASH_CORE = """
+jimgs AS (
+  SELECT doc_id, CAST(n_text % 64 + 1 AS INTEGER) AS w,
+         CAST(doc_id % 48 + 1 AS INTEGER) AS h
+  FROM base
+),
+jgrid AS (SELECT gx.i AS bx, gy.i AS by FROM range(8) gx(i), range(8) gy(i)),
+jsamples AS (
+  SELECT doc_id, w, h, by * 8 + bx AS b,
+         least(255, greatest(0,
+           2 * CAST(floor(
+             ((3 * (((2 * bx + 1) * w // 16) // 8)
+               + 7 * (((2 * by + 1) * h // 16) // 8)
+               + doc_id) % 256 - 128) / 2.0 + 0.5) AS BIGINT) + 128))
+           AS v
+  FROM jimgs, jgrid
+),
+jtot AS (SELECT doc_id, sum(v) AS total FROM jsamples GROUP BY doc_id),
+jbits AS (
+  SELECT s.doc_id, s.b,
+         CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+  FROM jsamples s JOIN jtot t USING (doc_id)
+),
+jpeg_hashes AS (
+  SELECT i.doc_id, i.w AS width, i.h AS height,
+         CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b0,
+         CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b1,
+         CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b2,
+         CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b3
+  FROM jbits JOIN jimgs i USING (doc_id) GROUP BY i.doc_id, i.w, i.h
+)
+"""
+
+_JPEG_AHASH_CTE = (
+    """
+base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents
+),"""
+    + _JPEG_AHASH_CORE
+)
+
+
+_JPEG_RESIZE_CORE = """
+jrgrid AS (SELECT gx.i AS bx, gy.i AS by FROM range(8) gx(i), range(8) gy(i)),
+jrsamples AS (
+  SELECT doc_id, by * 8 + bx AS b,
+         least(255, greatest(0,
+           2 * CAST(floor(
+             ((3 * (((((2 * bx + 1) * 16) // 16) * w // 16) // 8)
+               + 7 * (((((2 * by + 1) * 12) // 16) * h // 12) // 8)
+               + doc_id) % 256 - 128) / 2.0 + 0.5) AS BIGINT) + 128))
+           AS v
+  FROM jimgs, jrgrid
+),
+jrtot AS (SELECT doc_id, sum(v) AS total FROM jrsamples GROUP BY doc_id),
+jrbits AS (
+  SELECT s.doc_id, s.b,
+         CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+  FROM jrsamples s JOIN jrtot t USING (doc_id)
+),
+jpeg_resized AS (
+  SELECT doc_id,
+         CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+         CAST(68 + 17 * 12 AS INTEGER) AS n_bytes,
+         CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b0,
+         CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b1,
+         CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b2,
+         CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END)
+              AS INTEGER) AS b3
+  FROM jrbits GROUP BY doc_id
+)
+"""
+
+_JPEG_RESIZE_CTE = (
+    """
+base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents
+),"""
+    + _JPEG_AHASH_CORE
+    + ","
+    + _JPEG_RESIZE_CORE
+)
+
+
+
 
 @register(
     "multimodal_video_subsample",
@@ -452,6 +553,10 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _RESIZED_CORE
     + ","
     + _RESAMPLED_CORE
+    + ","
+    + _JPEG_AHASH_CORE
+    + ","
+    + _JPEG_RESIZE_CORE
     + """
 , frames AS (
   SELECT doc_id,
@@ -582,6 +687,16 @@ FROM (
 JOIN vids ca ON ca.doc_id = v.doc_a
 JOIN vids cb ON cb.doc_id = v.doc_b
 WHERE v.matched_frames * 2 >= least(ca.nf, cb.nf)
+UNION ALL
+SELECT 'jpeg_hash' AS shape, doc_id,
+       CAST(b0 AS BIGINT) * 65536 + b1 AS n1,
+       CAST(b2 AS BIGINT) * 65536 + b3 AS n2
+FROM jpeg_hashes
+UNION ALL
+SELECT 'jpeg_resized' AS shape, doc_id,
+       CAST(b0 AS BIGINT) * 65536 + b1 AS n1,
+       CAST(b2 AS BIGINT) * 65536 + b3 AS n2
+FROM jpeg_resized
 """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,6 +793,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("height")
         ).alias("n2"),
     )
+    jp = M.attach_jpeg_payload(docs)
+    jh = M.image_ahash(jp).select(
+        F.lit("jpeg_hash").alias("shape"),
+        "doc_id",
+        (F.col("b0").cast("bigint") * 65536 + F.col("b1")).alias("n1"),
+        (F.col("b2").cast("bigint") * 65536 + F.col("b3")).alias("n2"),
+    )
+    jrz = M.image_resize(jp, out_w=16, out_h=12)
+    jrh = M.image_ahash(jrz.select("doc_id", "payload")).select(
+        F.lit("jpeg_resized").alias("shape"),
+        "doc_id",
+        (F.col("b0").cast("bigint") * 65536 + F.col("b1")).alias("n1"),
+        (F.col("b2").cast("bigint") * 65536 + F.col("b3")).alias("n2"),
+    )
     vsh = M.video_frame_hashes(vs.select("doc_id", "payload"))
     vshi = vsh.select(
         F.lit("vsub_hi").alias("shape"),
@@ -704,6 +833,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vshi)
         .unionByName(vslo)
         .unionByName(vp)
+        .unionByName(jh)
+        .unionByName(jrh)
     )
 
 
@@ -720,99 +851,6 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong writer fails the value hash."""
     docs = table(spark, sf_dir, "documents")
     return M.image_ahash(M.attach_media_payload(docs))
-
-
-# JPEG is LOSSY, so the oracle replays the decode through the one shape
-# with a closed-form inverse: block-constant content. A flat 8x8 block
-# has a single non-zero coefficient (DC = 8*(v-128)); through the
-# Annex K DC quantum 16 the decoded value is exactly
-# v' = clamp(2*floor((v-128)/2 + 0.5) + 128, 0, 255) — pure integer
-# arithmetic both engines agree on. The engine side runs the REAL codec
-# (marker walk, canonical huffman decode, dequant, IDCT); the fixture's
-# content rule v(x,y) = (3*(x//8) + 7*(y//8) + doc_id) % 256 is what
-# makes the lossy round trip SQL-pinnable (operators/jpeg.py docstring).
-_JPEG_AHASH_CTE = """
-base AS (
-  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents
-),
-jimgs AS (
-  SELECT doc_id, CAST(n_text % 64 + 1 AS INTEGER) AS w,
-         CAST(doc_id % 48 + 1 AS INTEGER) AS h
-  FROM base
-),
-grid AS (SELECT gx.i AS bx, gy.i AS by FROM range(8) gx(i), range(8) gy(i)),
-jsamples AS (
-  SELECT doc_id, w, h, by * 8 + bx AS b,
-         least(255, greatest(0,
-           2 * CAST(floor(
-             ((3 * (((2 * bx + 1) * w // 16) // 8)
-               + 7 * (((2 * by + 1) * h // 16) // 8)
-               + doc_id) % 256 - 128) / 2.0 + 0.5) AS BIGINT) + 128))
-           AS v
-  FROM jimgs, grid
-),
-jtot AS (SELECT doc_id, sum(v) AS total FROM jsamples GROUP BY doc_id),
-jbits AS (
-  SELECT s.doc_id, s.b,
-         CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
-  FROM jsamples s JOIN jtot t USING (doc_id)
-),
-jpeg_hashes AS (
-  SELECT i.doc_id, i.w AS width, i.h AS height,
-         CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END)
-              AS INTEGER) AS b0,
-         CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END)
-              AS INTEGER) AS b1,
-         CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END)
-              AS INTEGER) AS b2,
-         CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END)
-              AS INTEGER) AS b3
-  FROM jbits JOIN jimgs i USING (doc_id) GROUP BY i.doc_id, i.w, i.h
-)
-"""
-
-
-_JPEG_RESIZE_CTE = """
-base AS (
-  SELECT doc_id, octet_length(encode(text)) AS n_text FROM documents
-),
-jresz AS (
-  SELECT doc_id, CAST(n_text % 64 + 1 AS INTEGER) AS w,
-         CAST(doc_id % 48 + 1 AS INTEGER) AS h
-  FROM base
-),
-jrgrid AS (SELECT gx.i AS bx, gy.i AS by FROM range(8) gx(i), range(8) gy(i)),
-jrsamples AS (
-  SELECT doc_id, by * 8 + bx AS b,
-         least(255, greatest(0,
-           2 * CAST(floor(
-             ((3 * (((((2 * bx + 1) * 16) // 16) * w // 16) // 8)
-               + 7 * (((((2 * by + 1) * 12) // 16) * h // 12) // 8)
-               + doc_id) % 256 - 128) / 2.0 + 0.5) AS BIGINT) + 128))
-           AS v
-  FROM jresz, jrgrid
-),
-jrtot AS (SELECT doc_id, sum(v) AS total FROM jrsamples GROUP BY doc_id),
-jrbits AS (
-  SELECT s.doc_id, s.b,
-         CASE WHEN s.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
-  FROM jrsamples s JOIN jrtot t USING (doc_id)
-),
-jpeg_resized AS (
-  SELECT doc_id,
-         CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
-         CAST(68 + 17 * 12 AS INTEGER) AS n_bytes,
-         CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END)
-              AS INTEGER) AS b0,
-         CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END)
-              AS INTEGER) AS b1,
-         CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END)
-              AS INTEGER) AS b2,
-         CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END)
-              AS INTEGER) AS b3
-  FROM jrbits GROUP BY doc_id
-)
-"""
 
 
 @register(

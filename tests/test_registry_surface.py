@@ -66,6 +66,8 @@ FOLDED = {
     "ann_sq8_recall": "ann_ivf_suite",
     "ann_ivfsq_topk": "ann_ivf_suite",
     "ann_ivfsq_recall": "ann_ivf_suite",
+    "ann_ivfsq_refined_topk": "ann_ivf_suite",
+    "ann_ivfsq_refined_recall": "ann_ivf_suite",
     "text_token_count": "text_doc_metrics",
     "text_lang_id": "text_doc_metrics",
     "text_quality": "text_doc_metrics",
@@ -97,6 +99,8 @@ FOLDED = {
     "multimodal_video_frames": "multimodal_frame_sample",
     "multimodal_video_dedup": "multimodal_frame_sample",
     "multimodal_image_resize": "multimodal_frame_sample",
+    "multimodal_image_ahash_jpeg": "multimodal_frame_sample",
+    "multimodal_image_resize_jpeg": "multimodal_frame_sample",
     "multimodal_audio_resample": "multimodal_frame_sample",
     "multimodal_video_subsample": "multimodal_frame_sample",
     "dedup_incremental_refresh": "curation_suite",
