@@ -127,8 +127,18 @@ def main() -> int:
         sweeps.append(
             _sweep(spark, "/root/testdata/sf0.1", "curated", queries(), oracle_sql())
         )
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        head = "unknown"
     record = {
         "artifact": "certify",
+        "git_head": head,
         "quick": quick,
         "wall_sec": round(time.time() - t_all, 1),
         "all_green": all(not s["failed"] for s in sweeps),
