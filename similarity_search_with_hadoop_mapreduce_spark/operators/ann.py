@@ -1240,32 +1240,8 @@ def ivfsq_topk_refined(
         embeddings, query_vec_id, k=k * refine_factor, id_col=id_col,
         **ivfsq_kwargs,
     ).select("vec_id", "sq_score")
-    if id_col != "vec_id":
-        shortlist = shortlist.withColumnRenamed("vec_id", id_col)
-    q = F.broadcast(
-        embeddings.filter(F.col(id_col) == F.lit(query_vec_id)).select(
-            F.col("embedding").alias("q_emb"),
-            l2_norm(F.col("embedding")).alias("q_nrm"),
-        )
-    )
-    cos = F.round(
-        F.coalesce(
-            dot(F.col("embedding"), F.col("q_emb"))
-            / F.nullif(l2_norm(F.col("embedding")) * F.col("q_nrm"), F.lit(0.0)),
-            F.lit(0.0),
-        ),
-        6,
-    )
-    return (
-        embeddings.join(F.broadcast(shortlist), id_col)
-        .join(q)
-        .select(
-            F.col(id_col).alias("vec_id"),
-            "sq_score",
-            cos.alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
+    return _exact_rerank(
+        shortlist, embeddings, query_vec_id, k, "sq_score", id_col
     )
 
 
@@ -1394,6 +1370,25 @@ def ivfpq_topk_refined(
         embeddings, query_vec_id, k=k * refine_factor, id_col=id_col,
         **ivfpq_kwargs,
     ).select("vec_id", "pq_score")
+    return _exact_rerank(
+        shortlist, embeddings, query_vec_id, k, "pq_score", id_col
+    )
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    embeddings: DataFrame,
+    query_vec_id,
+    k: int,
+    score_col: str,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The shared second stage of every refined serving mode: broadcast
+    the tiny ``(vec_id, <approx score>)`` shortlist into a hash join
+    against the raw table (no corpus shuffle, O(shortlist) raw reads),
+    score the exact cosine against the broadcast 1-row query side, and
+    return the top ``k`` by exact score as ``(vec_id, <score_col>,
+    cosine)`` — both stages' values in the output."""
     if id_col != "vec_id":
         shortlist = shortlist.withColumnRenamed("vec_id", id_col)
     q = F.broadcast(
@@ -1415,7 +1410,7 @@ def ivfpq_topk_refined(
         .join(q)
         .select(
             F.col(id_col).alias("vec_id"),
-            "pq_score",
+            score_col,
             cos.alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -2556,6 +2551,38 @@ def ivfpq_topk_from_layout(
     )
 
 
+def ivfpq_topk_refined_from_layout(
+    spark,
+    layout_path: str,
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    **layout_kwargs,
+) -> DataFrame:
+    """Two-stage serving off the STORED layout — the actual 100-TB
+    production read path: the partition-pruned compressed scan
+    (:func:`ivfpq_topk_from_layout`, nprobe directories of ~4-byte
+    codes) prices ``refine_factor·k`` candidates, then ONLY those raw
+    vectors are fetched from the corpus table via a broadcast hash join
+    and reranked by exact cosine. Total I/O per query: nprobe compressed
+    partitions + refine_factor·k raw rows — independent of corpus size.
+    Result-equal to :func:`ivfpq_topk_refined` on the same books
+    (pytest-pinned)."""
+    if refine_factor < 1:
+        raise ValueError(
+            f"refine_factor must be >= 1, got {refine_factor}"
+        )
+    shortlist = ivfpq_topk_from_layout(
+        spark, layout_path, embeddings, query_vec_id,
+        k=k * refine_factor, id_col=id_col, **layout_kwargs,
+    ).select("vec_id", "pq_score")
+    return _exact_rerank(
+        shortlist, embeddings, query_vec_id, k, "pq_score", id_col
+    )
+
+
 def write_ivfsq_layout(
     embeddings: DataFrame,
     path: str,
@@ -2641,6 +2668,36 @@ def ivfsq_topk_from_layout(
         )
         .orderBy(F.desc("sq_score"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def ivfsq_topk_refined_from_layout(
+    spark,
+    layout_path: str,
+    embeddings: DataFrame,
+    query_vec_id=0,
+    k: int = 10,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    **layout_kwargs,
+) -> DataFrame:
+    """Two-stage IVF-SQ8 serving off the STORED layout — the SQ8
+    sibling of :func:`ivfpq_topk_refined_from_layout`, completing the
+    stored-serving matrix ({PQ, SQ8} × {unrefined, refined} × {index
+    DF, partition-pruned layout}): nprobe directories of uint8 codes
+    price the shortlist, refine_factor·k raw rows rerank exactly.
+    Result-equal to :func:`ivfsq_topk_refined` on the same training
+    (pytest-pinned)."""
+    if refine_factor < 1:
+        raise ValueError(
+            f"refine_factor must be >= 1, got {refine_factor}"
+        )
+    shortlist = ivfsq_topk_from_layout(
+        spark, layout_path, embeddings, query_vec_id,
+        k=k * refine_factor, id_col=id_col, **layout_kwargs,
+    ).select("vec_id", "sq_score")
+    return _exact_rerank(
+        shortlist, embeddings, query_vec_id, k, "sq_score", id_col
     )
 
 

@@ -1173,3 +1173,74 @@ def test_ivfsq_refined_recall_at_least_plain(spark):
         df, n_queries=5, k=5, n_centroids=nc, nprobe=nprobe, book=coarse
     ).collect()[0].recall_at_k
     assert refined_all == ivf_exact
+
+
+def test_refined_from_layout_matches_inline_both_families(spark, tmp_path):
+    """Two-stage serving off the STORED layouts (r8): for both quantizer
+    families, the refined-from-layout result equals the in-memory
+    refined result, the shortlist scan partition-prunes to the probed
+    lists without reading embeddings, and the rerank fetches raw rows
+    via broadcast join (no corpus shuffle)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        ivfpq_topk_refined,
+        ivfpq_topk_refined_from_layout,
+        ivfsq_topk_refined,
+        ivfsq_topk_refined_from_layout,
+        kmeans_codebook,
+        pq_codebooks,
+        sq_bounds,
+        write_ivfpq_layout,
+        write_ivfsq_layout,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.plans import explain_string
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coarse = kmeans_codebook(emb, n_centroids=8, iters=1)
+    pq_books = pq_codebooks(emb, m=4, sub_dim=16, k_sub=8, iters=1)
+    bounds = sq_bounds(emb)
+    pq_path = str(tmp_path / "pq")
+    sq_path = str(tmp_path / "sq")
+    write_ivfpq_layout(emb, pq_path, coarse, pq_books)
+    write_ivfsq_layout(emb, sq_path, coarse, bounds)
+
+    cases = [
+        (
+            ivfpq_topk_refined_from_layout(
+                spark, pq_path, emb, 0, k=5, refine_factor=3,
+                n_centroids=8, nprobe=2, coarse_book=coarse,
+                pq_books=pq_books,
+            ),
+            ivfpq_topk_refined(
+                emb, 0, k=5, refine_factor=3, n_centroids=8, nprobe=2,
+                coarse_book=coarse, pq_books=pq_books,
+            ),
+            "pq_score",
+        ),
+        (
+            ivfsq_topk_refined_from_layout(
+                spark, sq_path, emb, 0, k=5, refine_factor=3,
+                n_centroids=8, nprobe=2, coarse_book=coarse,
+                bounds=bounds,
+            ),
+            ivfsq_topk_refined(
+                emb, 0, k=5, refine_factor=3, n_centroids=8, nprobe=2,
+                coarse_book=coarse, bounds=bounds,
+            ),
+            "sq_score",
+        ),
+    ]
+    for stored, inline, score_col in cases:
+        key = lambda r: (r.vec_id, r[score_col], r.cosine)
+        assert [key(r) for r in stored.collect()] == [
+            key(r) for r in inline.collect()
+        ], score_col
+        plan = explain_string(stored, "formatted")
+        # shortlist stage: partition-pruned, embedding-free scan of the
+        # stored codes
+        assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+            "PartitionFilters"
+        )[1].split("\n")[0], score_col
+        # rerank stage: broadcast join against the raw table — the
+        # corpus is never shuffled
+        assert "BroadcastHashJoin" in plan, score_col
+        assert "Exchange hashpartitioning" not in plan, score_col
