@@ -226,14 +226,22 @@ def _solo_one(name: str) -> None:
     spark.stop()
 
 
-def _run_solo_suite() -> dict:
-    """Spawn one fresh-JVM subprocess per SOLO query; {name: wall}."""
+def _run_solo_suite(deadline: float | None = None) -> dict:
+    """Spawn one fresh-JVM subprocess per SOLO query; {name: wall}.
+
+    ``deadline`` (a time.monotonic() stamp) bounds the whole bench run:
+    solo numbers are informational, so on a slow machine the remaining
+    subprocesses are skipped (null entries) rather than risking the
+    caller's timeout."""
     import subprocess
 
     me = os.path.abspath(__file__)
     solo: dict[str, float] = {}
     solo_prod: dict[str, float] = {}
     for name in SOLO:
+        if deadline is not None and time.monotonic() > deadline:
+            solo[name] = None
+            continue
         try:
             res = subprocess.run(
                 [sys.executable, me, "--solo-one", name],
@@ -251,6 +259,7 @@ def _run_solo_suite() -> dict:
 def main() -> None:
     from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
 
+    t_bench_start = time.monotonic()
     spark = _bench_session()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -355,7 +364,7 @@ def main() -> None:
     solo = (
         {"queries_solo": {}, "production_queries_solo": {}}
         if os.environ.get("SPARK_GRAFT_SOLO", "on") == "off"
-        else _run_solo_suite()
+        else _run_solo_suite(deadline=t_bench_start + 720)
     )
 
     total = round(sum(timings.values()), 3)
