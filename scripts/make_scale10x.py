@@ -102,6 +102,16 @@ def main() -> int:
                     cols.append(
                         f"translate(text, '{VOWELS}', '{PERMS[r]}') AS text"
                     )
+                elif t == "embeddings" and name == "embedding" and r > 0:
+                    # deterministic per-replica perturbation: without it
+                    # every vector has 9 exact copies, which inflates
+                    # LSH-bucket occupancy ~10x beyond what 10x of REAL
+                    # data would produce (real corpora add new points,
+                    # not exact clones)
+                    cols.append(
+                        "list_transform(embedding, x -> CAST(x + "
+                        f"{r} * 0.013 AS FLOAT)) AS embedding"
+                    )
                 else:
                     cols.append(name)
             selects.append(

@@ -1071,12 +1071,44 @@ def embedding_dup_pairs(
     )
 
 
+def _star_cap_left(
+    side: DataFrame,
+    bucket_cols: list[str],
+    id_out: str,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Generation-bounding star cap for a banded pair join's LEFT side
+    (the r8 contract shared with ``image_hash_pairs``): a bucket larger
+    than ``max_bucket`` keeps only its min-id representative row, so the
+    downstream ``a.id < b.id`` equi-join emits O(B) rep-anchored pairs
+    instead of materializing O(B²) candidates. Bucket sizes ride a
+    window over the join's own partitioning — no extra exchange."""
+    if max_bucket is None:
+        return side
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+    wb = Window.partitionBy(*bucket_cols)
+    return (
+        side.select(
+            "*",
+            F.count(F.lit(1)).over(wb).alias("_n"),
+            F.min(id_out).over(wb).alias("_rep"),
+        )
+        .filter(
+            (F.col("_n") <= F.lit(max_bucket))
+            | (F.col(id_out) == F.col("_rep"))
+        )
+        .drop("_n", "_rep")
+    )
+
+
 def embedding_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.8,
     n_planes: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs — the 100 TB path the
     brute-force baseline (:func:`embedding_dup_pairs`) documents.
@@ -1095,6 +1127,14 @@ def embedding_dup_pairs_lsh(
 
     Returns ``(vec_a, vec_b, bucket, cosine)`` — the shared bucket rides
     along so the bucketing itself is value-checkable.
+
+    ``max_bucket`` (r8): the hyperplane bucket space is FIXED
+    (2^n_planes values), so bucket occupancy — and Σ|bucket|² candidate
+    volume — grows quadratically with the corpus (measured 36× wall for
+    10× vectors on the full-registry scale sweep). The star cap bounds
+    candidate GENERATION: over-cap buckets emit only min-id-anchored
+    pairs (cluster connectivity preserved, pytest-pinned) — the same
+    contract as the text MinHash/SimHash and image families.
     """
     from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
         hyperplane_signs,
@@ -1102,6 +1142,7 @@ def embedding_dup_pairs_lsh(
 
     planes = hyperplane_signs(n_planes, dim)
     a, b = _embedding_pair_sides(embeddings, id_col, planes=planes)
+    a = _star_cap_left(a, ["bucket"], "vec_a", max_bucket)
     return (
         a.join(b, (F.col("bucket") == F.col("_bb"))
                & (F.col("vec_a") < F.col("vec_b")))
@@ -1117,6 +1158,7 @@ def embedding_dup_pairs_lsh_multiband(
     rows_per_band: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Multi-band random-hyperplane LSH near-dup pairs: candidates agree
     on ALL ``rows_per_band`` plane signs of ANY of ``bands`` bands (OR of
@@ -1137,7 +1179,13 @@ def embedding_dup_pairs_lsh_multiband(
     distinct (same contract as the text MinHash family).
 
     Returns ``(vec_a, vec_b, cosine)`` (no bucket column: a pair may
-    share several bands)."""
+    share several bands).
+
+    ``max_bucket`` (r8): per-(band, bucket) star cap bounding candidate
+    generation at O(B) per over-cap bucket — see
+    :func:`embedding_dup_pairs_lsh`; applied per band, so a pair split
+    into an over-cap bucket in one band can still surface in full
+    through an under-cap band."""
     from similarity_search_with_hadoop_mapreduce_spark.functions.vector import (
         l2_norm,
     )
@@ -1174,6 +1222,7 @@ def embedding_dup_pairs_lsh_multiband(
         F.col("nrm").alias("n_b"),
         F.col("band").alias("_band_b"), F.col("bucket").alias("_bb"),
     )
+    a = _star_cap_left(a, ["band", "bucket"], "vec_a", max_bucket)
     return (
         a.join(
             b,

@@ -613,6 +613,28 @@ SELECT 'img_pair' AS shape, doc_a AS doc_id,
        CAST(doc_b AS BIGINT) AS n1, CAST(hamming AS BIGINT) AS n2
 FROM img_pairs
 UNION ALL
+SELECT 'img_pair_capped' AS shape, doc_a AS doc_id,
+       CAST(doc_b AS BIGINT) AS n1, CAST(hamming AS BIGINT) AS n2
+FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+              + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+              + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+              + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT)))
+              AS INTEGER) AS hamming
+  FROM abands a
+  JOIN (SELECT band, bh, count(*) AS n, min(doc_id) AS rep
+        FROM abands GROUP BY band, bh) c
+    ON c.band = a.band AND c.bh = a.bh
+  JOIN abands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  WHERE (c.n <= 4 OR a.doc_id = c.rep)
+    AND bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+        + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+        + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+        + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) <= 3
+)
+UNION ALL
 SELECT 'audio_pair' AS shape, doc_a AS doc_id,
        CAST(doc_b AS BIGINT) AS n1, CAST(hamming AS BIGINT) AS n2
 FROM audio_pairs
@@ -729,6 +751,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").cast("bigint").alias("n1"),
         F.col("hamming").cast("bigint").alias("n2"),
     )
+    cpr = M.image_hash_pairs(
+        M.image_ahash(mm), max_hamming=3, max_bucket=4
+    ).select(
+        F.lit("img_pair_capped").alias("shape"),
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").cast("bigint").alias("n1"),
+        F.col("hamming").cast("bigint").alias("n2"),
+    )
     ap = M.band_hash_pairs(M.audio_energy_hash(mm), max_hamming=3).select(
         F.lit("audio_pair").alias("shape"),
         F.col("doc_a").alias("doc_id"),
@@ -835,6 +865,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vp)
         .unionByName(jh)
         .unionByName(jrh)
+        .unionByName(cpr)
     )
 
 
@@ -927,6 +958,57 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return M.image_hash_pairs(
         M.image_ahash(M.attach_media_payload(docs)), max_hamming=3
+    )
+
+
+@register(
+    "multimodal_image_dedup_capped",
+    oracle="WITH "
+    + _AHASH_CTE
+    + """
+, bands AS (
+  SELECT doc_id, b0, b1, b2, b3,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([b0, b1, b2, b3]) AS bh
+  FROM ahash_hashes
+),
+bc AS (
+  SELECT band, bh, count(*) AS n, min(doc_id) AS rep
+  FROM bands GROUP BY band, bh
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+            + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+            + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+            + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT)))
+            AS INTEGER) AS hamming
+FROM bands a
+JOIN bc c ON c.band = a.band AND c.bh = a.bh
+JOIN bands b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+WHERE (c.n <= 4 OR a.doc_id = c.rep)
+  AND bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+      + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+      + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+      + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) <= 3
+""",
+)
+def multimodal_image_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production star-cap mode of the banded image near-dup join
+    (r8, closing the scale-sweep finding: the 16-bit band value space is
+    fixed, so uncapped bucket occupancy — and the pair count — grows
+    quadratically with the corpus, measured 48× wall for 10× docs):
+    band buckets over ``max_bucket=4`` emit only min-doc-anchored star
+    pairs, bounding candidate GENERATION at O(B) per bucket with
+    cluster connectivity preserved (the same contract as the text
+    MinHash/SimHash families). The oracle replays the cap rule exactly
+    — per-bucket counts, the representative, and the anchored-pair
+    predicate."""
+    docs = table(spark, sf_dir, "documents")
+    return M.image_hash_pairs(
+        M.image_ahash(M.attach_media_payload(docs)),
+        max_hamming=3,
+        max_bucket=4,
     )
 
 

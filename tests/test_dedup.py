@@ -1079,3 +1079,46 @@ def test_incremental_refresh_custom_id_column(spark):
         ).collect()
     }
     assert got == {1: 4, 2: 8, 3: 5}
+
+
+def test_embedding_lsh_star_cap_bounds_and_preserves_clusters(spark):
+    """max_bucket on the embedding LSH pair generators (r8): a mass-dup
+    bucket of g identical vectors emits the g-1 rep-anchored star
+    instead of g(g-1)/2 pairs; connectivity equals the uncapped
+    clusters; cap=None unchanged; the multiband variant caps per band."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        embedding_dup_pairs_lsh,
+        embedding_dup_pairs_lsh_multiband,
+    )
+
+    g, dim = 10, 8
+    rows = [(i, [float(j + 1) for j in range(dim)]) for i in range(g)]
+    rows += [(100, [1.0] + [0.0] * (dim - 1)), (101, [1.0] + [0.0] * (dim - 1))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for fn, kw in [
+        (embedding_dup_pairs_lsh, dict(n_planes=3, dim=dim)),
+        (embedding_dup_pairs_lsh_multiband,
+         dict(bands=2, rows_per_band=2, dim=dim)),
+    ]:
+        full = {(r.vec_a, r.vec_b) for r in fn(df, threshold=0.9, **kw).collect()}
+        capped = {
+            (r.vec_a, r.vec_b)
+            for r in fn(df, threshold=0.9, max_bucket=4, **kw).collect()
+        }
+        assert capped <= full
+        big_full = {p for p in full if p[0] < g}
+        big_cap = {p for p in capped if p[0] < g}
+        assert len(big_full) == g * (g - 1) // 2
+        assert big_cap == {(0, i) for i in range(1, g)}
+        if (100, 101) in full:  # small bucket survives untouched
+            assert (100, 101) in capped
+        # None = identical
+        none_cap = {
+            (r.vec_a, r.vec_b)
+            for r in fn(df, threshold=0.9, max_bucket=None, **kw).collect()
+        }
+        assert none_cap == full
+    import pytest
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        embedding_dup_pairs_lsh(df, max_bucket=1).collect()

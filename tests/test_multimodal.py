@@ -710,3 +710,76 @@ def test_jpeg_ahash_branch_and_mixed_corpus(spark):
         "doc_id long, payload binary",
     )
     assert {r.doc_id for r in M.image_ahash(mixed).collect()} == {1, 2, 3}
+
+
+def test_band_pair_star_cap_bounds_and_preserves_clusters(spark):
+    """max_bucket on the banded pair families (r8): a mass-duplicate
+    bucket of g identical images emits g-1 rep-anchored star pairs
+    instead of g(g-1)/2; connected components through the rep equal the
+    uncapped clusters; cap=None is unchanged; under-cap buckets keep
+    the full pair set."""
+    g = 12
+    payload = M._encode_bmp(16, 12, seed=3)
+    other = M._encode_bmp(40, 30, seed=200)
+    rows = [(i, bytearray(payload)) for i in range(g)]
+    rows += [(100, bytearray(other)), (101, bytearray(other))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = M.image_ahash(df)
+    full = M.image_hash_pairs(hashes, max_hamming=3)
+    capped = M.image_hash_pairs(hashes, max_hamming=3, max_bucket=4)
+    fp = {(r.doc_a, r.doc_b) for r in full.collect()}
+    cp = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert cp <= fp
+    # the g-clone group: full = g(g-1)/2 pairs, capped = the g-1 star
+    big_full = {p for p in fp if p[0] < g and p[1] < g}
+    big_cap = {p for p in cp if p[0] < g and p[1] < g}
+    assert len(big_full) == g * (g - 1) // 2
+    assert big_cap == {(0, i) for i in range(1, g)}
+    # the small (under-cap) group keeps its exact pair
+    assert (100, 101) in cp
+    # connectivity: union-find over capped pairs reproduces the clusters
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in cp:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(g)}) == 1
+    # None = unchanged
+    assert {
+        (r.doc_a, r.doc_b)
+        for r in M.image_hash_pairs(hashes, max_bucket=None).collect()
+    } == fp
+    import pytest
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        M.image_hash_pairs(hashes, max_bucket=1)
+
+
+def test_video_dedup_star_cap(spark):
+    """video_dedup_pairs' max_bucket: mass-duplicate videos vote only on
+    rep-anchored pairs — the rep still matches every clone (full vote),
+    non-rep clone pairs drop, under-cap pairs unchanged."""
+    g = 8
+    buf = M._encode_avi(6, 6, n_frames=4, seed=9)
+    other = M._encode_avi(8, 5, n_frames=3, seed=77)
+    rows = [(i, bytearray(buf)) for i in range(g)]
+    rows += [(100, bytearray(other)), (101, bytearray(other))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fh = M.video_frame_hashes(df)
+    full = {(r.doc_a, r.doc_b) for r in M.video_dedup_pairs(fh).collect()}
+    capped_rows = M.video_dedup_pairs(fh, max_bucket=3).collect()
+    capped = {(r.doc_a, r.doc_b) for r in capped_rows}
+    assert capped <= full
+    assert {p for p in capped if p[0] < g} == {(0, i) for i in range(1, g)}
+    assert (100, 101) in capped
+    # rep-anchored votes are COMPLETE: every clone pair matches all 4
+    # frames
+    for r in capped_rows:
+        if r.doc_a == 0 and r.doc_b < g:
+            assert r.matched_frames == 4 and r.min_frames == 4

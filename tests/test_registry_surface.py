@@ -100,6 +100,7 @@ FOLDED = {
     "multimodal_video_dedup": "multimodal_frame_sample",
     "multimodal_image_resize": "multimodal_frame_sample",
     "multimodal_image_ahash_jpeg": "multimodal_frame_sample",
+    "multimodal_image_dedup_capped": "multimodal_frame_sample",
     "multimodal_image_resize_jpeg": "multimodal_frame_sample",
     "multimodal_audio_resample": "multimodal_frame_sample",
     "multimodal_video_subsample": "multimodal_frame_sample",
