@@ -682,32 +682,51 @@ def _band_buckets_sql() -> list[str]:
     ]
 
 
-def _embedding_multiband_cte() -> str:
+def _embedding_multiband_cte(max_bucket: int | None = None) -> str:
     """CTEs ``bnd`` (vec_id, band, bucket, embedding, nrm) and ``mcand``
-    (distinct multi-band candidate pairs)."""
+    (distinct multi-band candidate pairs). With ``max_bucket``, mcand
+    replays the star cap: an over-cap (band, bucket) contributes only
+    pairs anchored at its min-vec_id representative."""
     band_selects = "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, {b} AS band, CAST({bsql} AS INTEGER) AS bucket, "
         f"embedding, nrm FROM n"
         for b, bsql in enumerate(_band_buckets_sql())
     )
-    return f"""bnd AS (
-  {band_selects}
-),
-mcand AS (
+    if max_bucket is None:
+        mcand = """mcand AS (
   SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
   FROM bnd a JOIN bnd c
     ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
 )"""
+    else:
+        mcand = f"""bc AS (
+  SELECT band, bucket, count(*) AS n, min(vec_id) AS rep
+  FROM bnd GROUP BY band, bucket
+),
+mcand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM bnd a
+  JOIN bc ON bc.band = a.band AND bc.bucket = a.bucket
+  JOIN bnd c
+    ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE bc.n <= {max_bucket} OR a.vec_id = bc.rep
+)"""
+    return f"""bnd AS (
+  {band_selects}
+),
+{mcand}"""
 
 
-def _embedding_multiband_oracle(threshold: float = _COS_LSH_T) -> str:
+def _embedding_multiband_oracle(
+    threshold: float = _COS_LSH_T, max_bucket: int | None = None
+) -> str:
     dot_ab = (
         "list_sum(list_transform(range(1, 65), "
         "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
     )
     return f"""
 WITH n AS (SELECT vec_id, embedding, {_EMB_NORM} AS nrm FROM embeddings),
-{_embedding_multiband_cte()}
+{_embedding_multiband_cte(max_bucket)}
 SELECT m.vec_a, m.vec_b,
        round({dot_ab} / (a.nrm * c.nrm), 6) AS cosine
 FROM mcand m JOIN n a ON a.vec_id = m.vec_a JOIN n c ON c.vec_id = m.vec_b
@@ -729,6 +748,32 @@ def dedup_embedding_lsh_multiband(spark: SparkSession, sf_dir: str) -> DataFrame
         threshold=_COS_LSH_T,
         bands=_EMB_BANDS,
         rows_per_band=_EMB_ROWS,
+    )
+
+
+@register(
+    "dedup_embedding_lsh_multiband_capped",
+    oracle=_embedding_multiband_oracle(max_bucket=8),
+)
+def dedup_embedding_lsh_multiband_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production star-cap mode of the multiband embedding LSH pair
+    join (r8: the hyperplane bucket space is fixed, so uncapped bucket
+    occupancy — and the Σ|bucket|² candidate volume — grows
+    quadratically with the corpus; the full-registry 10× sweep measured
+    ~40× wall, 57.5 → 1.3 s capped at sf1): per-(band, bucket) buckets
+    over ``max_bucket=8`` emit only min-vec_id-anchored pairs, bounding
+    candidate GENERATION at O(B) with cluster connectivity preserved.
+    The oracle replays the cap rule — per-bucket counts, the
+    representative, the anchored-pair predicate — on top of the same
+    hyperplane-sign replay as the uncapped entry."""
+    return D.embedding_dup_pairs_lsh_multiband(
+        table(spark, sf_dir, "embeddings"),
+        threshold=_COS_LSH_T,
+        bands=_EMB_BANDS,
+        rows_per_band=_EMB_ROWS,
+        max_bucket=8,
     )
 
 

@@ -296,6 +296,11 @@ def _register_dedup_embedding_suite() -> None:
             "'recall' AS shape, n_single AS vec_a, n_multi AS vec_b, "
             "n_exact AS bucket, recall_multi AS cosine",
         ),
+        (
+            "dedup_embedding_lsh_multiband_capped",
+            "'lsh_mb_capped' AS shape, vec_a, vec_b, "
+            "CAST(NULL AS BIGINT) AS bucket, cosine",
+        ),
     ]
 
     @register("dedup_embedding_suite", oracle=_union_oracle(parts))
@@ -305,7 +310,9 @@ def _register_dedup_embedding_suite() -> None:
         bucket ids, the multi-band (OR of 3 bands x 4 planes) variant,
         and the single-vs-multi recall metric row (members:
         dedup_embedding_cosine, dedup_embedding_lsh,
-        dedup_embedding_lsh_multiband, dedup_embedding_recall)."""
+        dedup_embedding_lsh_multiband, dedup_embedding_recall; r8 adds
+        dedup_embedding_lsh_multiband_capped — the generation-bounding
+        star-cap production mode, cap rule SQL-replayed)."""
         exact = _q("dedup_embedding_cosine")(spark, sf_dir).select(
             F.lit("exact").alias("shape"),
             F.col("vec_a").cast("bigint").alias("vec_a"),
@@ -334,7 +341,14 @@ def _register_dedup_embedding_suite() -> None:
             F.col("n_exact").cast("bigint").alias("bucket"),
             F.col("recall_multi").alias("cosine"),
         )
-        return _union_spark([exact, lsh, mb, rc])
+        mbc = _q("dedup_embedding_lsh_multiband_capped")(spark, sf_dir).select(
+            F.lit("lsh_mb_capped").alias("shape"),
+            F.col("vec_a").cast("bigint").alias("vec_a"),
+            F.col("vec_b").cast("bigint").alias("vec_b"),
+            _null("bucket", "bigint"),
+            F.col("cosine"),
+        )
+        return _union_spark([exact, lsh, mb, rc, mbc])
 
 
 # ---------------------------------------------------------------------------

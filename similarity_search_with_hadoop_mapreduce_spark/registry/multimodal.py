@@ -710,6 +710,38 @@ JOIN vids ca ON ca.doc_id = v.doc_a
 JOIN vids cb ON cb.doc_id = v.doc_b
 WHERE v.matched_frames * 2 >= least(ca.nf, cb.nf)
 UNION ALL
+SELECT 'video_pair_capped' AS shape, v.doc_a AS doc_id,
+       CAST(v.doc_b AS BIGINT) AS n1,
+       CAST(v.matched_frames * 1000000 + least(ca.nf, cb.nf) AS BIGINT) AS n2
+FROM (
+  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS matched_frames
+  FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_idx
+    FROM (SELECT doc_id, frame_idx, b0, b1, b2, b3,
+                 unnest([0, 1, 2, 3]) AS band,
+                 unnest([b0, b1, b2, b3]) AS bh FROM video_hashes) a
+    JOIN (SELECT frame_idx, band, bh, count(*) AS n, min(doc_id) AS rep
+          FROM (SELECT doc_id, frame_idx,
+                       unnest([0, 1, 2, 3]) AS band,
+                       unnest([b0, b1, b2, b3]) AS bh FROM video_hashes)
+          GROUP BY frame_idx, band, bh) c
+      ON c.frame_idx = a.frame_idx AND c.band = a.band AND c.bh = a.bh
+    JOIN (SELECT doc_id, frame_idx, b0, b1, b2, b3,
+                 unnest([0, 1, 2, 3]) AS band,
+                 unnest([b0, b1, b2, b3]) AS bh FROM video_hashes) b
+      ON a.frame_idx = b.frame_idx AND a.band = b.band AND a.bh = b.bh
+     AND a.doc_id < b.doc_id
+    WHERE (c.n <= 4 OR a.doc_id = c.rep)
+      AND bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+          + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+          + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+          + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) <= 3
+  ) fm GROUP BY doc_a, doc_b
+) v
+JOIN vids ca ON ca.doc_id = v.doc_a
+JOIN vids cb ON cb.doc_id = v.doc_b
+WHERE v.matched_frames * 2 >= least(ca.nf, cb.nf)
+UNION ALL
 SELECT 'jpeg_hash' AS shape, doc_id,
        CAST(b0 AS BIGINT) * 65536 + b1 AS n1,
        CAST(b2 AS BIGINT) * 65536 + b3 AS n2
@@ -780,6 +812,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vp = M.video_dedup_pairs(vh, max_hamming=3).select(
         F.lit("video_pair").alias("shape"),
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").cast("bigint").alias("n1"),
+        (
+            F.col("matched_frames") * 1000000 + F.col("min_frames")
+        ).alias("n2"),
+    )
+    vpc = M.video_dedup_pairs(vh, max_hamming=3, max_bucket=4).select(
+        F.lit("video_pair_capped").alias("shape"),
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").cast("bigint").alias("n1"),
         (
@@ -863,6 +903,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vshi)
         .unionByName(vslo)
         .unionByName(vp)
+        .unionByName(vpc)
         .unionByName(jh)
         .unionByName(jrh)
         .unionByName(cpr)
@@ -1119,4 +1160,62 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return M.video_dedup_pairs(
         M.video_frame_hashes(M.attach_video_payload(docs)), max_hamming=3
+    )
+
+
+@register(
+    "multimodal_video_dedup_capped",
+    oracle="WITH "
+    + _VIDEO_CTE
+    + """
+, vbands AS (
+  SELECT doc_id, frame_idx, b0, b1, b2, b3,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([b0, b1, b2, b3]) AS bh
+  FROM video_hashes
+),
+vbc AS (
+  SELECT frame_idx, band, bh, count(*) AS n, min(doc_id) AS rep
+  FROM vbands GROUP BY frame_idx, band, bh
+),
+fmatch AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_idx
+  FROM vbands a
+  JOIN vbc c
+    ON c.frame_idx = a.frame_idx AND c.band = a.band AND c.bh = a.bh
+  JOIN vbands b
+    ON a.frame_idx = b.frame_idx AND a.band = b.band AND a.bh = b.bh
+   AND a.doc_id < b.doc_id
+  WHERE (c.n <= 4 OR a.doc_id = c.rep)
+    AND bit_count(xor(CAST(a.b0 AS BIGINT), CAST(b.b0 AS BIGINT)))
+        + bit_count(xor(CAST(a.b1 AS BIGINT), CAST(b.b1 AS BIGINT)))
+        + bit_count(xor(CAST(a.b2 AS BIGINT), CAST(b.b2 AS BIGINT)))
+        + bit_count(xor(CAST(a.b3 AS BIGINT), CAST(b.b3 AS BIGINT))) <= 3
+),
+vvotes AS (
+  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS matched_frames
+  FROM fmatch GROUP BY doc_a, doc_b
+)
+SELECT v.doc_a, v.doc_b, v.matched_frames,
+       CAST(least(ca.nf, cb.nf) AS BIGINT) AS min_frames
+FROM vvotes v
+JOIN vids ca ON ca.doc_id = v.doc_a
+JOIN vids cb ON cb.doc_id = v.doc_b
+WHERE v.matched_frames * 2 >= least(ca.nf, cb.nf)
+""",
+)
+def multimodal_video_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production star-cap mode of the frame-voting video near-dup
+    join (r8: the full-registry sweep's worst outlier — 48.7× wall /
+    144.6M raw pairs at 10× docs uncapped; 2.4 s capped): over-cap
+    (frame_idx, band, value) buckets emit only min-doc-anchored frame
+    matches, so votes accumulate on rep-anchored pairs with cluster
+    connectivity preserved. The oracle replays the cap rule — per-bucket
+    counts, the representative, the anchored-match predicate, and the
+    unchanged vote threshold."""
+    docs = table(spark, sf_dir, "documents")
+    return M.video_dedup_pairs(
+        M.video_frame_hashes(M.attach_video_payload(docs)),
+        max_hamming=3,
+        max_bucket=4,
     )

@@ -66,6 +66,7 @@ FOLDED = {
     "ann_sq8_recall": "ann_ivf_suite",
     "ann_ivfsq_topk": "ann_ivf_suite",
     "ann_ivfsq_recall": "ann_ivf_suite",
+    "dedup_embedding_lsh_multiband_capped": "dedup_embedding_suite",
     "ann_ivfsq_refined_topk": "ann_ivf_suite",
     "ann_ivfsq_refined_recall": "ann_ivf_suite",
     "text_token_count": "text_doc_metrics",
@@ -101,6 +102,7 @@ FOLDED = {
     "multimodal_image_resize": "multimodal_frame_sample",
     "multimodal_image_ahash_jpeg": "multimodal_frame_sample",
     "multimodal_image_dedup_capped": "multimodal_frame_sample",
+    "multimodal_video_dedup_capped": "multimodal_frame_sample",
     "multimodal_image_resize_jpeg": "multimodal_frame_sample",
     "multimodal_audio_resample": "multimodal_frame_sample",
     "multimodal_video_subsample": "multimodal_frame_sample",
