@@ -1076,25 +1076,47 @@ def _star_cap_left(
     bucket_cols: list[str],
     id_out: str,
     max_bucket: int | None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Generation-bounding star cap for a banded pair join's LEFT side
     (the r8 contract shared with ``image_hash_pairs``): a bucket larger
     than ``max_bucket`` keeps only its min-id representative row, so the
     downstream ``a.id < b.id`` equi-join emits O(B) rep-anchored pairs
     instead of materializing O(B²) candidates. Bucket sizes ride a
-    window over the join's own partitioning — no extra exchange."""
+    window over the join's own partitioning — no extra exchange.
+
+    Census (``stats``, r9): same contract as :func:`_bounded_buckets` —
+    when a dict is passed, ``stats['observation']`` receives an
+    :class:`~pyspark.sql.Observation` whose metrics piggyback on the
+    caller's FIRST action (no separate job): ``overflow_docs`` = rows in
+    over-cap buckets, and the exact reciprocal-weight ``bucket_weight``
+    that :func:`overflow_census` resolves to ``overflow_buckets``
+    (each over-cap bucket's B rows weigh 1/B, summing to 1.0), so a
+    100-TB operator can see how many buckets degraded to star mode."""
     if max_bucket is None:
         return side
     if max_bucket < 2:
         raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
     wb = Window.partitionBy(*bucket_cols)
-    return (
-        side.select(
-            "*",
-            F.count(F.lit(1)).over(wb).alias("_n"),
-            F.min(id_out).over(wb).alias("_rep"),
+    sized = side.select(
+        "*",
+        F.count(F.lit(1)).over(wb).alias("_n"),
+        F.min(id_out).over(wb).alias("_rep"),
+    )
+    over = F.col("_n") > max_bucket
+    if stats is not None:
+        obs = Observation()
+        sized = sized.observe(
+            obs,
+            F.sum(F.when(over, 1).otherwise(0)).alias("overflow_docs"),
+            F.sum(
+                F.when(over, F.lit(1.0) / F.col("_n")).otherwise(F.lit(0.0))
+            ).alias("bucket_weight"),
         )
-        .filter(
+        stats["observation"] = obs
+        stats["overflow_mode"] = "star"
+    return (
+        sized.filter(
             (F.col("_n") <= F.lit(max_bucket))
             | (F.col(id_out) == F.col("_rep"))
         )
@@ -1108,7 +1130,8 @@ def embedding_dup_pairs_lsh(
     n_planes: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs — the 100 TB path the
     brute-force baseline (:func:`embedding_dup_pairs`) documents.
@@ -1134,7 +1157,13 @@ def embedding_dup_pairs_lsh(
     10× vectors on the full-registry scale sweep). The star cap bounds
     candidate GENERATION: over-cap buckets emit only min-id-anchored
     pairs (cluster connectivity preserved, pytest-pinned) — the same
-    contract as the text MinHash/SimHash and image families.
+    contract as the text MinHash/SimHash and image families. r9 flips
+    the DEFAULT to 1000 to match those families (the scale-safe plan is
+    what a library caller gets); pass ``max_bucket=None`` to opt out for
+    exact-pair-set baselines (the uncapped registry oracle entries do).
+
+    ``stats`` (r9): overflow census dict — see :func:`_star_cap_left` /
+    :func:`overflow_census`.
     """
     from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
         hyperplane_signs,
@@ -1142,7 +1171,7 @@ def embedding_dup_pairs_lsh(
 
     planes = hyperplane_signs(n_planes, dim)
     a, b = _embedding_pair_sides(embeddings, id_col, planes=planes)
-    a = _star_cap_left(a, ["bucket"], "vec_a", max_bucket)
+    a = _star_cap_left(a, ["bucket"], "vec_a", max_bucket, stats=stats)
     return (
         a.join(b, (F.col("bucket") == F.col("_bb"))
                & (F.col("vec_a") < F.col("vec_b")))
@@ -1158,7 +1187,8 @@ def embedding_dup_pairs_lsh_multiband(
     rows_per_band: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Multi-band random-hyperplane LSH near-dup pairs: candidates agree
     on ALL ``rows_per_band`` plane signs of ANY of ``bands`` bands (OR of
@@ -1185,7 +1215,9 @@ def embedding_dup_pairs_lsh_multiband(
     generation at O(B) per over-cap bucket — see
     :func:`embedding_dup_pairs_lsh`; applied per band, so a pair split
     into an over-cap bucket in one band can still surface in full
-    through an under-cap band."""
+    through an under-cap band. r9 default 1000 (None = explicit opt-out
+    for exact baselines); ``stats`` = overflow census dict
+    (:func:`overflow_census`)."""
     from similarity_search_with_hadoop_mapreduce_spark.functions.vector import (
         l2_norm,
     )
@@ -1222,7 +1254,7 @@ def embedding_dup_pairs_lsh_multiband(
         F.col("nrm").alias("n_b"),
         F.col("band").alias("_band_b"), F.col("bucket").alias("_bb"),
     )
-    a = _star_cap_left(a, ["band", "bucket"], "vec_a", max_bucket)
+    a = _star_cap_left(a, ["band", "bucket"], "vec_a", max_bucket, stats=stats)
     return (
         a.join(
             b,
@@ -1294,6 +1326,10 @@ def knn_graph_lsh(
         rows_per_band=rows_per_band,
         dim=dim,
         id_col=id_col,
+        # uncapped BY DESIGN (r8 ruling): a star cap would corrupt
+        # per-source neighbor lists; knn_graph_lsh_capped is the bounded
+        # variant (per-source rank-window truncation, not a star)
+        max_bucket=None,
     )
     both = und.union(
         und.select(
@@ -1354,11 +1390,12 @@ def embedding_lsh_recall(
         )
     exact = embedding_dup_pairs(embeddings, threshold, id_col)
     single = embedding_dup_pairs_lsh(
-        embeddings, threshold, n_planes=rows_per_band, dim=dim, id_col=id_col
+        embeddings, threshold, n_planes=rows_per_band, dim=dim, id_col=id_col,
+        max_bucket=None,  # recall is defined against the uncapped plans
     )
     multi = embedding_dup_pairs_lsh_multiband(
         embeddings, threshold, bands=bands, rows_per_band=rows_per_band,
-        dim=dim, id_col=id_col,
+        dim=dim, id_col=id_col, max_bucket=None,
     )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_single = single.agg(F.count(F.lit(1)).alias("n_single"))

@@ -424,7 +424,9 @@ def curation_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     pairs = embedding_dup_pairs_lsh_multiband(
-        emb, threshold=_COS_T, bands=_EMB_BANDS, rows_per_band=_EMB_ROWS
+        emb, threshold=_COS_T, bands=_EMB_BANDS, rows_per_band=_EMB_ROWS,
+        max_bucket=None,  # oracle replays the uncapped pair set (r9
+        # flipped the operator default to 1000)
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     ids = emb.select(F.col("vec_id").alias("doc_id"))
     clusters = duplicate_clusters(ids, pairs=pairs)

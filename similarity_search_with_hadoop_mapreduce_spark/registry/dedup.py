@@ -656,7 +656,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a halfspace, but the corpus is near-isotropic); 0.25 keeps a
     meaningful result set on both engines."""
     return D.embedding_dup_pairs_lsh(
-        table(spark, sf_dir, "embeddings"), threshold=_COS_LSH_T
+        table(spark, sf_dir, "embeddings"), threshold=_COS_LSH_T,
+        max_bucket=None,  # exact-pair-set oracle baseline (r9 flipped
+        # the operator default to 1000)
     )
 
 
@@ -748,6 +750,8 @@ def dedup_embedding_lsh_multiband(spark: SparkSession, sf_dir: str) -> DataFrame
         threshold=_COS_LSH_T,
         bands=_EMB_BANDS,
         rows_per_band=_EMB_ROWS,
+        max_bucket=None,  # exact-pair-set oracle baseline (r9 flipped
+        # the operator default to 1000)
     )
 
 

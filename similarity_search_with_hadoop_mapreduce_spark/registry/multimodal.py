@@ -777,7 +777,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("bigint").alias("n1"),
         F.col("frame_idx").cast("bigint").alias("n2"),
     )
-    pr = M.image_hash_pairs(M.image_ahash(mm), max_hamming=3).select(
+    pr = M.image_hash_pairs(
+        M.image_ahash(mm), max_hamming=3, max_bucket=None
+    ).select(
         F.lit("img_pair").alias("shape"),
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").cast("bigint").alias("n1"),
@@ -791,7 +793,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").cast("bigint").alias("n1"),
         F.col("hamming").cast("bigint").alias("n2"),
     )
-    ap = M.band_hash_pairs(M.audio_energy_hash(mm), max_hamming=3).select(
+    ap = M.band_hash_pairs(
+        M.audio_energy_hash(mm), max_hamming=3, max_bucket=None
+    ).select(
         F.lit("audio_pair").alias("shape"),
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").cast("bigint").alias("n1"),
@@ -810,7 +814,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("bigint").alias("n1"),
         (F.col("b2").cast("bigint") * 65536 + F.col("b3")).alias("n2"),
     )
-    vp = M.video_dedup_pairs(vh, max_hamming=3).select(
+    vp = M.video_dedup_pairs(vh, max_hamming=3, max_bucket=None).select(
         F.lit("video_pair").alias("shape"),
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").cast("bigint").alias("n1"),
@@ -998,7 +1002,9 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation-rule replay on the oracle side."""
     docs = table(spark, sf_dir, "documents")
     return M.image_hash_pairs(
-        M.image_ahash(M.attach_media_payload(docs)), max_hamming=3
+        M.image_ahash(M.attach_media_payload(docs)), max_hamming=3,
+        max_bucket=None,  # exact-pair-set oracle baseline (r9 flipped
+        # the operator default to 1000)
     )
 
 
@@ -1099,7 +1105,9 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples, full generation-rule replay on the oracle side."""
     docs = table(spark, sf_dir, "documents")
     return M.band_hash_pairs(
-        M.audio_energy_hash(M.attach_media_payload(docs)), max_hamming=3
+        M.audio_energy_hash(M.attach_media_payload(docs)), max_hamming=3,
+        max_bucket=None,  # exact-pair-set oracle baseline (r9 flipped
+        # the operator default to 1000)
     )
 
 
@@ -1159,7 +1167,9 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation-rule replay on the oracle side."""
     docs = table(spark, sf_dir, "documents")
     return M.video_dedup_pairs(
-        M.video_frame_hashes(M.attach_video_payload(docs)), max_hamming=3
+        M.video_frame_hashes(M.attach_video_payload(docs)), max_hamming=3,
+        max_bucket=None,  # exact-pair-set oracle baseline (r9 flipped
+        # the operator default to 1000)
     )
 
 

@@ -1122,3 +1122,46 @@ def test_embedding_lsh_star_cap_bounds_and_preserves_clusters(spark):
 
     with pytest.raises(ValueError, match="max_bucket"):
         embedding_dup_pairs_lsh(df, max_bucket=1).collect()
+
+
+def test_embedding_lsh_star_cap_census_and_default(spark):
+    """r9: (a) the embedding pair families default to max_bucket=1000
+    (the scale-safe plan is the library default; None is the explicit
+    opt-out), and (b) the star cap's overflow census rides the main
+    action via stats — same contract as the text families'
+    overflow_census."""
+    import inspect
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        embedding_dup_pairs_lsh,
+        embedding_dup_pairs_lsh_multiband,
+    )
+
+    for fn in (embedding_dup_pairs_lsh, embedding_dup_pairs_lsh_multiband):
+        assert inspect.signature(fn).parameters["max_bucket"].default == 1000
+
+    g, dim = 10, 8
+    rows = [(i, [float(j + 1) for j in range(dim)]) for i in range(g)]
+    rows += [(100, [1.0] + [0.0] * (dim - 1)), (101, [1.0] + [0.0] * (dim - 1))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = {}
+    capped = embedding_dup_pairs_lsh(
+        df, threshold=0.9, n_planes=3, dim=dim, max_bucket=4, stats=stats
+    )
+    got = {(r.vec_a, r.vec_b) for r in capped.collect()}
+    assert got >= {(0, i) for i in range(1, g)}
+    census = D.overflow_census(stats)
+    # the g identical vectors share one hyperplane bucket -> 1 over-cap
+    # bucket holding all g rows (the 2-vector bucket is under cap)
+    assert census["overflow_buckets"] == 1
+    assert census["overflow_docs"] == g
+    # multiband: the clone bucket overflows once PER band
+    stats_mb = {}
+    capped_mb = embedding_dup_pairs_lsh_multiband(
+        df, threshold=0.9, bands=2, rows_per_band=2, dim=dim,
+        max_bucket=4, stats=stats_mb,
+    )
+    capped_mb.collect()
+    census_mb = D.overflow_census(stats_mb)
+    assert census_mb["overflow_buckets"] == 2
+    assert census_mb["overflow_docs"] == 2 * g

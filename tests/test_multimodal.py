@@ -783,3 +783,46 @@ def test_video_dedup_star_cap(spark):
     for r in capped_rows:
         if r.doc_a == 0 and r.doc_b < g:
             assert r.matched_frames == 4 and r.min_frames == 4
+
+
+def test_band_pair_star_cap_census_and_default(spark):
+    """r9: image/video pair joins default to max_bucket=1000 and expose
+    the same overflow census as the text families via stats."""
+    import inspect
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        overflow_census,
+    )
+
+    for fn in (M.image_hash_pairs, M.video_dedup_pairs):
+        assert inspect.signature(fn).parameters["max_bucket"].default == 1000
+
+    g = 12
+    payload = M._encode_bmp(16, 12, seed=3)
+    rows = [(i, bytearray(payload)) for i in range(g)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = M.image_ahash(df)
+    stats = {}
+    capped = M.image_hash_pairs(hashes, max_hamming=3, max_bucket=4,
+                                stats=stats)
+    assert {(r.doc_a, r.doc_b) for r in capped.collect()} == {
+        (0, i) for i in range(1, g)
+    }
+    census = overflow_census(stats)
+    # g identical hashes -> all 4 bands' buckets overflow
+    assert census["overflow_buckets"] == 4
+    assert census["overflow_docs"] == 4 * g
+
+    buf = M._encode_avi(6, 6, n_frames=4, seed=9)
+    vrows = [(i, bytearray(buf)) for i in range(8)]
+    vdf = spark.createDataFrame(vrows, "doc_id long, payload binary")
+    fh = M.video_frame_hashes(vdf)
+    vstats = {}
+    vp = M.video_dedup_pairs(fh, max_bucket=3, stats=vstats)
+    assert {(r.doc_a, r.doc_b) for r in vp.collect()} == {
+        (0, i) for i in range(1, 8)
+    }
+    vcensus = overflow_census(vstats)
+    # 8 identical videos x 4 frames x 4 bands of over-cap buckets
+    assert vcensus["overflow_buckets"] == 16
+    assert vcensus["overflow_docs"] == 16 * 8

@@ -441,3 +441,26 @@ def test_corpus_ops_entries_pass_scale_audit(spark):
         if findings:
             offenders[name] = findings
     assert offenders == {}, offenders
+
+
+def test_multi_query_shuffled_branch_hash_joins_no_corpus_sort(spark):
+    """r8's one real 10x-rehearsal bug, pinned (r9): above the broadcast
+    term limit the pair join must build the hash side on the tiny query
+    table (shuffle_hash hint, similarity.py) — a sort-merge join would
+    SORT the exploded corpus stream per partition (measured 2.9 -> 0.7 s
+    at the 10x corpus when fixed). A Spark upgrade or AQE change that
+    silently drops the hint back to sort-merge fails here."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.similarity import (
+        similarity_multi_query,
+    )
+
+    stats = {}
+    df = similarity_multi_query(
+        _docs(spark), [0, 1, 2], broadcast_term_limit=0, stats=stats
+    )
+    assert stats["multi_query_plan"] == "shuffled"
+    plan = explain_string(df)
+    assert "ShuffledHashJoin" in plan
+    # no sort-merge anywhere in the shuffled branch: the only Sort a
+    # SMJ would introduce sits directly on the wide corpus term stream
+    assert "SortMergeJoin" not in plan
