@@ -1352,6 +1352,172 @@ def knn_graph_lsh(
     )
 
 
+def knn_graph_lsh_capped(
+    embeddings: DataFrame,
+    k: int = 5,
+    bands: int = 3,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    cand_per_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate-bounded approximate k-NN graph (r9) — the 100-TB twin
+    of :func:`knn_graph_lsh`, whose candidate volume Σ|bucket|² turns
+    super-linear again as bucket occupancy of the FIXED (band, bucket)
+    key space grows with the corpus (honest ~8× at 10× measured on the
+    r8 sweep; worse at 100×). A star cap is the WRONG bound here — it
+    would collapse every hot bucket onto one representative and corrupt
+    per-source neighbor lists (the r8 ruling) — so this variant bounds
+    candidates with a per-source RANK WINDOW instead: members of each
+    (band, bucket) are ranked by id (``row_number``), and each member
+    pairs only with the ``cand_per_bucket`` members immediately AFTER it
+    in rank order. Candidate volume per bucket is O(B·cand) — linear in
+    occupancy — and after mirroring every source still draws up to
+    ``2·cand_per_bucket`` distinct candidates per band, so neighbor
+    lists stay per-source (no representative collapse) at a recall cost
+    quantified by :func:`knn_graph_lsh_recall`. ``cand_per_bucket``
+    defaults to ``8·k`` — comfortably above the ``k`` cut while keeping
+    the per-bucket bound tight.
+
+    Determinism: rank order is by ``vec_id``, so the kept candidate set
+    is engine-replayable (the registry oracle replays ranking, the rank
+    window, mirroring, and the round-6 rank cut verbatim). Within a
+    bucket, rank order by id means ``vec_a < vec_b`` for every generated
+    pair, matching the uncapped family's orientation convention.
+    """
+    from similarity_search_with_hadoop_mapreduce_spark.functions.vector import (
+        l2_norm,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.ann import (
+        hyperplane_signs,
+        lsh_bucket,
+    )
+
+    if cand_per_bucket is None:
+        cand_per_bucket = 8 * k
+    if cand_per_bucket < 1:
+        raise ValueError(
+            f"cand_per_bucket must be >= 1, got {cand_per_bucket}"
+        )
+    r = rows_per_band
+    planes = hyperplane_signs(bands * r, dim)
+    band_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket(F.col("embedding"), planes[b * r : (b + 1) * r]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    wr = Window.partitionBy("band", "bucket").orderBy(F.asc("vid"))
+    base = (
+        fan_out(embeddings)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col("embedding").alias("e"),
+            l2_norm(F.col("embedding")).alias("nrm"),
+            F.explode(band_buckets).alias("x"),
+        )
+        .select("vid", "e", "nrm", "x.band", "x.bucket")
+        .withColumn("r", F.row_number().over(wr))
+    )
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("e").alias("e_a"),
+        F.col("nrm").alias("n_a"), "band", "bucket", F.col("r").alias("ra"),
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("e").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+        F.col("band").alias("_band_b"), F.col("bucket").alias("_bb"),
+        F.col("r").alias("rb"),
+    )
+    und = (
+        a.join(
+            b,
+            (F.col("band") == F.col("_band_b"))
+            & (F.col("bucket") == F.col("_bb"))
+            & (F.col("rb") > F.col("ra"))
+            & (F.col("rb") <= F.col("ra") + cand_per_bucket),
+        )
+        .select("vec_a", "vec_b", _pair_cosine().alias("cosine"))
+        .distinct()  # a pair can agree in several bands
+    )
+    both = und.union(
+        und.select(
+            F.col("vec_b").alias("vec_a"),
+            F.col("vec_a").alias("vec_b"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        both.select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("neighbor_id"),
+            "cosine",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_graph_lsh_recall(
+    embeddings: DataFrame,
+    k: int = 5,
+    bands: int = 3,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    cand_per_bucket: int | None = None,
+) -> DataFrame:
+    """Edge-level recall of the approximate k-NN graphs against the
+    exact brute-force graph at the same k — the graph family's analog of
+    the dedup family's :func:`embedding_lsh_recall` dial. One row:
+    ``(n_exact, n_lsh, n_capped, recall_lsh, recall_capped)`` where
+    recall = |approx edges ∩ exact edges| / |exact edges| over directed
+    ``(vec_id, neighbor_id)`` edges. ``recall_capped <= recall_lsh`` by
+    construction is NOT guaranteed edge-for-edge (the rank cut can
+    reorder when candidate sets differ) but holds on real corpora;
+    the pinned pytest asserts both recalls against fixed fixtures."""
+    exact = knn_graph(embeddings, k=k, id_col=id_col).select(
+        "vec_id", "neighbor_id"
+    )
+    lsh = knn_graph_lsh(
+        embeddings, k=k, bands=bands, rows_per_band=rows_per_band,
+        dim=dim, id_col=id_col,
+    ).select("vec_id", "neighbor_id")
+    capped = knn_graph_lsh_capped(
+        embeddings, k=k, bands=bands, rows_per_band=rows_per_band,
+        dim=dim, id_col=id_col, cand_per_bucket=cand_per_bucket,
+    ).select("vec_id", "neighbor_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.join(exact, ["vec_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_lsh")
+    )
+    n_capped = capped.join(exact, ["vec_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_capped")
+    )
+    return (
+        n_exact.join(n_lsh).join(n_capped)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_capped",
+            F.round(
+                F.col("n_lsh") / F.nullif(F.col("n_exact"), F.lit(0)), 6
+            ).alias("recall_lsh"),
+            F.round(
+                F.col("n_capped") / F.nullif(F.col("n_exact"), F.lit(0)), 6
+            ).alias("recall_capped"),
+        )
+    )
+
+
 def embedding_lsh_recall(
     embeddings: DataFrame,
     threshold: float = 0.8,

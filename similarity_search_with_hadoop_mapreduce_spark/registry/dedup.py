@@ -908,6 +908,145 @@ def ann_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_CAND = 8 * _KNN_K  # the operator's default cand_per_bucket
+
+
+def _knn_capped_cte(cand: int) -> str:
+    """CTEs ``bnd`` (per-band bucketing, as the multiband family) ->
+    ``rk`` (bucket rank by vec_id) -> ``ccand`` (distinct rank-window
+    candidate pairs with round-6 cosine) — the oracle replay of
+    ``knn_graph_lsh_capped``'s candidate generation."""
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band, CAST({bsql} AS INTEGER) AS bucket, "
+        f"embedding, nrm FROM n"
+        for b, bsql in enumerate(_band_buckets_sql())
+    )
+    return f"""bnd AS (
+  {band_selects}
+),
+rk AS (
+  SELECT vec_id, band, bucket, embedding, nrm,
+         row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS r
+  FROM bnd
+),
+ccand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         round({_KNN_DOT} / (a.nrm * c.nrm), 6) AS cosine
+  FROM rk a JOIN rk c
+    ON a.band = c.band AND a.bucket = c.bucket
+   AND c.r > a.r AND c.r <= a.r + {cand}
+)"""
+
+
+def _knn_graph_lsh_capped_oracle(cand: int = _KNN_CAND) -> str:
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {_EMB_NORM} AS nrm FROM embeddings),
+{_knn_capped_cte(cand)},
+mirr AS (
+  SELECT vec_a, vec_b, cosine FROM ccand
+  UNION ALL
+  SELECT vec_b AS vec_a, vec_a AS vec_b, cosine FROM ccand
+)
+SELECT vec_a AS vec_id, vec_b AS neighbor_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY vec_a ORDER BY cosine DESC, vec_b
+       ) AS INTEGER) AS rank
+FROM mirr QUALIFY rank <= {_KNN_K}
+"""
+
+
+@register("ann_knn_graph_lsh_capped", oracle=_knn_graph_lsh_capped_oracle())
+def ann_knn_graph_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-bounded approximate k-NN graph (r9): the uncapped LSH
+    graph's Σ|bucket|² candidate volume turns super-linear as occupancy
+    of the fixed (band, bucket) key space grows (~8× at 10× measured on
+    the r8 sweep); a star cap would corrupt per-source neighbor lists,
+    so the bound is a per-source RANK WINDOW — each bucket member pairs
+    only with the next ``8·k`` members in bucket rank (by vec_id),
+    O(B·cand) per bucket. The oracle replays ranking, the rank window,
+    the round-6 cosine, mirroring, and the rank cut verbatim."""
+    return D.knn_graph_lsh_capped(
+        table(spark, sf_dir, "embeddings"),
+        k=_KNN_K,
+        bands=_EMB_BANDS,
+        rows_per_band=_EMB_ROWS,
+    )
+
+
+def _knn_graph_recall_oracle(cand: int = _KNN_CAND) -> str:
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {_EMB_NORM} AS nrm FROM embeddings),
+{_embedding_multiband_cte()},
+{_knn_capped_cte(cand).replace("bnd AS (", "bnd2 AS (", 1)
+ .replace("FROM bnd", "FROM bnd2")},
+exg AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT a.vec_id AS vec_id, c.vec_id AS neighbor_id,
+           round({_KNN_DOT} / (a.nrm * c.nrm), 6) AS cosine
+    FROM n a JOIN n c ON a.vec_id != c.vec_id
+  ) QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+  ) <= {_KNN_K}
+),
+lmirr AS (
+  SELECT vec_a, vec_b FROM mcand
+  UNION ALL
+  SELECT vec_b AS vec_a, vec_a AS vec_b FROM mcand
+),
+lshg AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT m.vec_a AS vec_id, m.vec_b AS neighbor_id,
+           round({_KNN_DOT} / (a.nrm * c.nrm), 6) AS cosine
+    FROM lmirr m
+    JOIN n a ON a.vec_id = m.vec_a
+    JOIN n c ON c.vec_id = m.vec_b
+  ) QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+  ) <= {_KNN_K}
+),
+cmirr AS (
+  SELECT vec_a, vec_b, cosine FROM ccand
+  UNION ALL
+  SELECT vec_b AS vec_a, vec_a AS vec_b, cosine FROM ccand
+),
+capg AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_a AS vec_id, vec_b AS neighbor_id, cosine FROM cmirr
+  ) QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+  ) <= {_KNN_K}
+)
+SELECT (SELECT count(*) FROM exg) AS n_exact,
+       (SELECT count(*) FROM lshg l JOIN exg e
+          ON l.vec_id = e.vec_id AND l.neighbor_id = e.neighbor_id)
+         AS n_lsh,
+       (SELECT count(*) FROM capg c JOIN exg e
+          ON c.vec_id = e.vec_id AND c.neighbor_id = e.neighbor_id)
+         AS n_capped,
+       round((SELECT count(*) FROM lshg l JOIN exg e
+          ON l.vec_id = e.vec_id AND l.neighbor_id = e.neighbor_id)
+         / CAST((SELECT count(*) FROM exg) AS DOUBLE), 6) AS recall_lsh,
+       round((SELECT count(*) FROM capg c JOIN exg e
+          ON c.vec_id = e.vec_id AND c.neighbor_id = e.neighbor_id)
+         / CAST((SELECT count(*) FROM exg) AS DOUBLE), 6) AS recall_capped
+"""
+
+
+@register("ann_knn_graph_recall", oracle=_knn_graph_recall_oracle())
+def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge recall of BOTH approximate k-NN graphs (uncapped LSH and the
+    r9 rank-window capped variant) against the exact brute-force graph —
+    the graph family's recall dial, pinned the way ann_ivf_recall pins
+    the IVF probe trade. The oracle recomputes all three graphs and both
+    recalls from the raw embeddings."""
+    return D.knn_graph_lsh_recall(
+        table(spark, sf_dir, "embeddings"),
+        k=_KNN_K,
+        bands=_EMB_BANDS,
+        rows_per_band=_EMB_ROWS,
+    )
+
+
 _CONTAINMENT_T = 0.8
 
 _CONTAINMENT_ORACLE = (

@@ -418,6 +418,20 @@ def _register_ann_ivf_suite() -> None:
             "neighbor_id * 10 + rank AS centroid_id, cosine AS v",
         ),
         (
+            "ann_knn_graph_lsh_capped",
+            "'knn_capped' AS shape, vec_id, "
+            "neighbor_id * 10 + rank AS centroid_id, cosine AS v",
+        ),
+        (
+            # one-row recall dial: counts pack the bigint slot (edge
+            # counts < 100000 at any test SF), the two round-6 recalls
+            # pack v via the deterministic IEEE 1000*x + y
+            "ann_knn_graph_recall",
+            "'knn_recall' AS shape, n_exact AS vec_id, "
+            "n_lsh * 100000 + n_capped AS centroid_id, "
+            "recall_lsh * 1000 + recall_capped AS v",
+        ),
+        (
             "ann_ivfpq_refined_recall",
             "'ivfpq_ref_recall' AS shape, CAST(k AS BIGINT) AS vec_id, "
             "CAST(n_queries AS BIGINT) AS centroid_id, recall_at_k AS v",
@@ -572,6 +586,20 @@ def _register_ann_ivf_suite() -> None:
              + F.col("rank").cast("bigint")).alias("centroid_id"),
             F.col("cosine").alias("v"),
         )
+        knn_c = _q("ann_knn_graph_lsh_capped")(spark, sf_dir).select(
+            F.lit("knn_capped").alias("shape"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            (F.col("neighbor_id").cast("bigint") * 10
+             + F.col("rank").cast("bigint")).alias("centroid_id"),
+            F.col("cosine").alias("v"),
+        )
+        knn_rec = _q("ann_knn_graph_recall")(spark, sf_dir).select(
+            F.lit("knn_recall").alias("shape"),
+            F.col("n_exact").cast("bigint").alias("vec_id"),
+            (F.col("n_lsh").cast("bigint") * 100000
+             + F.col("n_capped").cast("bigint")).alias("centroid_id"),
+            (F.col("recall_lsh") * 1000 + F.col("recall_capped")).alias("v"),
+        )
         ref_rec = _q("ann_ivfpq_refined_recall")(spark, sf_dir).select(
             F.lit("ivfpq_ref_recall").alias("shape"),
             F.col("k").cast("bigint").alias("vec_id"),
@@ -627,8 +655,8 @@ def _register_ann_ivf_suite() -> None:
         )
         return _union_spark(
             [topk, rec, pq, ivfpq, pq_rec, rec_s, ivfpq_res, ipq_rec,
-             ipq_res_rec, knn, knn_l, ref_rec, refined, sq8, sq8_rec,
-             ivfsq, ivfsq_rec, ivfsq_ref, ivfsq_ref_rec]
+             ipq_res_rec, knn, knn_l, knn_c, knn_rec, ref_rec, refined,
+             sq8, sq8_rec, ivfsq, ivfsq_rec, ivfsq_ref, ivfsq_ref_rec]
         )
 
 

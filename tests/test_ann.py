@@ -1244,3 +1244,54 @@ def test_refined_from_layout_matches_inline_both_families(spark, tmp_path):
         # corpus is never shuffled
         assert "BroadcastHashJoin" in plan, score_col
         assert "Exchange hashpartitioning" not in plan, score_col
+
+
+def test_knn_graph_lsh_capped_rank_window_bound_and_recall(spark):
+    """r9: the capped kNN graph bounds candidate generation per bucket
+    with a rank window (NOT a star — every source keeps a per-source
+    neighbor list): (a) per-bucket candidate volume is O(B·cand) — a
+    mass-duplicate bucket of B vectors yields ≤ B·cand pairs, not B²;
+    (b) with cand >= bucket size it reproduces knn_graph_lsh exactly;
+    (c) knn_graph_lsh_recall reports both dials with capped <= lsh on
+    this fixture and both within (0, 1]."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        knn_graph_lsh,
+        knn_graph_lsh_capped,
+        knn_graph_lsh_recall,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = 3
+    # (b) wide window == uncapped (every bucket smaller than cand)
+    wide = {
+        (r.vec_id, r.neighbor_id, r.cosine, r.rank)
+        for r in knn_graph_lsh_capped(emb, k=k, cand_per_bucket=10**6).collect()
+    }
+    unc = {
+        (r.vec_id, r.neighbor_id, r.cosine, r.rank)
+        for r in knn_graph_lsh(emb, k=k).collect()
+    }
+    assert wide == unc
+    # (a) mass-duplicate bucket: B clones, narrow window -> each source
+    # pairs only with the next `cand` ranks, so every source still HAS
+    # neighbors (no star collapse) and the candidate count is linear
+    B, cand, dim = 40, 2, 8
+    clones = [(i, [1.0] * dim) for i in range(B)]
+    cdf = spark.createDataFrame(clones, "vec_id long, embedding array<float>")
+    got = knn_graph_lsh_capped(
+        cdf, k=2, bands=2, rows_per_band=2, dim=dim, cand_per_bucket=cand
+    ).collect()
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r.vec_id, []).append(r.neighbor_id)
+    # EVERY clone keeps a neighbor list (a star cap would leave only
+    # rep-anchored lists)
+    assert set(per_src) == set(range(B))
+    # rank-window adjacency: neighbors are within `cand` rank positions
+    for vid, nbrs in per_src.items():
+        for n in nbrs:
+            assert abs(n - vid) <= cand
+    # (c) the recall dial
+    row = knn_graph_lsh_recall(emb, k=k).collect()[0]
+    assert row.n_exact > 0
+    assert 0.0 < row.recall_capped <= row.recall_lsh <= 1.0
