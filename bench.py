@@ -238,6 +238,7 @@ def _run_solo_suite(deadline: float | None = None) -> dict:
     me = os.path.abspath(__file__)
     solo: dict[str, float] = {}
     solo_prod: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in SOLO:
         if deadline is not None and time.monotonic() > deadline:
             solo[name] = None
@@ -247,13 +248,36 @@ def _run_solo_suite(deadline: float | None = None) -> dict:
                 [sys.executable, me, "--solo-one", name],
                 capture_output=True, text=True, timeout=180,
             )
-            rec = json.loads(res.stdout.strip().splitlines()[-1])
+            # scan stdout for the result object rather than trusting the
+            # last line: post-JSON JVM/py4j shutdown noise must not turn
+            # a real measurement into a silent null (ADVICE r8)
+            rec = None
+            for ln in reversed(res.stdout.splitlines()):
+                ln = ln.strip()
+                if not ln.startswith("{"):
+                    continue
+                try:
+                    cand = json.loads(ln)
+                except ValueError:
+                    continue
+                if isinstance(cand, dict) and "wall" in cand:
+                    rec = cand
+                    break
+            if rec is None:
+                raise ValueError(
+                    f"no result JSON in solo stdout (rc={res.returncode})"
+                )
             solo[name] = rec["wall"]
             if "production_wall" in rec:
                 solo_prod[name] = rec["production_wall"]
-        except Exception:  # noqa: BLE001 — solo numbers are informational
+        except Exception as e:  # noqa: BLE001 — solo numbers are informational
+            # record the failure type so a null is diagnosable (ADVICE r8)
             solo[name] = None
-    return {"queries_solo": solo, "production_queries_solo": solo_prod}
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+    out = {"queries_solo": solo, "production_queries_solo": solo_prod}
+    if errors:
+        out["queries_solo_errors"] = errors
+    return out
 
 
 def main() -> None:
@@ -392,6 +416,8 @@ def main() -> None:
         "production_queries_solo": solo["production_queries_solo"],
         "sf": float(sf),
     }
+    if "queries_solo_errors" in solo:
+        detail["queries_solo_errors"] = solo["queries_solo_errors"]
     print(json.dumps(detail))
     try:
         with open(

@@ -12,11 +12,22 @@ against ``CORRECTNESS_r{N}.json``.
 
 Usage::
 
-    python scripts/certify.py [--out CERTIFY_r8.json] [--quick]
+    python scripts/certify.py [--out CERTIFY_r9.json] [--quick]
+                              [--sf0.1-all] [--with-sweep]
+    python scripts/certify.py --diff CERTIFY_r8.json CERTIFY_r9.json
 
 ``--quick`` limits the sweep to the fine-grained registry at sf0.001
-only (the fast signal while iterating). Exit code 0 iff every entry in
-every sweep passes.
+only (the fast signal while iterating). ``--sf0.1-all`` (r9) adds the
+FULL fine-grained registry at sf0.1 — rounds 4-6 ran that sweep ad hoc;
+this makes it a machine-readable row (``registry@sf0.1: N/N``) in the
+artifact. ``--with-sweep`` (r9) chains the 10× scale sweep
+(``scripts/scale_sweep.py``, building the ~sf1 dataset first if
+missing) after certification so a scaling-shape regression in any entry
+is caught the round it lands; its result is recorded in the artifact
+under ``scale_sweep``. ``--diff A B`` prints the entries whose
+status/rows changed between two certify artifacts and exits — the
+artifact chain audits itself. Exit code 0 iff every entry in every
+sweep passes.
 """
 
 from __future__ import annotations
@@ -98,9 +109,47 @@ def _sweep(spark, sf_dir, surface, qs, orc):
     }
 
 
+def diff_artifacts(path_a: str, path_b: str) -> int:
+    """Print per-entry status/row changes between two certify artifacts."""
+    with open(path_a) as f:
+        a = json.load(f)
+    with open(path_b) as f:
+        b = json.load(f)
+
+    def by_key(rec):
+        return {
+            f"{s['surface']}@{os.path.basename(s['sf_dir'])}": s["entries"]
+            for s in rec["sweeps"]
+        }
+
+    ka, kb = by_key(a), by_key(b)
+    changes = 0
+    for sweep in sorted(set(ka) | set(kb)):
+        ea, eb = ka.get(sweep, {}), kb.get(sweep, {})
+        for name in sorted(set(ea) | set(eb)):
+            ra, rb = ea.get(name), eb.get(name)
+            if ra is None:
+                print(f"+ [{sweep}] {name}: added "
+                      f"({rb['status']}, rows={rb['rows']})")
+                changes += 1
+            elif rb is None:
+                print(f"- [{sweep}] {name}: removed "
+                      f"(was {ra['status']}, rows={ra['rows']})")
+                changes += 1
+            elif (ra["status"], ra["rows"]) != (rb["status"], rb["rows"]):
+                print(f"~ [{sweep}] {name}: {ra['status']}/rows={ra['rows']}"
+                      f" -> {rb['status']}/rows={rb['rows']}")
+                changes += 1
+    print(f"{changes} entr{'y' if changes == 1 else 'ies'} changed "
+          f"({a.get('git_head')} -> {b.get('git_head')})")
+    return 0
+
+
 def main() -> int:
     out_path = "CERTIFY.json"
     quick = False
+    sf01_all = False
+    with_sweep = False
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
@@ -108,6 +157,12 @@ def main() -> int:
             out_path = args.pop(0)
         elif a == "--quick":
             quick = True
+        elif a == "--sf0.1-all":
+            sf01_all = True
+        elif a == "--with-sweep":
+            with_sweep = True
+        elif a == "--diff":
+            return diff_artifacts(args.pop(0), args.pop(0))
         else:
             raise SystemExit(f"unknown arg {a}")
 
@@ -127,6 +182,40 @@ def main() -> int:
         sweeps.append(
             _sweep(spark, "/root/testdata/sf0.1", "curated", queries(), oracle_sql())
         )
+    if sf01_all:
+        sweeps.append(
+            _sweep(spark, "/root/testdata/sf0.1", "registry", QUERIES, ORACLES)
+        )
+    sweep_summary = None
+    if with_sweep:
+        import subprocess
+
+        sf1_dir = "/dev/shm/sparkgraft-sf1.0"
+        if not os.path.isdir(sf1_dir):
+            print(f"building {sf1_dir} via make_scale10x.py ...", flush=True)
+            subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "make_scale10x.py")],
+                check=True, timeout=3600,
+            )
+        spark.stop()  # the sweep builds its own tuned session
+        rc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scale_sweep.py"), sf1_dir],
+            timeout=7200,
+        ).returncode
+        try:
+            with open("/root/repo/scale_sweep.json") as f:
+                sw = json.load(f)
+            sweep_summary = {
+                "exit_code": rc,
+                "n_entries": sw.get("n_entries"),
+                "flagged": sw.get("flagged"),
+            }
+        except Exception as e:  # noqa: BLE001
+            sweep_summary = {"exit_code": rc, "error": f"{type(e).__name__}: {e}"}
     try:
         import subprocess
 
@@ -149,6 +238,8 @@ def main() -> int:
         },
         "sweeps": sweeps,
     }
+    if sweep_summary is not None:
+        record["scale_sweep"] = sweep_summary
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1, sort_keys=False)
         f.write("\n")

@@ -12,9 +12,13 @@ inverse — marker walk, DQT/DHT/SOF0/SOS parse (tables are read from the
 FILE, not assumed), canonical Huffman decode, coefficient EXTEND,
 dequantize, de-zigzag, IDCT, level shift, clamp, crop. Grayscale only
 (one component, no chroma subsampling) and baseline only (no
-progressive, no restart markers) — exactly the profile the synthetic
-fixtures need; anything else raises ValueError like the other codecs'
-malformed-payload paths.
+progressive) — exactly the profile the synthetic fixtures need;
+anything else raises ValueError like the other codecs'
+malformed-payload paths. r9 (ADVICE): the marker walk skips spec-legal
+0xFF fill bytes (B.1.1.2) and the scan decodes DRI/restart-interval
+streams (byte-aligned RST sync, modulo-8 marker check, DC predictor
+reset — E.2.4); the writer can emit them (``restart_interval=``) so the
+restart path round-trips against this module's own streams.
 
 Oracle strategy (why the fixtures are BLOCK-CONSTANT): JPEG is lossy,
 so a SQL oracle cannot replay an arbitrary decode (it would need the
@@ -142,6 +146,14 @@ class _BitWriter:
             self.put(0x7F, 8 - self.n)  # pad with 1s per spec
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padding, stuffed if the pad byte lands on FF)
+        and emit the RSTm marker — F.1.2.3 / B.2.1.2."""
+        if self.n:
+            self.put(0x7F, 8 - self.n)
+        self.out.append(0xFF)
+        self.out.append(0xD0 + (m & 7))
+
 
 def _category(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
@@ -153,12 +165,22 @@ def _quantize(coefs: np.ndarray) -> np.ndarray:
     return np.floor(coefs / QTABLE + 0.5 + 1e-9).astype(np.int32)
 
 
-def encode_jpeg_gray(width: int, height: int, rows: list[bytes]) -> bytes:
+def encode_jpeg_gray(
+    width: int, height: int, rows: list[bytes],
+    restart_interval: int | None = None,
+) -> bytes:
     """Spec-correct baseline grayscale JPEG of ``rows`` (height rows of
     width bytes). Edge blocks pad by edge replication (the standard
-    choice — it adds no spurious AC energy on constant content)."""
+    choice — it adds no spurious AC energy on constant content).
+
+    ``restart_interval`` (r9): emit a DRI segment and RST0-RST7 markers
+    every that many MCUs (DC predictor reset, byte-aligned, modulo-8
+    marker cycle — B.2.4.4 / F.1.2.3), exercising the decoder's
+    restart-sync path with a stream this module itself produced."""
     if width < 1 or height < 1 or len(rows) != height:
         raise ValueError("bad dimensions")
+    if restart_interval is not None and restart_interval < 1:
+        raise ValueError("restart_interval must be >= 1")
     img = np.frombuffer(b"".join(bytes(r) for r in rows), dtype=np.uint8)
     img = img.reshape(height, width).astype(np.float64)
     bw, bh = (width + 7) // 8, (height + 7) // 8
@@ -168,8 +190,17 @@ def encode_jpeg_gray(width: int, height: int, rows: list[bytes]) -> bytes:
 
     w = _BitWriter()
     prev_dc = 0
+    mcu = 0
     for by in range(bh):
         for bx in range(bw):
+            if (
+                restart_interval
+                and mcu
+                and mcu % restart_interval == 0
+            ):
+                w.restart(mcu // restart_interval - 1)
+                prev_dc = 0
+            mcu += 1
             block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
             coefs = _DCT @ block @ _DCT.T
             q = _quantize(coefs)
@@ -204,6 +235,11 @@ def encode_jpeg_gray(width: int, height: int, rows: list[bytes]) -> bytes:
     qz = bytes(int(QTABLE[r, c]) for r, c in ZIGZAG)
     dht_dc = bytes([0x00]) + bytes(DC_BITS[1:]) + bytes(DC_VALS)
     dht_ac = bytes([0x10]) + bytes(AC_BITS[1:]) + bytes(AC_VALS)
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -214,6 +250,7 @@ def encode_jpeg_gray(width: int, height: int, rows: list[bytes]) -> bytes:
         )
         + seg(0xFFC4, dht_dc)
         + seg(0xFFC4, dht_ac)
+        + dri
         + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
         + scan
         + b"\xff\xd9"  # EOI
@@ -255,6 +292,31 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def sync_restart(self, m: int) -> None:
+        """Discard the partial byte, then consume the RSTm marker —
+        tolerating a stuffed pad byte (FF00) and fill FFs before it
+        (B.1.1.2 / E.2.4)."""
+        self.n = 0
+        while True:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("truncated JPEG scan at restart")
+            b = self.buf[self.pos]
+            if b != 0xFF:
+                raise ValueError("lost sync at restart marker")
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:  # stuffed pad byte — entropy filler
+                self.pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte before the marker
+                self.pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                if nxt != 0xD0 + (m & 7):
+                    raise ValueError("restart marker out of sequence")
+                self.pos += 2
+                return
+            raise ValueError("expected restart marker in scan")
+
 
 def _build_decode_table(bits: list[int], vals: list[int]):
     """(length, code) -> value maps for canonical Huffman decode."""
@@ -284,8 +346,11 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg_gray(buf: bytes) -> tuple[int, int, list[bytes]]:
     """Full inverse of :func:`encode_jpeg_gray` — and of any other
-    baseline single-component 8-bit JPEG: tables come from the file's
-    own DQT/DHT segments. Returns (width, height, rows)."""
+    baseline single-component 8-bit non-subsampled JPEG: tables come
+    from the file's own DQT/DHT segments; spec-legal 0xFF fill bytes
+    before markers (B.1.1.2) are skipped and DRI/restart-interval
+    streams are decoded (DC predictor reset + modulo-8 marker check at
+    each restart, E.2.4). Returns (width, height, rows)."""
     if buf[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -293,12 +358,18 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, list[bytes]]:
     huff: dict[tuple[int, int], dict] = {}
     width = height = None
     comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("malformed JPEG: lost marker sync")
+        # B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while buf[pos + 1] == 0xFF and pos + 2 < len(buf):
+            pos += 1
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("malformed JPEG: no scan data")
+        if pos + 4 > len(buf):
+            raise ValueError("truncated JPEG segment")
         (ln,) = struct.unpack_from(">H", buf, pos + 2)
         seg_end = pos + 2 + ln
         if seg_end > len(buf):
@@ -337,6 +408,10 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, list[bytes]]:
                 vals = list(body[o + 17 : o + 17 + nv])
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 o += 17 + nv
+        elif marker == 0xDD:  # DRI — restart interval in MCUs
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
             if ns != 1:
@@ -358,8 +433,13 @@ def decode_jpeg_gray(buf: bytes) -> tuple[int, int, list[bytes]]:
     bw, bh = (width + 7) // 8, (height + 7) // 8
     out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
     prev_dc = 0
+    mcu = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.sync_restart(mcu // restart_interval - 1)
+                prev_dc = 0
+            mcu += 1
             zz = [0] * 64
             t = _huff_decode(r, dc_tab)
             diff = _extend(r.bits(t), t) if t else 0

@@ -826,3 +826,48 @@ def test_band_pair_star_cap_census_and_default(spark):
     # 8 identical videos x 4 frames x 4 bands of over-cap buckets
     assert vcensus["overflow_buckets"] == 16
     assert vcensus["overflow_docs"] == 16 * 8
+
+
+def test_jpeg_restart_interval_and_fill_bytes_roundtrip():
+    """r9 (ADVICE): DRI/restart streams decode identically to the plain
+    stream (byte-aligned RST sync, modulo-8 cycle, DC predictor reset),
+    and spec-legal 0xFF fill bytes before markers (B.1.1.2) are
+    tolerated by the marker walk."""
+    import random
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators import jpeg as J
+
+    rnd = random.Random(11)
+    for w, h in [(1, 1), (9, 17), (24, 24), (40, 33)]:
+        rows = [bytes(rnd.randrange(256) for _ in range(w)) for _ in range(h)]
+        plain = J.encode_jpeg_gray(w, h, rows)
+        base = J.decode_jpeg_gray(plain)
+        for ri in (1, 2, 7, 1000):
+            buf = J.encode_jpeg_gray(w, h, rows, restart_interval=ri)
+            if ri < ((w + 7) // 8) * ((h + 7) // 8):
+                # restarts sit BETWEEN interval groups, so they appear
+                # only when more than one group exists
+                assert b"\xff\xdd" in buf and b"\xff\xd0" in buf
+            assert J.decode_jpeg_gray(buf) == base
+        # inject fill bytes before every table/frame/scan marker
+        out = bytearray()
+        i = 0
+        while i < len(plain) - 1:
+            if plain[i] == 0xFF and plain[i + 1] in (0xDB, 0xC0, 0xC4, 0xDA):
+                out += b"\xff\xff"  # fill bytes; marker's own FF follows
+            out.append(plain[i])
+            i += 1
+        out.append(plain[-1])
+        assert J.decode_jpeg_gray(bytes(out)) == base
+    import pytest
+
+    with pytest.raises(ValueError, match="restart_interval"):
+        J.encode_jpeg_gray(8, 8, [bytes(8)] * 8, restart_interval=0)
+    # out-of-sequence restart marker is rejected
+    buf = bytearray(J.encode_jpeg_gray(24, 24, [bytes(range(24))] * 24,
+                                       restart_interval=1))
+    k = buf.find(b"\xff\xd0")
+    assert k != -1
+    buf[k + 1] = 0xD5  # wrong modulo-8 index
+    with pytest.raises(ValueError, match="restart"):
+        J.decode_jpeg_gray(bytes(buf))
