@@ -203,22 +203,33 @@ def _build(variant: str, documents, span_key: str = "xxhash64"):
 
 
 def _session(cpus: str = "32"):
+    """Mirror bench.py's _bench_session exactly (shuffle=8, AQE off at
+    sf0.1, InferFiltersFromGenerate excluded) — the first A/B run used a
+    generic session and measured the session config, not the plans: the
+    inferred size(_wins)>0 filter below explode re-evaluates the
+    interpreted HOF window array per row (~100x on the spine variant)."""
     from pyspark.sql import SparkSession
 
     return (
         SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .getOrCreate()
     )
 
 
 def run_one(variant: str, sf_dir: str) -> None:
+    span_key = os.environ.get("AB_SPAN_KEY", "xxhash64")
     spark = _session()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    df = _build(variant, docs)
+    df = _build(variant, docs, span_key=span_key)
     df.write.format("noop").mode("overwrite").save()  # warm codegen/JIT
     sc = spark.sparkContext
 
@@ -248,7 +259,8 @@ def run_one(variant: str, sf_dir: str) -> None:
             best, best_cpu = wall, cpu
     print(json.dumps(
         {"variant": variant, "wall": round(best, 3),
-         "task_compute": round(best_cpu, 3), "sf_dir": sf_dir}
+         "task_compute": round(best_cpu, 3), "sf_dir": sf_dir,
+         "span_key": span_key}
     ))
 
 
@@ -280,10 +292,15 @@ def main() -> None:
     if "--run" in args:
         run_one(next(a for a in args if a in VARIANTS), sf_dir)
         return
-    # --all: one fresh JVM per variant, interleaved 2 rounds
-    results: dict[str, list] = {v: [] for v in VARIANTS}
-    for _ in range(2):
-        for v in VARIANTS:
+    # --all: one fresh JVM per variant, interleaved rounds
+    rounds = int(os.environ.get("AB_ROUNDS", "2"))
+    chosen = tuple(
+        v for v in os.environ.get("AB_VARIANTS", ",".join(VARIANTS)).split(",")
+        if v in VARIANTS
+    )
+    results: dict[str, list] = {v: [] for v in chosen}
+    for _ in range(rounds):
+        for v in chosen:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--run", v, sf_dir],
                 capture_output=True, text=True, timeout=600,

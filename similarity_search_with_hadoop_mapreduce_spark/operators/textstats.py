@@ -696,33 +696,40 @@ def dup_span_stats(
     thresholds on (docs above ~0.8 are boilerplate/mirrors; the planted
     near-duplicates in the fixture corpus light up at any w).
 
-    Plan (unique-span attribution, single tokenize): spans are distinct
-    per doc, so a span with global document frequency 1 belongs to
-    exactly ONE doc — ``min(doc_id)`` in the same partial-aggregated
+    Plan (unique-span attribution, single tokenize, join-free — the r9
+    measured A/B winner, ``scripts/ab_dup_spans.py``): spans are
+    distinct per doc, so a span with global document frequency 1 belongs
+    to exactly ONE doc — ``min(doc_id)`` in the same partial-aggregated
     ``groupBy`` pass names it, and ``dup_spans = n_spans - n_uniq``.
     The per-doc span count rides the SAME exchange as the span rows:
-    every doc emits one SENTINEL row ``(win = n_spans, sdoc = doc_id)``
-    alongside its real span rows ``(win = span hash, sdoc = NULL)`` —
-    the grouping key is ``(win, sdoc)``, so sentinels can never merge
-    with real spans (sdoc differs) nor with each other (doc_id is
-    unique), and each arrives at the reducer as its own df=1 group
-    carrying the doc's span count in the key itself. The corpus is
-    therefore tokenized ONCE and the exploded stream shuffled ONCE,
-    map-side pre-combined (a universally-common boilerplate span
-    collapses to one row per task before the exchange); r7's variant
-    re-evaluated the window expression map-only on a spine branch just
-    to take ``size()``, tokenizing every document twice — the sentinel
-    removes that entire pass. Deliberately NOT a window over the span
-    key — WindowExec sorts every occurrence of a hot span in one task
-    and window skew is not AQE-mitigated — and NOT a DF-table join back
-    onto the exploded stream, which would shuffle the stream a second
-    time. Shuffle
-    payload is one fixed-width hash per token position, not the w-word
-    string: ``span_key='xxhash64'`` (production, codegen'd);
-    ``'md5'`` for cross-engine oracle digest parity; ``'raw'`` keeps the
-    span text for debugging. No df cap is needed — unlike the pair
-    families nothing fans out quadratically; a universally-common span
-    costs one counter row after partial aggregation.
+    every doc emits one SENTINEL row alongside its real span rows, and
+    the grouping key is ``(win, _sent BOOLEAN)`` — the flag makes the
+    sentinel key space structurally disjoint from real spans (no value
+    collision possible in any key mode), the sentinel's ``win`` is the
+    doc_id (unique, so each sentinel is its own group), and the doc's
+    span count rides a VALUE column on the sentinel row. r8 keyed
+    sentinels with a nullable-STRING ``sdoc`` column instead and joined
+    the result back onto a broadcast doc spine; the A/B measured that
+    plan at 0.68-0.77 s solo vs 0.47-0.63 for this one (md5 mode,
+    sf0.1, fresh JVM per variant, 3 interleaved rounds x 2 windows) —
+    the string key cast and the redundant spine join (the sentinel
+    already covers every doc: a doc under ``w`` tokens emits the
+    (doc_id, 0-count) sentinel) were the r8 regression. The corpus is
+    tokenized ONCE, the exploded stream shuffled ONCE, map-side
+    pre-combined (a universally-common boilerplate span collapses to
+    one row per task before the exchange); the r7 variant re-evaluated
+    the window array map-only on a spine branch just to take
+    ``size()``, tokenizing every document twice. Deliberately NOT a
+    window over the span key — WindowExec sorts every occurrence of a
+    hot span in one task and window skew is not AQE-mitigated — and NOT
+    a join anywhere: the second groupBy lands on the reduced
+    (unique-span + sentinel) rows. Shuffle payload is one fixed-width
+    hash per token position, not the w-word string:
+    ``span_key='xxhash64'`` (production, codegen'd); ``'md5'`` for
+    cross-engine oracle digest parity; ``'raw'`` keeps the span text
+    for debugging. No df cap is needed — unlike the pair families
+    nothing fans out quadratically; a universally-common span costs one
+    counter row after partial aggregation.
     """
     if w < 1:
         raise ValueError(f"window must be >= 1 token, got {w}")
@@ -749,73 +756,76 @@ def dup_span_stats(
     # more than once), then emit the sentinel + span rows from the ONE
     # computed array: the corpus is tokenized exactly once.
     staged = base.select("doc_id", F.expr(wins_expr).alias("_wins"))
-    # posexplode of the PLAIN array with the sentinel value prepended —
+    # posexplode of the PLAIN array with a sentinel value prepended —
     # pos 0 is the sentinel, pos > 0 a real span. No per-element struct
     # lambda over the big array (measured ~25% of the map CPU when the
-    # sentinel was struct-wrapped via transform); sdoc is one codegen'd
-    # CASE on the generator's position column.
-    sent_win = f"CAST(size(_wins) AS {key_type})"
+    # sentinel was struct-wrapped via transform). The sentinel's win is
+    # the doc_id (cast to the key type), which is only a UNIQUENESS
+    # carrier — the (win, _sent) flag key keeps sentinels structurally
+    # disjoint from real spans even on a literal value collision, and
+    # the doc's span count rides the _cnt VALUE column.
+    sent_win = (
+        "doc_id" if span_key == "xxhash64" else f"CAST(doc_id AS {key_type})"
+    )
     rows = staged.select(
         "doc_id",
+        F.size("_wins").cast("long").alias("_n"),
         F.posexplode(
             F.expr(f"concat(array({sent_win}), _wins)")
         ).alias("_pos", "win"),
     ).select(
         "doc_id",
         "win",
-        F.when(F.col("_pos") == 0, F.col("doc_id").cast("string")).alias(
-            "sdoc"
-        ),
+        (F.col("_pos") == 0).alias("_sent"),
+        F.when(F.col("_pos") == 0, F.col("_n")).alias("_cnt"),
     )
     # Unique-span attribution, NOT a window over the span key and NOT a
-    # join back onto the exploded stream: spans are DISTINCT per doc, so
-    # a span with global document frequency 1 belongs to exactly one doc
-    # — min(doc_id) in the SAME partial-aggregated pass names it. Then
-    # dup_spans = n_spans - n_uniq. The exploded stream is shuffled
-    # exactly once, pre-combined map-side (a universally-common
-    # boilerplate span collapses to one row per task before the
-    # exchange), and no hot span key ever concentrates in one task —
-    # whereas WindowExec would sort every occurrence of a hot span in a
-    # single task (window skew is not AQE-mitigated). Sentinel groups
-    # (sdoc non-NULL) are kept unconditionally; real span groups only
-    # when df=1 (a unique span). The second groupBy sees one row per
-    # unique span plus one per doc — already reduced, cheap exchange.
+    # join anywhere: spans are DISTINCT per doc, so a span with global
+    # document frequency 1 belongs to exactly one doc — min(doc_id) in
+    # the SAME partial-aggregated pass names it. Then dup_spans =
+    # n_spans - n_uniq. The exploded stream is shuffled exactly once,
+    # pre-combined map-side (a universally-common boilerplate span
+    # collapses to one row per task before the exchange), and no hot
+    # span key ever concentrates in one task — whereas WindowExec would
+    # sort every occurrence of a hot span in a single task (window skew
+    # is not AQE-mitigated). Sentinel groups are kept unconditionally
+    # (each is its own group: win = the unique doc_id); real span groups
+    # only when df=1 (a unique span). The second groupBy sees one row
+    # per unique span plus one per doc — already reduced, cheap
+    # exchange — and emits every doc (zero-span docs ride their own
+    # (doc_id, 0) sentinel), so no spine join is needed for coverage.
     per_doc = (
-        rows.groupBy("win", "sdoc")
-        .agg(F.count(F.lit(1)).alias("_df"), F.min("doc_id").alias("_d0"))
-        .where(F.col("sdoc").isNotNull() | (F.col("_df") == 1))
+        rows.groupBy("win", "_sent")
+        .agg(
+            F.count(F.lit(1)).alias("_df"),
+            F.min("doc_id").alias("_d0"),
+            F.max("_cnt").alias("_cnt"),
+        )
+        .where(F.col("_sent") | (F.col("_df") == 1))
         .groupBy(F.col("_d0").alias("doc_id"))
         .agg(
-            F.max(F.when(F.col("sdoc").isNotNull(), F.col("win")))
-            .cast("bigint")
-            .alias("n_spans"),
-            F.sum(F.when(F.col("sdoc").isNull(), 1).otherwise(0)).alias(
-                "n_uniq"
-            ),
+            F.max(F.when(F.col("_sent"), F.col("_cnt"))).alias("n_spans"),
+            F.sum(F.when(~F.col("_sent"), 1).otherwise(0)).alias("n_uniq"),
         )
     )
-    return (
-        documents.select("doc_id")
-        .join(F.broadcast(per_doc), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-            (
-                F.coalesce("n_spans", F.lit(0))
-                - F.coalesce("n_uniq", F.lit(0))
-            ).alias("dup_spans"),
-            F.coalesce(
-                F.round(
-                    (
-                        F.coalesce("n_spans", F.lit(0))
-                        - F.coalesce("n_uniq", F.lit(0))
-                    ).cast("double")
-                    / F.nullif(F.col("n_spans"), F.lit(0)).cast("double"),
-                    6,
-                ),
-                F.lit(0.0),
-            ).alias("dup_span_frac"),
-        )
+    return per_doc.select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        (
+            F.coalesce("n_spans", F.lit(0))
+            - F.coalesce("n_uniq", F.lit(0))
+        ).alias("dup_spans"),
+        F.coalesce(
+            F.round(
+                (
+                    F.coalesce("n_spans", F.lit(0))
+                    - F.coalesce("n_uniq", F.lit(0))
+                ).cast("double")
+                / F.nullif(F.col("n_spans"), F.lit(0)).cast("double"),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("dup_span_frac"),
     )
 
 

@@ -245,14 +245,15 @@ def test_pack_sequences_single_shard_exchange(spark):
 
 
 def test_dup_span_stats_no_window_skew(spark):
-    """Cross-doc duplicated-span mass: the per-span document frequency is
-    a partial-aggregated ``groupBy(win)`` joined back onto the
-    (doc_id, win) stream — NEVER a window over the span key, because
-    WindowExec puts every occurrence of a hot boilerplate span in one
-    task's sort run and window skew is not AQE-splittable, while the
-    join probe side is. Map-side combine collapses a universally-common
-    span to one row per task before the exchange. The doc-spine join
-    broadcasts the small per-doc aggregate."""
+    """Cross-doc duplicated-span mass (r9 A/B winner): one tokenize, one
+    exploded-stream exchange keyed (win, _sent BOOLEAN), one reduced
+    per-doc exchange — NO window over the span key (WindowExec puts
+    every occurrence of a hot boilerplate span in one task's sort run
+    and window skew is not AQE-splittable) and NO join anywhere (the r8
+    plan's broadcast spine join was redundant coverage — every doc rides
+    its own sentinel — and measurably slower, scripts/ab_dup_spans.py).
+    Map-side combine collapses a universally-common span to one row per
+    task before the exchange."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
         dup_span_stats,
     )
@@ -262,15 +263,15 @@ def test_dup_span_stats_no_window_skew(spark):
     plan = explain_string(df)
     # the scale-killer: no window over the span key anywhere in the plan
     assert "Window" not in plan, plan
-    assert shuffle_exchange_count(df) <= 4, plan
+    # exactly two HASH exchanges: the span stream, then the reduced
+    # per-doc agg (fan_out's round-robin input spread rides alongside)
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
+    assert shuffle_exchange_count(df) <= 3, plan
     assert plan.count("xxhash64") >= 1, plan
-    # document frequency arrives via a join (AQE-skew-splittable), with
-    # a partial HashAggregate upstream of its exchange
+    # both aggregations partial (map-side combine before each exchange)
     assert plan.count("HashAggregate") >= 4, plan
-    assert "Join" in plan, plan
-    # the spine join broadcasts the small per-doc aggregate — the span
-    # stream is never reshuffled a third time for it
-    assert "BroadcastHashJoin" in plan, plan
+    # join-free: the sentinel covers every doc, no spine join remains
+    assert "Join" not in plan, plan
     # windows are derived from the staged token attribute (_toks), so the
     # tokenizer runs once per row, not once per window position
     assert "_toks" in plan, plan
