@@ -45,6 +45,8 @@ SKIP_AT_SF1 = {
     "dedup_embedding_recall": "embeds the all-pairs baseline as truth",
     "dedup_embedding_suite": "folds the all-pairs baseline member",
     "ann_ivf_suite": "folds the exact knn-graph member",
+    "ann_knn_graph_recall": "embeds the exact knn-graph baseline as truth "
+    "(r9 recall dial for the capped variant)",
 }
 
 # entries whose super-linear ratio is BY DESIGN — they pin the exact
@@ -58,6 +60,12 @@ QUADRATIC_WITH_CAPPED_TWIN = {
     "dedup_embedding_lsh_multiband": "dedup_embedding_lsh_multiband_capped",
     "multimodal_frame_sample": "folds the uncapped pair members "
     "(capped twins ride the same fold)",
+    # r9: the uncapped registry baselines now pass max_bucket=None
+    # EXPLICITLY (operator defaults flipped to 1000) — their growth stays
+    # by-design; library callers get the capped plan by default
+    "ann_knn_graph_lsh": "ann_knn_graph_lsh_capped (r9 rank-window bound)",
+    "multimodal_audio_dedup": "same banded join as the image family; "
+    "max_bucket on band_hash_pairs",
 }
 
 

@@ -41,6 +41,8 @@ FOLDED = {
     "sample_mixture_tokens": "sample_splits",
     "ann_knn_graph": "ann_ivf_suite",
     "ann_knn_graph_lsh": "ann_ivf_suite",
+    "ann_knn_graph_lsh_capped": "ann_ivf_suite",
+    "ann_knn_graph_recall": "ann_ivf_suite",
     "dedup_minhash_lsh": "dedup_minhash_lsh_suite",
     "dedup_minhash_lsh_capped": "dedup_minhash_lsh_suite",
     "dedup_ngram_containment": "dedup_minhash_lsh_suite",
