@@ -373,7 +373,7 @@ def _semantic_dedup_oracle() -> str:
     return f"""
 WITH RECURSIVE
 ep AS (SELECT vec_a, vec_b FROM (
-{_embedding_multiband_oracle(threshold=_COS_T)}
+{_embedding_multiband_oracle(threshold=_COS_T, max_bucket=8)}
 ) mp),
 edges AS (
   SELECT vec_a AS s, vec_b AS d FROM ep
@@ -423,10 +423,17 @@ def curation_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
+    # star-capped candidate generation (r9: the 10x sweep measured the
+    # uncapped recipe at 23x wall for 10x vectors — the one recipe-tier
+    # entry still riding a quadratic pair join). True duplicate groups
+    # stay connected through each over-cap bucket's representative (the
+    # rep-clone cosine passes the cut); borderline pairs NEAR the cosine
+    # threshold can split clusters — the standard star-cap recall trade
+    # every capped family documents — and the oracle replays the cap
+    # rule, so engine/oracle equality is by construction either way
     pairs = embedding_dup_pairs_lsh_multiband(
         emb, threshold=_COS_T, bands=_EMB_BANDS, rows_per_band=_EMB_ROWS,
-        max_bucket=None,  # oracle replays the uncapped pair set (r9
-        # flipped the operator default to 1000)
+        max_bucket=8,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     ids = emb.select(F.col("vec_id").alias("doc_id"))
     clusters = duplicate_clusters(ids, pairs=pairs)
