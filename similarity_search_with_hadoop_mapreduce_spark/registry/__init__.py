@@ -40,6 +40,7 @@ for _mod in (
     "multimodal",
     "streaming_q",
     "curation",
+    "validate",
     "tpch_partsupp",
     "folds",  # last: folds compose the member oracles registered above
 ):

@@ -2520,6 +2520,30 @@ def _register_curation_suite() -> None:
             "CAST(((shard * 100000 + bin_id) * 1000 + bin_offset) * 1000 "
             "+ n_tokens AS DOUBLE) AS b",
         ),
+        (
+            # r9 validation-gate members: per-check counters ride the
+            # (shape, a, b) slots; no doc dimension (doc_id NULL). The
+            # remaining report columns (passed, null_frac, min/max) are
+            # pinned by each member's own fine-grained oracle.
+            "validate_rules",
+            "'vr:' || \"check\" AS shape, CAST(NULL AS BIGINT) AS doc_id, "
+            "CAST(violations AS DOUBLE) AS a, CAST(n_rows AS DOUBLE) AS b",
+        ),
+        (
+            "validate_unique_fk",
+            "'uf:' || \"check\" AS shape, CAST(NULL AS BIGINT) AS doc_id, "
+            "CAST(violations AS DOUBLE) AS a, CAST(n_keys AS DOUBLE) AS b",
+        ),
+        (
+            "validate_null_profile",
+            "'np:' || \"column\" AS shape, CAST(NULL AS BIGINT) AS doc_id, "
+            "CAST(n_null AS DOUBLE) AS a, CAST(n_rows AS DOUBLE) AS b",
+        ),
+        (
+            "validate_column_profile",
+            "'cp:' || \"column\" AS shape, CAST(NULL AS BIGINT) AS doc_id, "
+            "sum_v AS a, CAST(n_distinct AS DOUBLE) AS b",
+        ),
     ]
 
     @register("curation_suite", oracle=_union_oracle(parts))
@@ -2539,10 +2563,14 @@ def _register_curation_suite() -> None:
         capstone recipe v3 (curation_recipe_v3 — v2's surviving train
         split pushed through the stored-vocab tokenizer and the
         pack-then-chunk layout; tokenizer counts and window assignment
-        packed into the two slots) (members: curation_pipeline,
-        curation_pipeline_neardup, text_decontamination,
-        curation_semantic_dedup, curation_recipe_v2,
-        dedup_incremental_refresh, curation_recipe_v3)."""
+        packed into the two slots), and the r9 data-quality validation
+        gate (operators/validate.py — row rules, uniqueness, FK
+        integrity, column profile; per-check counters in the slots)
+        (members: curation_pipeline, curation_pipeline_neardup,
+        text_decontamination, curation_semantic_dedup,
+        curation_recipe_v2, dedup_incremental_refresh,
+        curation_recipe_v3, validate_rules, validate_unique_fk,
+        validate_null_profile, validate_column_profile)."""
         ex = _q("curation_pipeline")(spark, sf_dir).select(
             F.lit("exact").alias("shape"),
             F.col("doc_id"),
@@ -2607,7 +2635,31 @@ def _register_curation_suite() -> None:
                 + F.col("n_tokens").cast("double")
             ).alias("b"),
         )
-        return _union_spark([ex, nd, dc, sm, rc, ir, r3])
+        vr = _q("validate_rules")(spark, sf_dir).select(
+            F.concat(F.lit("vr:"), F.col("check")).alias("shape"),
+            _null("doc_id", "bigint"),
+            F.col("violations").cast("double").alias("a"),
+            F.col("n_rows").cast("double").alias("b"),
+        )
+        uf = _q("validate_unique_fk")(spark, sf_dir).select(
+            F.concat(F.lit("uf:"), F.col("check")).alias("shape"),
+            _null("doc_id", "bigint"),
+            F.col("violations").cast("double").alias("a"),
+            F.col("n_keys").cast("double").alias("b"),
+        )
+        np_ = _q("validate_null_profile")(spark, sf_dir).select(
+            F.concat(F.lit("np:"), F.col("column")).alias("shape"),
+            _null("doc_id", "bigint"),
+            F.col("n_null").cast("double").alias("a"),
+            F.col("n_rows").cast("double").alias("b"),
+        )
+        cp = _q("validate_column_profile")(spark, sf_dir).select(
+            F.concat(F.lit("cp:"), F.col("column")).alias("shape"),
+            _null("doc_id", "bigint"),
+            F.col("sum_v").alias("a"),
+            F.col("n_distinct").cast("double").alias("b"),
+        )
+        return _union_spark([ex, nd, dc, sm, rc, ir, r3, vr, uf, np_, cp])
 
 
 _register_curation_suite()

@@ -110,6 +110,10 @@ FOLDED = {
     "multimodal_video_subsample": "multimodal_frame_sample",
     "dedup_incremental_refresh": "curation_suite",
     "curation_recipe_v3": "curation_suite",
+    "validate_rules": "curation_suite",
+    "validate_unique_fk": "curation_suite",
+    "validate_null_profile": "curation_suite",
+    "validate_column_profile": "curation_suite",
     "events_tumbling_window": "events_time_windows",
     "events_ohlc": "events_time_windows",
     "events_sliding_window": "events_time_windows",
