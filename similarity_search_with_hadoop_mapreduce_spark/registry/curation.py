@@ -989,3 +989,43 @@ def curation_recipe_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin_id").cast("bigint").alias("bin_id"),
         F.col("bin_offset").cast("bigint").alias("bin_offset"),
     )
+
+
+def _zorder_oracle() -> str:
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import (
+        zvalue_oracle_sql,
+    )
+
+    zexpr = zvalue_oracle_sql(["xd", "yd"], bits=12)
+    return f"""
+WITH dims AS (
+  SELECT event_id,
+         user_id % 4096 AS xd,
+         EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts) AS yd
+  FROM events
+)
+SELECT event_id, CAST({zexpr} AS BIGINT) AS zkey FROM dims
+"""
+
+
+@register("layout_zorder", oracle=_zorder_oracle())
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key per event over (user_id mod 4096,
+    minute-of-day): the multi-dimensional layout key behind
+    ``write_zorder`` (sources/sinks.py), value-pinned bit for bit —
+    both engines run the same ``((x >> i) & 1) << (i*n + c)`` integer
+    interleave, so the layout a 100-TB table is physically sorted by is
+    deterministic and engine-independent. The pruning payoff (a box
+    predicate skipping files a single-column sort cannot) is pinned by
+    the footer-stats test in tests/test_zorder.py."""
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import zvalue
+
+    ev = table(spark, sf_dir, "events")
+    dims = ev.select(
+        "event_id",
+        (F.col("user_id") % 4096).alias("xd"),
+        (F.hour("ts") * 60 + F.minute("ts")).cast("long").alias("yd"),
+    )
+    return dims.select(
+        "event_id", zvalue(["xd", "yd"], bits=12, out="zkey").cast("long").alias("zkey")
+    )

@@ -1010,14 +1010,27 @@ def _register_events_time_windows() -> None:
             )
             for m in ("open", "high", "low", "close")
         ],
+        (
+            # r9: the Z-order layout key per event — slot reuse:
+            # n_events <- event_id, total_value <- zkey (<= 2^24,
+            # double-exact), so the Morton interleave the write_zorder
+            # layout sorts by is bit-pinned at the driver surface.
+            "layout_zorder",
+            "'zorder' AS shape, CAST(NULL AS TIMESTAMP) AS window_start, "
+            "CAST(NULL AS TIMESTAMP) AS window_end, "
+            "CAST(NULL AS VARCHAR) AS event_type, "
+            "event_id AS n_events, CAST(zkey AS DOUBLE) AS total_value",
+        ),
     ]
 
     @register("events_time_windows", oracle=_union_oracle(parts))
     def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Tagged union of the 1-hour tumbling and 1-hour/30-minute sliding
         event-time window aggregates plus the per-hour OHLC bars unpivoted
-        to one row per metric (members: events_tumbling_window,
-        events_sliding_window, events_ohlc)."""
+        to one row per metric, plus (r9) the per-event Z-order layout key
+        — the Morton interleave write_zorder physically sorts by, bit-
+        pinned in the total_value slot (members: events_tumbling_window,
+        events_sliding_window, events_ohlc, layout_zorder)."""
         tw = _q("events_tumbling_window")(spark, sf_dir).select(
             F.lit("tumbling").alias("shape"),
             "window_start",
@@ -1046,7 +1059,15 @@ def _register_events_time_windows() -> None:
             )
             for m in ("open", "high", "low", "close")
         ]
-        return _union_spark([tw, sw, *bars])
+        zo = _q("layout_zorder")(spark, sf_dir).select(
+            F.lit("zorder").alias("shape"),
+            _null("window_start", "timestamp"),
+            _null("window_end", "timestamp"),
+            _null("event_type", "string"),
+            F.col("event_id").alias("n_events"),
+            F.col("zkey").cast("double").alias("total_value"),
+        )
+        return _union_spark([tw, sw, *bars, zo])
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,7 @@ FOLDED = {
     "validate_unique_fk": "curation_suite",
     "validate_null_profile": "curation_suite",
     "validate_column_profile": "curation_suite",
+    "layout_zorder": "events_time_windows",
     "events_tumbling_window": "events_time_windows",
     "events_ohlc": "events_time_windows",
     "events_sliding_window": "events_time_windows",

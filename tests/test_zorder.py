@@ -1,0 +1,141 @@
+"""Z-order layout (sources/sinks.py: zvalue / write_zorder).
+
+Pins three things:
+- the Morton interleave itself against a pure-Python bit model (and the
+  DuckDB oracle rendering against the same model — the two SQL texts can
+  never drift apart without this failing);
+- clamping and capacity guards;
+- the actual pruning payoff: on a 128x128 grid, a y-only box predicate
+  touches ~4/16 files under the z-order layout (y's high bits select
+  file groups) but ALL files under a single-column x sort (y is smeared
+  uniformly) — read straight from the parquet footer min/max stats any
+  engine prunes with.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import (
+    write_range_partitioned,
+    write_zorder,
+    zvalue,
+    zvalue_oracle_sql,
+)
+
+
+def _morton(values: list[int], bits: int) -> int:
+    hi = (1 << bits) - 1
+    vals = [min(max(v, 0), hi) for v in values]
+    z = 0
+    n = len(vals)
+    for c, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * n + c)
+    return z
+
+
+@pytest.mark.parametrize(
+    "xy",
+    [(0, 0), (1, 0), (0, 1), (127, 127), (5, 99), (-3, 200), (4096, 7)],
+)
+def test_zvalue_matches_python_model(spark, xy):
+    x, y = xy
+    df = spark.createDataFrame([(x, y)], "x long, y long")
+    got = df.select(zvalue(["x", "y"], bits=7, out="z")).collect()[0]["z"]
+    assert got == _morton([x, y], 7)
+
+
+def test_zvalue_oracle_sql_matches_python_model():
+    duckdb = pytest.importorskip("duckdb")
+    expr = zvalue_oracle_sql(["x", "y"], bits=7)
+    rows = duckdb.sql(
+        "SELECT x, y, " + expr + " AS z FROM (VALUES (0,0),(5,99),(127,127),"
+        "(-3, 200),(4096, 7)) t(x, y)"
+    ).fetchall()
+    for x, y, z in rows:
+        assert z == _morton([x, y], 7), (x, y)
+
+
+def test_zvalue_guards():
+    with pytest.raises(ValueError):
+        zvalue([], bits=8)
+    with pytest.raises(ValueError):
+        zvalue(["a", "b", "c", "d"], bits=16)  # 64 > 63
+
+
+def _files_intersecting(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+    """(#files whose footer min/max on col intersects [lo, hi], #files)
+    — the same stats any parquet reader prunes with."""
+    pq = pytest.importorskip("pyarrow.parquet")
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert files
+    touch = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin = min(
+            md.row_group(i).column(
+                next(
+                    j
+                    for j in range(md.num_columns)
+                    if md.schema.column(j).name == col
+                )
+            ).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        fmax = max(
+            md.row_group(i).column(
+                next(
+                    j
+                    for j in range(md.num_columns)
+                    if md.schema.column(j).name == col
+                )
+            ).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        if fmin <= hi and fmax >= lo:
+            touch += 1
+    return touch, len(files)
+
+
+def test_write_zorder_prunes_second_dimension(spark):
+    grid = spark.range(128 * 128).select(
+        F.col("id"),
+        (F.col("id") % 128).alias("x"),
+        (F.col("id") / 128).cast("long").alias("y"),
+    )
+    with tempfile.TemporaryDirectory(prefix="zorder-") as d:
+        zpath = os.path.join(d, "z")
+        lpath = os.path.join(d, "linear")
+        write_zorder(grid, zpath, ["x", "y"], n_files=16, bits=7)
+        write_range_partitioned(grid, lpath, "x", n_files=16)
+
+        # layout leaves no schema footprint
+        zdf = spark.read.parquet(zpath)
+        assert sorted(zdf.columns) == ["id", "x", "y"]
+
+        # y-only box: the second dimension. Single-column x sort smears y
+        # over every file; the z layout confines y<32 to the file groups
+        # whose high z bits carry y6=y5=0 (~4/16, range-sampling slack).
+        ztouch, ztotal = _files_intersecting(zpath, "y", 0, 31)
+        ltouch, ltotal = _files_intersecting(lpath, "y", 0, 31)
+        assert ltouch == ltotal  # the single-column sort prunes nothing
+        assert ztouch <= ztotal // 2, (ztouch, ztotal)
+
+        # and x keeps pruning power under z too (x<32 box)
+        zx, _ = _files_intersecting(zpath, "x", 0, 31)
+        assert zx <= ztotal // 2, zx
+
+        # correctness: the layout changes nothing about the rows
+        got = sorted(
+            tuple(r) for r in zdf.filter("y < 32").select("id", "x", "y").collect()
+        )
+        want = sorted(
+            tuple(r) for r in grid.filter("y < 32").select("id", "x", "y").collect()
+        )
+        assert got == want
