@@ -465,3 +465,27 @@ def test_multi_query_shuffled_branch_hash_joins_no_corpus_sort(spark):
     # no sort-merge anywhere in the shuffled branch: the only Sort a
     # SMJ would introduce sits directly on the wide corpus term stream
     assert "SortMergeJoin" not in plan
+
+
+def test_round9_validate_zorder_entries_pass_scale_audit(spark):
+    """The r9 additions (the data-quality validation gate and the
+    Z-order layout key) are fully clean under the plan lint: map-only
+    single-scan aggregates, map-combined key rollups, pre-aggregated
+    anti-joins, and a pure-expression Morton key — no nested-loop
+    joins, no single-partition exchanges, nothing fatal."""
+    from similarity_search_with_hadoop_mapreduce_spark.plans import scale_audit
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name in (
+        "validate_rules",
+        "validate_null_profile",
+        "validate_unique_fk",
+        "validate_column_profile",
+        "layout_zorder",
+    ):
+        findings = scale_audit(QUERIES[name](spark, sf))
+        if findings:
+            offenders[name] = findings
+    assert offenders == {}, offenders
