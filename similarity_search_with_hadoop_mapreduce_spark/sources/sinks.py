@@ -170,16 +170,54 @@ def zvalue_oracle_sql(cols: list[str], bits: int = 16) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def quantile_rank(df: DataFrame, col: str, bits: int = 8,
+                  relative_error: float = 1e-3):
+    """Map a skewed or continuous column onto ``[0, 2**bits)`` by
+    quantile rank — the production normalizer for :func:`zvalue` dims
+    whose raw domain is not already small non-negative integers.
+
+    Interleaving raw skewed values wastes the Morton key's bits (a
+    heavy-tailed column packs most rows into a few leading-bit
+    prefixes, so its files stop being selective); rank-mapping gives
+    every bucket ~equal row mass, which is what makes each z-range file
+    cover ~equal data. Boundaries come from ONE ``approxQuantile`` pass
+    (Greenwald-Khanna sketch, driver state O(2^bits) doubles — the same
+    train-once-at-build-time shape as the IVF codebooks) and the per-row
+    mapping is a JVM higher-order ``filter`` over the literal boundary
+    array: O(2^bits) comparisons per row, paid once at layout-build
+    time, embarrassingly parallel, no UDF. Monotonic in the raw value,
+    so parquet min/max footer stats on the RAW column stay usable by
+    readers that filter on it directly.
+    """
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.approxQuantile(col, probs, relative_error)
+    # strictly increasing boundary list (ties collapse; fewer distinct
+    # boundaries simply means fewer occupied buckets — harmless)
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    arr = F.array(*[F.lit(float(b)) for b in uniq])
+    x = F.col(col).cast("double")
+    return F.size(F.filter(arr, lambda b: b <= x)).cast("long")
+
+
 def write_zorder(
     df: DataFrame,
     path: str,
-    cols: list[str],
+    cols: list,
     n_files: int = 8,
     bits: int = 16,
     mode: str = "overwrite",
 ) -> None:
     """Multi-dimensional layout sink: Z-order the rows on ``cols`` and
     write range-partitioned parquet.
+
+    ``cols`` are column names or Column expressions — pass
+    :func:`quantile_rank` outputs for skewed/continuous dimensions
+    (with a matching ``bits``) so every Morton bucket carries ~equal
+    row mass.
 
     One range exchange + one in-partition sort on the Morton key —
     exactly :func:`write_range_partitioned`'s cost — but every file's

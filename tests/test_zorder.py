@@ -139,3 +139,49 @@ def test_write_zorder_prunes_second_dimension(spark):
             tuple(r) for r in grid.filter("y < 32").select("id", "x", "y").collect()
         )
         assert got == want
+
+
+def test_quantile_rank_balances_skewed_column(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import quantile_rank
+
+    # heavy-tailed: v = id^3 — raw-value interleaving would pack ~90% of
+    # rows into the lowest leading-bit prefix
+    df = spark.range(4096).select(
+        F.col("id"), (F.col("id") * F.col("id") * F.col("id")).alias("v")
+    )
+    r = quantile_rank(df, "v", bits=4)
+    counts = (
+        df.select(r.alias("bucket"))
+        .groupBy("bucket")
+        .count()
+        .collect()
+    )
+    by_bucket = {row["bucket"]: row["count"] for row in counts}
+    # every bucket in range, occupied, and roughly balanced (16 buckets
+    # of 4096 rows -> ideal 256; GK sketch slack bounded well under 2x)
+    assert set(by_bucket) <= set(range(16))
+    assert len(by_bucket) == 16
+    assert max(by_bucket.values()) < 2 * min(by_bucket.values())
+
+    # monotonic in the raw value: bucket of a larger v never decreases
+    rows = df.select("v", r.alias("bucket")).orderBy("v").collect()
+    buckets = [row["bucket"] for row in rows]
+    assert buckets == sorted(buckets)
+
+
+def test_write_zorder_accepts_rank_expressions(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import quantile_rank
+
+    grid = spark.range(1024).select(
+        F.col("id"),
+        (F.col("id") % 32).alias("x"),
+        ((F.col("id") / 32).cast("long") ** F.lit(3)).cast("double").alias("v"),
+    )
+    with tempfile.TemporaryDirectory(prefix="zorder-rank-") as d:
+        p = os.path.join(d, "z")
+        write_zorder(
+            grid, p, ["x", quantile_rank(grid, "v", bits=5)], n_files=4, bits=5
+        )
+        back = spark.read.parquet(p)
+        assert sorted(back.columns) == ["id", "v", "x"]
+        assert back.count() == 1024
