@@ -1593,12 +1593,31 @@ def _register_agg_stats_suite() -> None:
             f"top_name AS s, top_custkey AS n1, {nn2}, "
             f"CAST(top_acctbal AS DOUBLE) AS v1, {nv2}, {nv3}, {nv4}, {nv5}",
         ),
+        (
+            # r9 sketch tier: exact counts + within-tolerance booleans
+            # (estimates are engine-side; see operators/sketches.py)
+            "agg_sketch_distinct",
+            f"'sketch_distinct' AS shape, event_type AS g, {ns}, "
+            f"n_exact AS n1, {nn2}, "
+            "CAST(hll_ok AS DOUBLE) AS v1, CAST(theta_ok AS DOUBLE) AS v2, "
+            f"{nv3}, {nv4}, {nv5}",
+        ),
+        (
+            "agg_sketch_merge",
+            f"'sketch_merge' AS shape, CAST(NULL AS VARCHAR) AS g, {ns}, "
+            "n_exact AS n1, n_rows AS n2, "
+            "CAST(n_epochs AS DOUBLE) AS v1, CAST(merged_ok AS DOUBLE) AS v2, "
+            f"{nv3}, {nv4}, {nv5}",
+        ),
     ]
 
     @register("agg_stats_suite", oracle=_union_oracle(parts))
     def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Tagged union of the statistical aggregate families (members:
-        agg_count_distinct, agg_stats, agg_percentile, agg_argmax)."""
+        """Tagged union of the statistical aggregate families, plus (r9)
+        the DataSketches tier — per-key HLL/theta distinct flags and the
+        per-epoch-partials-merged lifecycle pin (members:
+        agg_count_distinct, agg_stats, agg_percentile, agg_argmax,
+        agg_sketch_distinct, agg_sketch_merge)."""
         runs = []
         runs.append(
             _q("agg_count_distinct")(spark, sf_dir).select(
@@ -1645,6 +1664,30 @@ def _register_agg_stats_suite() -> None:
                 _null("n2", "bigint"),
                 F.col("top_acctbal").cast("double").alias("v1"),
                 *[_null(f"v{i}", "double") for i in range(2, 6)],
+            )
+        )
+        runs.append(
+            _q("agg_sketch_distinct")(spark, sf_dir).select(
+                F.lit("sketch_distinct").alias("shape"),
+                F.col("event_type").alias("g"),
+                _null("s", "string"),
+                F.col("n_exact").alias("n1"),
+                _null("n2", "bigint"),
+                F.col("hll_ok").cast("double").alias("v1"),
+                F.col("theta_ok").cast("double").alias("v2"),
+                *[_null(f"v{i}", "double") for i in range(3, 6)],
+            )
+        )
+        runs.append(
+            _q("agg_sketch_merge")(spark, sf_dir).select(
+                F.lit("sketch_merge").alias("shape"),
+                _null("g", "string"),
+                _null("s", "string"),
+                F.col("n_exact").alias("n1"),
+                F.col("n_rows").alias("n2"),
+                F.col("n_epochs").cast("double").alias("v1"),
+                F.col("merged_ok").cast("double").alias("v2"),
+                *[_null(f"v{i}", "double") for i in range(3, 6)],
             )
         )
         return _union_spark(runs)

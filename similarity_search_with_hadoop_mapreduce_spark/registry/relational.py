@@ -1848,3 +1848,72 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "agg_sketch_distinct",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS hll_ok,
+       TRUE AS theta_ok
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct counting (operators/sketches.py): per
+    event_type, the exact count plus HLL and theta within-5%% flags —
+    a DataSketches sketch is a deterministic function of the input
+    multiset, so the tolerance booleans are replay-stable while the
+    estimates themselves stay engine-side (DuckDB cannot reproduce
+    DataSketches internals; it pins the exact count and the TRUE
+    contracts). At 100 TB the exact column is dropped and the sketch is
+    the answer: map-only mergeable O(2^lgk)-byte state, no Expand plan,
+    no re-scan to extend a window."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        distinct_count_report,
+    )
+
+    return distinct_count_report(
+        table(spark, sf_dir, "events"), ["event_type"], "user_id", rel_tol=0.05
+    ).select("event_type", "n_exact", "hll_ok", "theta_ok")
+
+
+@register(
+    "agg_sketch_merge",
+    oracle="""
+SELECT count(DISTINCT user_id) AS n_exact,
+       count(*) AS n_rows,
+       count(DISTINCT CAST(ts AS DATE)) AS n_epochs,
+       TRUE AS merged_ok
+FROM events
+""",
+)
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch LIFECYCLE pin: per-day HLL partials (the storable
+    epoch table) unioned to one global estimate, within 5%% of the exact
+    global distinct. This is the design that answers "distinct users
+    this quarter" from O(epochs) kilobyte rows instead of a corpus
+    rescan — the aggregation-tier sibling of the stored dedup index and
+    term profile. The 1-row exact/merged cross join is the documented
+    driver-held-scalar pattern."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        epoch_sketches,
+        merged_distinct_estimate,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    merged = merged_distinct_estimate(
+        epoch_sketches(ev, F.to_date("ts"), "user_id")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return exact.crossJoin(merged).select(
+        "n_exact",
+        "n_rows",
+        F.col("n_epochs").cast("long").alias("n_epochs"),
+        (
+            F.abs(F.col("est").cast("double") - F.col("n_exact").cast("double"))
+            <= F.lit(0.05) * F.col("n_exact").cast("double")
+        ).alias("merged_ok"),
+    )

@@ -477,15 +477,24 @@ def test_round9_validate_zorder_entries_pass_scale_audit(spark):
     from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
 
     sf = "/root/testdata/sf0.001"
+    allowed = {
+        "validate_rules": set(),
+        "validate_null_profile": set(),
+        "validate_unique_fk": set(),
+        "validate_column_profile": set(),
+        "layout_zorder": set(),
+        "agg_sketch_distinct": set(),
+        # the 1-row exact/merged cross join — the documented
+        # driver-held-scalar pattern
+        "agg_sketch_merge": {"nested_loop_join"},
+    }
     offenders = {}
-    for name in (
-        "validate_rules",
-        "validate_null_profile",
-        "validate_unique_fk",
-        "validate_column_profile",
-        "layout_zorder",
-    ):
-        findings = scale_audit(QUERIES[name](spark, sf))
+    for name, allow in allowed.items():
+        findings = [
+            f
+            for f in scale_audit(QUERIES[name](spark, sf))
+            if f["code"] not in allow or f["severity"] == "fatal"
+        ]
         if findings:
             offenders[name] = findings
     assert offenders == {}, offenders

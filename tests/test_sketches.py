@@ -1,0 +1,117 @@
+"""Sketch aggregation tier (operators/sketches.py).
+
+Pins: determinism of the estimates (same multiset -> same sketch),
+tolerance vs exact on a known-cardinality fixture, the stored-partials
+lifecycle (answering distinct questions from the kilobyte epoch table
+with NO corpus access — plan-asserted), epoch-range pruning pushed to
+the stored scan, and append-an-epoch extension.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+    distinct_count_report,
+    distinct_from_stored_sketches,
+    epoch_sketches,
+    merged_distinct_estimate,
+    save_epoch_sketches,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # 20k rows, 997 distinct users, 10 epochs, 3 types — exact
+    # cardinalities known in closed form
+    return spark.range(20000).select(
+        (F.col("id") % 997).alias("user_id"),
+        (F.col("id") % 10).cast("string").alias("day"),
+        F.when(F.col("id") % 3 == 0, "click")
+        .when(F.col("id") % 3 == 1, "view")
+        .otherwise("buy")
+        .alias("event_type"),
+    )
+
+
+def test_report_exact_and_tolerance(events):
+    rows = {
+        r["event_type"]: r.asDict()
+        for r in distinct_count_report(
+            events, ["event_type"], "user_id", rel_tol=0.05
+        ).collect()
+    }
+    assert set(rows) == {"click", "view", "buy"}
+    for r in rows.values():
+        assert r["n_exact"] == 997  # every user hits every type
+        assert r["hll_ok"] is True
+        assert r["theta_ok"] is True
+        # determinism sanity: estimate is a plain float near exact
+        assert abs(r["hll_est"] - 997) <= 0.05 * 997
+
+
+def test_report_is_deterministic(events):
+    a = distinct_count_report(events, ["event_type"], "user_id").collect()
+    b = distinct_count_report(
+        events.repartition(13), ["event_type"], "user_id"
+    ).collect()
+    key = lambda r: r["event_type"]  # noqa: E731
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+        # order/partitioning independent: same multiset -> same sketch
+        assert ra["hll_est"] == rb["hll_est"]
+        assert ra["theta_est"] == rb["theta_est"]
+
+
+def test_stored_lifecycle_no_corpus_rescan(spark, events):
+    with tempfile.TemporaryDirectory(prefix="sketches-") as d:
+        path = os.path.join(d, "daily")
+        save_epoch_sketches(events, path, "day", "user_id")
+
+        probe = distinct_from_stored_sketches(spark, path)
+        row = probe.collect()[0]
+        assert row["n_rows"] == 20000
+        assert row["n_epochs"] == 10
+        assert abs(row["est"] - 997) <= 0.05 * 997
+
+        # the probe's plan reads ONLY the stored sketch table
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "user_id" not in plan
+        # AQE may print final+initial plans; count scans in one section
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("FileScan parquet") == 1
+
+        # epoch-range question: filter pushed to the stored scan
+        half = distinct_from_stored_sketches(
+            spark, path, epochs=[str(i) for i in range(5)]
+        )
+        hrow = half.collect()[0]
+        assert hrow["n_epochs"] == 5
+        assert hrow["n_rows"] == 10000
+        hplan = half._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in hplan and "In(epoch" in hplan
+
+        # merged-from-partials equals the unstored merge path
+        direct = merged_distinct_estimate(
+            epoch_sketches(events, "day", "user_id")
+        ).collect()[0]
+        assert row["est"] == direct["est"]
+
+
+def test_append_epoch_extends_answer(spark, events):
+    with tempfile.TemporaryDirectory(prefix="sketches-") as d:
+        path = os.path.join(d, "daily")
+        save_epoch_sketches(events, path, "day", "user_id")
+        # a new epoch arrives with 100 genuinely new users
+        new = spark.range(1000).select(
+            (F.col("id") % 100 + 1000).alias("user_id"),
+            F.lit("10").alias("day"),
+        )
+        save_epoch_sketches(new, path, "day", "user_id", mode="append")
+        row = distinct_from_stored_sketches(spark, path).collect()[0]
+        assert row["n_epochs"] == 11
+        assert row["n_rows"] == 21000
+        assert abs(row["est"] - 1097) <= 0.05 * 1097
