@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "distinct_count_report",
+    "quantile_report",
     "epoch_sketches",
     "merged_distinct_estimate",
     "save_epoch_sketches",
@@ -81,6 +82,62 @@ def distinct_count_report(
         "theta_est",
         _ok(F.col("hll_est")).alias("hll_ok"),
         _ok(F.col("theta_est")).alias("theta_ok"),
+    )
+
+
+def quantile_report(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    q: float = 0.5,
+    rank_tol: float = 0.05,
+) -> DataFrame:
+    """Per-key KLL quantile estimate, verified against KLL's ACTUAL
+    guarantee: rank error, not value error.
+
+    Unlike HLL/theta, a KLL sketch is NOT partitioning-deterministic
+    (compaction depends on insertion order), and its error bound is on
+    the RANK of the returned value (±ε·n, ε≈1.65% at the default k),
+    which translates to arbitrarily large VALUE error on skewed data.
+    So the report pins (a) ``kll_n`` — the sketch counted every row,
+    an exact integer — and (b) ``rank_ok`` — the exact rank of the
+    estimate lies within ``q ± rank_tol``, computed by joining the
+    per-key estimate back and counting ``col <= est`` exactly. Two
+    aggregates + one broadcast-sized join on the key (the estimate
+    table is one row per key); distribution-free, replay-stable.
+    """
+    k = [F.col(c) for c in keys]
+    est = (
+        df.groupBy(*k)
+        .agg(F.kll_sketch_agg_double(F.col(col).cast("double")).alias("_sk"))
+        .select(
+            *keys,
+            F.kll_sketch_get_quantile_double("_sk", F.lit(float(q))).alias("est"),
+            F.kll_sketch_get_n_double("_sk").alias("kll_n"),
+        )
+    )
+    ranked = (
+        df.join(F.broadcast(est), keys)
+        .groupBy(*k)
+        .agg(
+            F.count(col).alias("n_rows"),
+            F.first("est").alias("est"),
+            F.first("kll_n").alias("kll_n"),
+            F.sum(
+                F.when(F.col(col).cast("double") <= F.col("est"), 1).otherwise(0)
+            ).alias("_rank"),
+        )
+    )
+    lo, hi = float(q - rank_tol), float(q + rank_tol)
+    return ranked.select(
+        *keys,
+        "n_rows",
+        "est",
+        (F.col("kll_n") == F.col("n_rows")).alias("kll_n_ok"),
+        (
+            (F.col("_rank") >= F.lit(lo) * F.col("n_rows"))
+            & (F.col("_rank") <= F.ceil(F.lit(hi) * F.col("n_rows")))
+        ).alias("rank_ok"),
     )
 
 

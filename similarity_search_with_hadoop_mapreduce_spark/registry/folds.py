@@ -1609,6 +1609,13 @@ def _register_agg_stats_suite() -> None:
             "CAST(n_epochs AS DOUBLE) AS v1, CAST(merged_ok AS DOUBLE) AS v2, "
             f"{nv3}, {nv4}, {nv5}",
         ),
+        (
+            "agg_sketch_quantile",
+            f"'sketch_quantile' AS shape, event_type AS g, {ns}, "
+            f"n_rows AS n1, {nn2}, "
+            "CAST(kll_n_ok AS DOUBLE) AS v1, CAST(rank_ok AS DOUBLE) AS v2, "
+            f"{nv3}, {nv4}, {nv5}",
+        ),
     ]
 
     @register("agg_stats_suite", oracle=_union_oracle(parts))
@@ -1617,7 +1624,7 @@ def _register_agg_stats_suite() -> None:
         the DataSketches tier — per-key HLL/theta distinct flags and the
         per-epoch-partials-merged lifecycle pin (members:
         agg_count_distinct, agg_stats, agg_percentile, agg_argmax,
-        agg_sketch_distinct, agg_sketch_merge)."""
+        agg_sketch_distinct, agg_sketch_merge, agg_sketch_quantile)."""
         runs = []
         runs.append(
             _q("agg_count_distinct")(spark, sf_dir).select(
@@ -1687,6 +1694,18 @@ def _register_agg_stats_suite() -> None:
                 F.col("n_rows").alias("n2"),
                 F.col("n_epochs").cast("double").alias("v1"),
                 F.col("merged_ok").cast("double").alias("v2"),
+                *[_null(f"v{i}", "double") for i in range(3, 6)],
+            )
+        )
+        runs.append(
+            _q("agg_sketch_quantile")(spark, sf_dir).select(
+                F.lit("sketch_quantile").alias("shape"),
+                F.col("event_type").alias("g"),
+                _null("s", "string"),
+                F.col("n_rows").alias("n1"),
+                _null("n2", "bigint"),
+                F.col("kll_n_ok").cast("double").alias("v1"),
+                F.col("rank_ok").cast("double").alias("v2"),
                 *[_null(f"v{i}", "double") for i in range(3, 6)],
             )
         )

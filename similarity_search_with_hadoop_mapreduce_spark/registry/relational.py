@@ -1917,3 +1917,33 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("n_exact").cast("double")
         ).alias("merged_ok"),
     )
+
+
+@register(
+    "agg_sketch_quantile",
+    oracle="""
+SELECT event_type,
+       count(value) AS n_rows,
+       TRUE AS kll_n_ok,
+       TRUE AS rank_ok
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL median sketch per event_type, pinned by the sketch's ACTUAL
+    guarantee: the estimate's exact rank within q +/- 5%% (KLL bounds
+    RANK error, ~1.65%% at the default k — value error is unbounded on
+    skewed data, and the sketch is not partitioning-deterministic, so
+    neither the value nor a value tolerance is replay-stable; the rank
+    check is distribution-free) plus kll_n == exact count (ingestion
+    counted every row). The estimate column itself is engine-side; the
+    oracle pins the exact count and the TRUE contracts."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        quantile_report,
+    )
+
+    return quantile_report(
+        table(spark, sf_dir, "events"), ["event_type"], "value", q=0.5,
+        rank_tol=0.05,
+    ).select("event_type", "n_rows", "kll_n_ok", "rank_ok")

@@ -487,6 +487,7 @@ def test_round9_validate_zorder_entries_pass_scale_audit(spark):
         # the 1-row exact/merged cross join — the documented
         # driver-held-scalar pattern
         "agg_sketch_merge": {"nested_loop_join"},
+        "agg_sketch_quantile": set(),
     }
     offenders = {}
     for name, allow in allowed.items():

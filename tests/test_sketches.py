@@ -115,3 +115,25 @@ def test_append_epoch_extends_answer(spark, events):
         assert row["n_epochs"] == 11
         assert row["n_rows"] == 21000
         assert abs(row["est"] - 1097) <= 0.05 * 1097
+
+
+def test_quantile_report_rank_guarantee_on_skew(spark):
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        quantile_report,
+    )
+
+    # heavy-tailed: v = id^3 — value error of a median estimate can be
+    # large, rank error cannot (the actual KLL bound)
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("k"),
+        (F.col("id") * F.col("id") * F.col("id")).cast("double").alias("v"),
+    )
+    rows = {
+        r["k"]: r.asDict()
+        for r in quantile_report(df, ["k"], "v", q=0.5, rank_tol=0.05).collect()
+    }
+    assert set(rows) == {"a", "b"}
+    for r in rows.values():
+        assert r["n_rows"] == 10000
+        assert r["kll_n_ok"] is True
+        assert r["rank_ok"] is True
