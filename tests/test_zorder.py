@@ -185,3 +185,39 @@ def test_write_zorder_accepts_rank_expressions(spark):
         back = spark.read.parquet(p)
         assert sorted(back.columns) == ["id", "v", "x"]
         assert back.count() == 1024
+
+
+def test_zvalue_hypothesis_random_dims(spark):
+    """Property: for random column counts, bit widths, and values
+    (in-range, negative, overflowing), the Spark expression equals the
+    pure-Python interleave — one batched frame, not one job per case."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import strategies as st
+
+    rng = hypothesis.strategies  # noqa: F841  (import check)
+    cases = []
+    draw = st.tuples(
+        st.integers(min_value=1, max_value=3),        # n cols
+        st.integers(min_value=1, max_value=12),       # bits
+        st.lists(st.integers(min_value=-10, max_value=1 << 14),
+                 min_size=3, max_size=3),
+    )
+    @hypothesis.given(draw)
+    @hypothesis.settings(max_examples=60, deadline=None)
+    def _collect(case):
+        cases.append(case)
+    _collect()
+
+    # group by (n, bits) so each shape is one Spark job
+    from collections import defaultdict
+    by_shape = defaultdict(list)
+    for n, bits, vals in cases:
+        by_shape[(n, bits)].append(vals[:n])
+    for (n, bits), rows in by_shape.items():
+        cols = [f"c{i}" for i in range(n)]
+        df = spark.createDataFrame(
+            [tuple(r) for r in rows], ", ".join(f"{c} long" for c in cols)
+        )
+        got = [r["z"] for r in df.select(zvalue(cols, bits=bits, out="z")).collect()]
+        want = [_morton(r, bits) for r in rows]
+        assert got == want, (n, bits)
