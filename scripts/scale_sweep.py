@@ -72,7 +72,11 @@ QUADRATIC_WITH_CAPPED_TWIN = {
     # r9: the uncapped registry baselines now pass max_bucket=None
     # EXPLICITLY (operator defaults flipped to 1000) — their growth stays
     # by-design; library callers get the capped plan by default
-    "ann_knn_graph_lsh": "ann_knn_graph_lsh_capped (r9 rank-window bound)",
+    # r10: knn_graph_lsh itself now DEFAULTS to the rank-window-bounded
+    # plan (cand_per_bucket="auto" -> 8·k); this registry entry passes
+    # cand_per_bucket=None explicitly to pin the uncapped oracle baseline
+    "ann_knn_graph_lsh": "knn_graph_lsh default since r10 "
+    "(rank-window bound; uncapped requires cand_per_bucket=None)",
     "multimodal_audio_dedup": "same banded join as the image family; "
     "max_bucket on band_hash_pairs",
 }
@@ -144,24 +148,49 @@ def main() -> int:
         ),
         key=lambda t: -t[1],
     )
+
+    # Prior-round baseline ratios (ADVICE r9): a blanket within_linear
+    # band would silently explain away a 6-10x regression in an entry
+    # that previously scaled sub-linearly (floor-dominated). Compare
+    # each in-band entry against the committed prior sweep: if its
+    # ratio grew materially vs last round, it STAYS a finding
+    # (ratio_regression_vs_prior) instead of being auto-annotated.
+    prior_path = os.path.join(os.path.dirname(__file__), "..",
+                              "scale_sweep.json")
+    prior_ratios: dict[str, float] = {}
+    try:
+        with open(prior_path) as f:
+            prior = json.load(f)
+        prior_ratios = {
+            n: e["ratio"]
+            for n, e in prior.get("entries", {}).items()
+            if isinstance(e, dict) and isinstance(e.get("ratio"), (int, float))
+        }
+    except (OSError, ValueError):
+        pass  # first run / missing artifact: fall back to the band alone
+
+    def _annotate(n: str, r: float) -> dict:
+        if n in QUADRATIC_WITH_CAPPED_TWIN:
+            return {"by_design": QUADRATIC_WITH_CAPPED_TWIN[n]}
+        if r > LINEAR_BAND:
+            return {}  # super-linear: always a finding
+        pr = prior_ratios.get(n)
+        if pr is not None and r > pr * 1.5 and r - pr > 1.0:
+            # in the linear band, but materially worse than last round —
+            # keep it visible as a potential new slowdown
+            return {"ratio_regression_vs_prior": pr}
+        ann = {"within_linear": "<=10x wall for 10x rows on fixed cores"}
+        if pr is not None:
+            ann["prior_ratio"] = pr
+        return ann
+
     record = {
         "artifact": "scale_sweep",
         "sf1_dir": SF1,
         "flag_ratio": FLAG_RATIO,
         "n_entries": len(out),
         "flagged": [
-            {
-                "entry": n,
-                "ratio": r,
-                **(
-                    {"by_design": QUADRATIC_WITH_CAPPED_TWIN[n]}
-                    if n in QUADRATIC_WITH_CAPPED_TWIN
-                    else {"within_linear": "<=10x wall for 10x rows on fixed cores"}
-                    if r <= LINEAR_BAND
-                    else {}
-                ),
-            }
-            for n, r in flagged
+            {"entry": n, "ratio": r, **_annotate(n, r)} for n, r in flagged
         ],
         "entries": out,
     }

@@ -1269,22 +1269,38 @@ def embedding_dup_pairs_lsh_multiband(
 
 
 def knn_graph(
-    embeddings: DataFrame, k: int = 5, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    method: str = "exact",
+    **lsh_kwargs,
 ) -> DataFrame:
-    """Exact k-nearest-neighbor graph over the embedding column — the
+    """K-nearest-neighbor graph over the embedding column — the
     per-document neighbor lists SemDeDup-style semantic dedup, density
-    filtering, and diversity sampling consume. Brute-force all-pairs
-    cosine, so O(n²): the CORRECTNESS baseline (and the right tool
-    within an IVF cell or a small slice); at corpus scale
-    :func:`knn_graph_lsh` generates candidates from LSH bucket-mates
-    only, with recall quantified the same way the dedup family's
-    recall entries do.
+    filtering, and diversity sampling consume.
+
+    ``method="exact"`` (default) is brute-force all-pairs cosine, so
+    O(n²): the CORRECTNESS baseline (and the right tool within an IVF
+    cell or a small slice). ``method="lsh"`` routes to
+    :func:`knn_graph_lsh` — which since r10 is candidate-BOUNDED by
+    default (per-(band,bucket) rank window) — forwarding ``bands`` /
+    ``rows_per_band`` / ``dim`` / ``cand_per_bucket``; recall is
+    quantified the same way the dedup family's recall entries do
+    (:func:`knn_graph_lsh_recall`).
 
     Returns ``(vec_id, neighbor_id, cosine, rank)`` with ``rank`` 1..k
     per source. Ranking orders by the ROUNDED cosine (desc, then
     neighbor id) — the same round-6 the pair family uses — so the rank
     cut is engine-stable even when two raw doubles round together.
     """
+    if method == "lsh":
+        return knn_graph_lsh(embeddings, k=k, id_col=id_col, **lsh_kwargs)
+    if method != "exact":
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
+    if lsh_kwargs:
+        raise TypeError(
+            f"unexpected kwargs for method='exact': {sorted(lsh_kwargs)}"
+        )
     a, b = _embedding_pair_sides(embeddings, id_col)
     pairs = a.join(b, F.col("vec_a") != F.col("vec_b")).select(
         F.col("vec_a").alias("vec_id"),
@@ -1306,19 +1322,44 @@ def knn_graph_lsh(
     rows_per_band: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
+    cand_per_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """Approximate k-NN graph, the 100 TB path of :func:`knn_graph`:
-    candidate neighbors are multi-band hyperplane-LSH bucket-mates
-    (the exact candidate generator of
-    :func:`embedding_dup_pairs_lsh_multiband`, threshold disabled),
+    candidate neighbors are multi-band hyperplane-LSH bucket-mates,
     mirrored to both orientations, exact-cosine scored, then windowed
-    to the top ``k`` per source. Candidate volume is Σ_bands Σ_b
-    |bucket|² instead of n²; a vector whose bucket-mates number < k
-    simply gets a shorter neighbor list (the standard ANN-graph trade —
-    raise ``bands`` to buy recall). One exchange for the per-band
-    equi-join (AQE-splittable hot buckets), one for the per-source
-    window — no all-pairs stage anywhere.
+    to the top ``k`` per source.
+
+    **Since r10 the candidate-BOUNDED plan is the default** (the r9
+    verdict's naming-footgun fix: the primary-named API must be the
+    scale-safe one, matching the pair families' capped defaults).
+    ``cand_per_bucket="auto"`` routes to :func:`knn_graph_lsh_capped`
+    with its ``8·k`` rank window — candidate volume O(B·cand) per
+    bucket, linear in occupancy. Pass an int to size the window
+    yourself, or ``cand_per_bucket=None`` to EXPLICITLY opt out into
+    the uncapped Σ|bucket|² plan (the correctness/oracle baseline —
+    honest ~8× at 10× on the sweep, super-linear at 100×); the recall
+    cost of the bound is quantified by :func:`knn_graph_lsh_recall`.
+
+    Uncapped semantics: candidates are the exact candidate generator of
+    :func:`embedding_dup_pairs_lsh_multiband` (threshold disabled). A
+    vector whose bucket-mates number < k simply gets a shorter neighbor
+    list (the standard ANN-graph trade — raise ``bands`` to buy
+    recall). One exchange for the per-band equi-join (AQE-splittable
+    hot buckets), one for the per-source window — no all-pairs stage
+    anywhere.
     """
+    if cand_per_bucket is not None:
+        return knn_graph_lsh_capped(
+            embeddings,
+            k=k,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            dim=dim,
+            id_col=id_col,
+            cand_per_bucket=(
+                None if cand_per_bucket == "auto" else cand_per_bucket
+            ),
+        )
     und = embedding_dup_pairs_lsh_multiband(
         embeddings,
         threshold=-1.0,  # keep every candidate; ranking replaces the cut
@@ -1327,8 +1368,9 @@ def knn_graph_lsh(
         dim=dim,
         id_col=id_col,
         # uncapped BY DESIGN (r8 ruling): a star cap would corrupt
-        # per-source neighbor lists; knn_graph_lsh_capped is the bounded
-        # variant (per-source rank-window truncation, not a star)
+        # per-source neighbor lists. This branch only runs when the
+        # caller explicitly opted out with cand_per_bucket=None (r10);
+        # the rank-window-bounded plan is the default above.
         max_bucket=None,
     )
     both = und.union(
@@ -1490,6 +1532,7 @@ def knn_graph_lsh_recall(
     lsh = knn_graph_lsh(
         embeddings, k=k, bands=bands, rows_per_band=rows_per_band,
         dim=dim, id_col=id_col,
+        cand_per_bucket=None,  # this side IS the uncapped reference graph
     ).select("vec_id", "neighbor_id")
     capped = knn_graph_lsh_capped(
         embeddings, k=k, bands=bands, rows_per_band=rows_per_band,

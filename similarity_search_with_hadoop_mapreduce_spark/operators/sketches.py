@@ -5,7 +5,8 @@ Exact ``COUNT(DISTINCT)`` over several columns plans via Expand (input
 replicated once per distinct agg) and must re-scan history to extend a
 result; exact quantiles need a sort. The sketch versions (Apache
 DataSketches, built into Spark: ``hll_sketch_agg`` / ``theta_sketch_agg``
-/ ``kll_sketch_agg_*`` / ``count_min_sketch``) are **map-only mergeable
+/ ``kll_sketch_agg_*``; count-min materialized relationally — see the
+CM section below) are **map-only mergeable
 state**: each task folds its slice into an O(2^lgk)-byte summary, merges
 are associative and lossless, and a stored per-epoch sketch table makes
 "distinct users this quarter" a merge over O(epochs) kilobyte rows — the
@@ -39,9 +40,17 @@ __all__ = [
     "merged_distinct_estimate",
     "save_epoch_sketches",
     "distinct_from_stored_sketches",
+    "cm_sketch",
+    "cm_estimate",
+    "epoch_cm_sketches",
+    "merge_cm_sketches",
+    "save_epoch_cm_sketches",
+    "frequency_report",
 ]
 
 _LGK = 12  # default HLL/theta precision: ~1.6% RSE, 4-32 KB per sketch
+_CM_WIDTH = 1024  # default count-min width: eps = e/w ~ 0.27% of stream size
+_CM_DEPTH = 4  # default count-min depth: overestimate-bound failure ~e^-4
 
 
 def distinct_count_report(
@@ -163,6 +172,43 @@ def merged_distinct_estimate(sketches: DataFrame) -> DataFrame:
     )
 
 
+def _guard_epoch_append(new_epochs: DataFrame, path: str,
+                        on_conflict: str) -> DataFrame | None:
+    """Shared append-idempotency guard (ADVICE r9): a retried ingest
+    re-appending an epoch already in the stored table would silently
+    double-count its rows and skew every merged estimate. Reads the
+    stored table's epoch keys (O(epochs) kilobyte rows) and either
+    raises (``on_conflict='error'``, the default — the retry is a bug
+    to surface) or drops the overlapping epochs from the new batch
+    (``on_conflict='skip'`` — at-least-once ingest becomes idempotent).
+    Returns the filtered new-epoch frame, or None when nothing is left
+    to write."""
+    spark = new_epochs.sparkSession
+    try:
+        stored = spark.read.parquet(path).select("epoch")
+    except Exception:  # noqa: BLE001 — first epoch: nothing stored yet
+        return new_epochs
+    # O(epochs) driver-held keys — the stored table is kilobyte rows,
+    # one per epoch, by construction
+    stored_keys = {r.epoch for r in stored.distinct().collect()}
+    new_keys = {
+        r.epoch for r in new_epochs.select("epoch").distinct().collect()
+    }
+    overlap = stored_keys & new_keys
+    if not overlap:
+        return new_epochs
+    if on_conflict == "skip":
+        keep = new_keys - overlap
+        if not keep:
+            return None
+        return new_epochs.filter(F.col("epoch").isin(list(keep)))
+    raise ValueError(
+        f"epochs already stored at {path}: {sorted(overlap)[:10]} — "
+        "appending would double-count; pass on_conflict='skip' to make "
+        "the retry idempotent"
+    )
+
+
 def save_epoch_sketches(
     df: DataFrame,
     path: str,
@@ -170,15 +216,25 @@ def save_epoch_sketches(
     col: str,
     lgk: int = _LGK,
     mode: str = "overwrite",
+    on_conflict: str = "error",
 ) -> None:
     """Persist the per-epoch partials (binary sketch column, parquet).
 
     The stored table is the whole lifecycle: a new epoch appends one
-    row (``mode='append'`` with an epoch not yet present — same
-    idempotency convention as the ANN layout appends), and any distinct
-    question over any epoch range is a scan of that many kilobyte rows.
+    row (``mode='append'``), and any distinct question over any epoch
+    range is a scan of that many kilobyte rows. Appends are GUARDED
+    (ADVICE r9): an epoch already present in the stored table raises by
+    default (``on_conflict='skip'`` drops it instead), so a retried
+    ingest cannot silently double-count ``n_rows`` and skew merged
+    estimates — the same idempotency convention as the ANN layout
+    appends, now enforced rather than documented.
     """
-    epoch_sketches(df, epoch, col, lgk).write.mode(mode).parquet(path)
+    part = epoch_sketches(df, epoch, col, lgk)
+    if mode == "append":
+        part = _guard_epoch_append(part, path, on_conflict)
+        if part is None:
+            return
+    part.write.mode(mode).parquet(path)
 
 
 def distinct_from_stored_sketches(spark, path: str, epochs=None) -> DataFrame:
@@ -189,3 +245,197 @@ def distinct_from_stored_sketches(spark, path: str, epochs=None) -> DataFrame:
     if epochs is not None:
         sk = sk.filter(F.col("epoch").isin(list(epochs)))
     return merged_distinct_estimate(sk)
+
+
+# ---------------------------------------------------------------------------
+# Count-min / heavy hitters — the frequency member of the mergeable family
+# (HLL/theta = distinct, KLL = quantiles, CM = per-item counts). Rather than
+# Spark's opaque binary ``count_min_sketch`` aggregate (no SQL-level merge or
+# point-query function), the sketch is materialized as its defining d×w
+# counter MATRIX in relational form: ``(depth, bucket, cnt)``. That keeps
+# every CM property first-class in the engine's own algebra:
+#   - update   = explode d (depth, xxhash64(item, depth) mod w) cells per
+#                item, one map-side-combined groupBy — O(d·w) rows out,
+#                thousands, regardless of corpus size;
+#   - merge    = groupBy (depth, bucket) SUM — EXACT (counts add), so
+#                merged-from-epochs is bit-identical to a direct sketch,
+#                a hard pin (unlike HLL union, which may coarsen);
+#   - estimate = broadcast-join candidates to their d cells, MIN over
+#                depth — the classic CM point query;
+#   - storage  = a parquet table per epoch, same lifecycle as the HLL
+#                partials (guarded append, probe without corpus rescan).
+# Guarantees (pinned in the registry entry): est >= true ALWAYS (every
+# occurrence lands in all d counted cells — deterministic, not
+# probabilistic), and est <= true + (e/width)·N with prob ~1-e^-depth
+# (empirical on a given dataset; the dials below re-pin it deliberately).
+# ---------------------------------------------------------------------------
+
+
+def _cm_cells(item: Column, width: int, depth: int) -> Column:
+    """The d (depth, bucket) cells an item updates/probes: bucket_j =
+    xxhash64(item, j) mod width — the literal depth index salts the one
+    codegen'd hash into d independent-enough hash functions."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"),
+                F.pmod(F.xxhash64(item, F.lit(j)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cm_sketch(
+    items: DataFrame,
+    col: str,
+    width: int = _CM_WIDTH,
+    depth: int = _CM_DEPTH,
+    weight: str | None = None,
+) -> DataFrame:
+    """Count-min sketch of an item stream as a ``(depth, bucket, cnt)``
+    table — at most ``depth·width`` rows whatever the corpus size.
+
+    One explode (d small structs per item) + one map-side-combined
+    groupBy over a key space of ``d·w`` — the exchange moves counters,
+    not items. NULL items are skipped (they are not stream members).
+    ``weight`` optionally sums an integer column instead of counting
+    rows (pre-aggregated inputs)."""
+    x = items.filter(F.col(col).isNotNull()).select(
+        F.explode(_cm_cells(F.col(col), width, depth)).alias("c"),
+        *( [F.col(weight).alias("_w")] if weight else [] ),
+    )
+    agg = F.sum("_w") if weight else F.count(F.lit(1))
+    return x.groupBy(
+        F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket")
+    ).agg(agg.cast("long").alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    col: str = "term",
+    width: int = _CM_WIDTH,
+    depth: int = _CM_DEPTH,
+) -> DataFrame:
+    """CM point query for each candidate item: MIN over its d cells.
+
+    The sketch is ≤ ``d·w`` rows, so it is broadcast; candidates flow
+    through map-side — no shuffle on the (possibly huge) candidate set
+    beyond the final per-item min aggregate. A cell absent from the
+    sketch table means no item ever hashed there (cnt 0) — impossible
+    for an item actually in the stream, so the coalesce only fires for
+    out-of-stream probes, correctly yielding estimate 0."""
+    probes = candidates.select(
+        F.col(col), F.explode(_cm_cells(F.col(col), width, depth)).alias("c")
+    ).select(col, "c.depth", "c.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
+    )
+
+
+def epoch_cm_sketches(
+    df: DataFrame,
+    epoch: Column | str,
+    col: str,
+    width: int = _CM_WIDTH,
+    depth: int = _CM_DEPTH,
+) -> DataFrame:
+    """One CM sketch per epoch — the storable frequency partial:
+    ``(epoch, depth, bucket, cnt)``, ≤ d·w rows per epoch."""
+    e = F.col(epoch) if isinstance(epoch, str) else epoch
+    x = df.filter(F.col(col).isNotNull()).select(
+        e.alias("epoch"),
+        F.explode(_cm_cells(F.col(col), width, depth)).alias("c"),
+    )
+    return x.groupBy(
+        "epoch", F.col("c.depth").alias("depth"),
+        F.col("c.bucket").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def merge_cm_sketches(partials: DataFrame) -> DataFrame:
+    """Merge per-epoch CM partials into one sketch: counts ADD, so this
+    groupBy-sum is EXACT — the merged sketch is bit-identical to one
+    built directly over the union of the epochs (hard-pinned in the
+    registry entry), unlike HLL union which may coarsen precision."""
+    return partials.groupBy("depth", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def save_epoch_cm_sketches(
+    df: DataFrame,
+    path: str,
+    epoch: Column | str,
+    col: str,
+    width: int = _CM_WIDTH,
+    depth: int = _CM_DEPTH,
+    mode: str = "overwrite",
+    on_conflict: str = "error",
+) -> None:
+    """Persist per-epoch CM partials with the same guarded-append
+    idempotency contract as :func:`save_epoch_sketches`: re-appending a
+    stored epoch raises (or is skipped with ``on_conflict='skip'``) —
+    double-counting is SILENT in a CM sketch (estimates just inflate),
+    so the guard matters even more here than for HLL."""
+    part = epoch_cm_sketches(df, epoch, col, width, depth)
+    if mode == "append":
+        part = _guard_epoch_append(part, path, on_conflict)
+        if part is None:
+            return
+    part.write.mode(mode).parquet(path)
+
+
+def frequency_report(
+    items: DataFrame,
+    col: str,
+    top_k: int = 20,
+    width: int = _CM_WIDTH,
+    depth: int = _CM_DEPTH,
+) -> DataFrame:
+    """Heavy-hitter report: the exact top-``top_k`` items (count desc,
+    item asc — a TakeOrderedAndProject, never a full sort) with their CM
+    estimates and the sketch's two contracts evaluated per item:
+
+    - ``cm_ge_exact``: estimate >= exact — CM's HARD guarantee (every
+      occurrence increments all d probed cells), deterministic;
+    - ``cm_tol_ok``: estimate <= exact + ceil(e/width · N) — the classic
+      CM error bound at the sketch's own eps; probabilistic in theory
+      (prob ~1-e^-depth per item) but deterministic for a fixed dataset
+      and dials, so replay-stable (the registry pins it empirically and
+      ``width``/``depth`` are the re-pin dials, ADVICE r9).
+
+    The exact side exists to GRADE the sketch (and is the oracle
+    baseline); the 100-TB serving path is the stored per-epoch partials
+    + :func:`cm_estimate` over candidate items — no global top-k at
+    all, candidates come from a per-partition pre-filter or a known
+    watchlist."""
+    import math
+
+    x = items.filter(F.col(col).isNotNull())
+    exact_top = (
+        x.groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc(col))
+        .limit(top_k)
+    )
+    total = x.agg(F.count(F.lit(1)).cast("long").alias("_n_total"))
+    est = cm_estimate(cm_sketch(x, col, width, depth), exact_top, col,
+                      width, depth)
+    bound = F.ceil(F.lit(math.e / width) * F.col("_n_total"))
+    return (
+        exact_top.join(est, col)
+        .join(F.broadcast(total))
+        .select(
+            col,
+            "n_exact",
+            "cm_est",
+            (F.col("cm_est") >= F.col("n_exact")).alias("cm_ge_exact"),
+            (F.col("cm_est") <= F.col("n_exact") + bound).alias("cm_tol_ok"),
+        )
+    )

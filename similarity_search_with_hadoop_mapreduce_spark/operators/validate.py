@@ -62,11 +62,24 @@ def _stack_report(one_row: DataFrame, names: list[str], cols: list[str],
     ``stack`` is a plain generator expression — no shuffle, no Python;
     the input is literally one row so this is driver-negligible work
     that keeps the report schema stable no matter how many checks ran.
+
+    ``names`` are caller-supplied (rule/column names) and are
+    interpolated as SQL string literals, so they are escaped here —
+    a quote or backslash in a check name must surface verbatim in the
+    report, not parse-error or splice into the generated expression
+    (ADVICE r9). The backtick-quoted identifiers are module-internal
+    (``{col}_{i}`` over fixed col lists), never caller input.
     """
     n = len(names)
     width = len(out)
+
+    def lit(s: str) -> str:
+        # Spark SQL string literal: backslash is the escape char and
+        # single quote ends the literal — escape both.
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     cells = ", ".join(
-        ", ".join([f"'{names[i]}'"] + [f"`{c}_{i}`" for c in cols])
+        ", ".join([lit(names[i])] + [f"`{c}_{i}`" for c in cols])
         for i in range(n)
     )
     alias = ", ".join(["check"] + out)

@@ -899,12 +899,17 @@ def ann_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (3 bands x 4 planes — the dedup family's band
     structure), mirrored to both orientations and windowed per source.
     No all-pairs stage; the oracle replays banding, mirroring, and the
-    round-6 rank cut."""
+    round-6 rank cut. ``cand_per_bucket=None`` is the EXPLICIT uncapped
+    opt-out (r10: the operator's default is now the rank-window-bounded
+    plan; this entry pins the uncapped baseline the oracle replays,
+    mirroring how the pair families' uncapped baselines opt out of the
+    star cap)."""
     return D.knn_graph_lsh(
         table(spark, sf_dir, "embeddings"),
         k=_KNN_K,
         bands=_EMB_BANDS,
         rows_per_band=_EMB_ROWS,
+        cand_per_bucket=None,
     )
 
 

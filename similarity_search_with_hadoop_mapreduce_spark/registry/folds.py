@@ -1616,15 +1616,27 @@ def _register_agg_stats_suite() -> None:
             "CAST(kll_n_ok AS DOUBLE) AS v1, CAST(rank_ok AS DOUBLE) AS v2, "
             f"{nv3}, {nv4}, {nv5}",
         ),
+        (
+            # r10: count-min heavy hitters — the frequency member
+            "agg_sketch_frequency",
+            f"'sketch_frequency' AS shape, term AS g, {ns}, "
+            f"n_exact AS n1, {nn2}, "
+            "CAST(cm_ge_exact AS DOUBLE) AS v1, "
+            "CAST(cm_tol_ok AS DOUBLE) AS v2, "
+            "CAST(merged_eq AS DOUBLE) AS v3, "
+            f"{nv4}, {nv5}",
+        ),
     ]
 
     @register("agg_stats_suite", oracle=_union_oracle(parts))
     def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Tagged union of the statistical aggregate families, plus (r9)
         the DataSketches tier — per-key HLL/theta distinct flags and the
-        per-epoch-partials-merged lifecycle pin (members:
-        agg_count_distinct, agg_stats, agg_percentile, agg_argmax,
-        agg_sketch_distinct, agg_sketch_merge, agg_sketch_quantile)."""
+        per-epoch-partials-merged lifecycle pin — and (r10) the
+        count-min heavy-hitter member (members: agg_count_distinct,
+        agg_stats, agg_percentile, agg_argmax, agg_sketch_distinct,
+        agg_sketch_merge, agg_sketch_quantile,
+        agg_sketch_frequency)."""
         runs = []
         runs.append(
             _q("agg_count_distinct")(spark, sf_dir).select(
@@ -1707,6 +1719,19 @@ def _register_agg_stats_suite() -> None:
                 F.col("kll_n_ok").cast("double").alias("v1"),
                 F.col("rank_ok").cast("double").alias("v2"),
                 *[_null(f"v{i}", "double") for i in range(3, 6)],
+            )
+        )
+        runs.append(
+            _q("agg_sketch_frequency")(spark, sf_dir).select(
+                F.lit("sketch_frequency").alias("shape"),
+                F.col("term").alias("g"),
+                _null("s", "string"),
+                F.col("n_exact").alias("n1"),
+                _null("n2", "bigint"),
+                F.col("cm_ge_exact").cast("double").alias("v1"),
+                F.col("cm_tol_ok").cast("double").alias("v2"),
+                F.col("merged_eq").cast("double").alias("v3"),
+                *[_null(f"v{i}", "double") for i in range(4, 6)],
             )
         )
         return _union_spark(runs)

@@ -10,6 +10,7 @@ and shuffle partitions sized to the core count rather than the 200 default.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -65,6 +66,18 @@ def get_session(
         .config(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        # Fresh per-process warehouse (r9 verdict hygiene item): the
+        # stored-model oracle entries (lm_bigram_score, term profiles,
+        # vocab heads) saveAsTable within one entry run; nothing reads a
+        # table across processes, so a temp warehouse keeps stale stored
+        # models from one local run leaking into the next (the default
+        # ./spark-warehouse accumulated them in the repo root). Override
+        # with SPARK_GRAFT_WAREHOUSE for a deliberately persistent one.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE")
+            or tempfile.mkdtemp(prefix="spark-warehouse-"),
         )
     )
     spark = builder.getOrCreate()

@@ -116,7 +116,8 @@ def write_range_partitioned(
     )
 
 
-def zvalue(cols: list, bits: int = 16, out: str = "zvalue"):
+def zvalue(cols: list, bits: int = 16, out: str = "zvalue",
+           nulls: int | None = None):
     """Morton (Z-order) key: bit-interleave of N integer columns.
 
     ``write_range_partitioned`` prunes on ONE key; a query filtering two
@@ -138,6 +139,17 @@ def zvalue(cols: list, bits: int = 16, out: str = "zvalue"):
     skewed doubles — rank-mapping is the production normalizer, computed
     once per layout build). With ``bits * len(cols) <= 63`` the key fits
     a BIGINT; the whole expression is codegen'd JVM integer math, no UDF.
+
+    **NULL placement** (ADVICE r9): by default a NULL input clamps to
+    the MAXIMUM bucket ``2**bits - 1`` — Spark's ``least``/``greatest``
+    skip NULLs, so ``greatest(0, least(NULL, hi))`` yields ``hi``, and
+    DuckDB's variadic forms agree, keeping the two engines' keys
+    identical. That parks all NULL-keyed rows in the far corner of the
+    Morton space, which is actually a reasonable layout (they cluster
+    in the last files and a box predicate on real values skips them)
+    but is surprising if unstated. Pass ``nulls=<bucket>`` to coalesce
+    NULLs to a chosen bucket deliberately (e.g. ``0``), mirrored in
+    :func:`zvalue_oracle_sql` so the oracle replays the same choice.
     """
     n = len(cols)
     if n == 0:
@@ -145,10 +157,15 @@ def zvalue(cols: list, bits: int = 16, out: str = "zvalue"):
     if bits * n > 63:
         raise ValueError(f"bits*cols = {bits * n} exceeds BIGINT capacity")
     hi = (1 << bits) - 1
+    if nulls is not None and not (0 <= nulls <= hi):
+        raise ValueError(f"nulls bucket {nulls} outside [0, {hi}]")
     z = F.lit(0).cast("long")
     for c_idx, c in enumerate(cols):
         col = F.col(c) if isinstance(c, str) else c
-        x = F.greatest(F.lit(0).cast("long"), F.least(col.cast("long"), F.lit(hi)))
+        col = col.cast("long")
+        if nulls is not None:
+            col = F.coalesce(col, F.lit(nulls).cast("long"))
+        x = F.greatest(F.lit(0).cast("long"), F.least(col, F.lit(hi)))
         for i in range(bits):
             z = z + F.shiftleft(
                 F.shiftright(x, i).bitwiseAND(F.lit(1)), i * n + c_idx
@@ -156,15 +173,22 @@ def zvalue(cols: list, bits: int = 16, out: str = "zvalue"):
     return z.alias(out)
 
 
-def zvalue_oracle_sql(cols: list[str], bits: int = 16) -> str:
+def zvalue_oracle_sql(cols: list[str], bits: int = 16,
+                      nulls: int | None = None) -> str:
     """The DuckDB-side rendering of :func:`zvalue`'s exact formula —
-    kept next to the Spark expression so the two can never drift apart.
+    kept next to the Spark expression so the two can never drift apart
+    (including the NULL->max-bucket default and the ``nulls`` override).
     Returns a scalar SQL expression over the same column names."""
     n = len(cols)
     hi = (1 << bits) - 1
     terms = []
     for c_idx, c in enumerate(cols):
-        x = f"greatest(0, least(CAST({c} AS BIGINT), {hi}))"
+        src = (
+            f"coalesce(CAST({c} AS BIGINT), {nulls})"
+            if nulls is not None
+            else f"CAST({c} AS BIGINT)"
+        )
+        x = f"greatest(0, least({src}, {hi}))"
         for i in range(bits):
             terms.append(f"((({x} >> {i}) & 1) << {i * n + c_idx})")
     return "(" + " + ".join(terms) + ")"

@@ -1269,7 +1269,8 @@ def test_knn_graph_lsh_capped_rank_window_bound_and_recall(spark):
     }
     unc = {
         (r.vec_id, r.neighbor_id, r.cosine, r.rank)
-        for r in knn_graph_lsh(emb, k=k).collect()
+        # r10: uncapped is now the explicit opt-out, not the default
+        for r in knn_graph_lsh(emb, k=k, cand_per_bucket=None).collect()
     }
     assert wide == unc
     # (a) mass-duplicate bucket: B clones, narrow window -> each source
@@ -1295,3 +1296,36 @@ def test_knn_graph_lsh_capped_rank_window_bound_and_recall(spark):
     row = knn_graph_lsh_recall(emb, k=k).collect()[0]
     assert row.n_exact > 0
     assert 0.0 < row.recall_capped <= row.recall_lsh <= 1.0
+
+
+def test_knn_graph_lsh_front_door_is_bounded_by_default(spark):
+    """r10 routing pin: the primary-named APIs serve the rank-window
+    bounded plan by default; cand_per_bucket=None is the explicit
+    uncapped opt-out (the r9 verdict's naming-footgun fix)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        knn_graph,
+        knn_graph_lsh,
+        knn_graph_lsh_capped,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    key = lambda df: sorted(  # noqa: E731
+        (r.vec_id, r.neighbor_id, r.rank, r.cosine) for r in df.collect()
+    )
+    default = key(knn_graph_lsh(emb, k=3))
+    assert default == key(knn_graph_lsh_capped(emb, k=3))
+    assert default == key(knn_graph(emb, k=3, method="lsh"))
+    # explicit opt-out reaches the uncapped candidate generator: its plan
+    # has no rank-window join condition (r-range predicate), the
+    # default's does
+    capped_plan = knn_graph_lsh(emb, k=3)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    uncapped_plan = knn_graph_lsh(emb, k=3, cand_per_bucket=None) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "rb" in capped_plan
+    assert "rb" not in uncapped_plan
+    import pytest
+    with pytest.raises(ValueError, match="method"):
+        knn_graph(emb, method="cosine")
+    with pytest.raises(TypeError, match="unexpected kwargs"):
+        knn_graph(emb, method="exact", bands=3)

@@ -137,3 +137,122 @@ def test_quantile_report_rank_guarantee_on_skew(spark):
         assert r["n_rows"] == 10000
         assert r["kll_n_ok"] is True
         assert r["rank_ok"] is True
+
+
+def test_append_duplicate_epoch_guard(spark, events):
+    """ADVICE r9: re-appending a stored epoch must not silently
+    double-count — error by default, idempotent skip on request."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        save_epoch_cm_sketches,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="sketches-") as d:
+        path = os.path.join(d, "daily")
+        save_epoch_sketches(events, path, "day", "user_id")
+        retry = events.filter(F.col("day") == "3")
+        with pytest.raises(ValueError, match="already stored"):
+            save_epoch_sketches(retry, path, "day", "user_id", mode="append")
+        # skip mode: the retried epoch is dropped, genuinely-new kept
+        mixed = events.filter(F.col("day").isin("3", "4")).union(
+            spark.range(500).select(
+                (F.col("id") % 50 + 2000).alias("user_id"),
+                F.lit("99").alias("day"),
+                F.lit("click").alias("event_type"),
+            )
+        )
+        save_epoch_sketches(
+            mixed, path, "day", "user_id", mode="append", on_conflict="skip"
+        )
+        row = distinct_from_stored_sketches(spark, path).collect()[0]
+        assert row["n_epochs"] == 11  # 0..9 plus "99" — 3/4 NOT re-added
+        assert row["n_rows"] == 20500
+        # all-duplicate retry with skip: clean no-op
+        save_epoch_sketches(
+            retry, path, "day", "user_id", mode="append", on_conflict="skip"
+        )
+        assert (
+            distinct_from_stored_sketches(spark, path).collect()[0]["n_epochs"]
+            == 11
+        )
+        # CM partials share the same guard
+        cmp_ = os.path.join(d, "cm")
+        save_epoch_cm_sketches(events, cmp_, "day", "event_type")
+        with pytest.raises(ValueError, match="already stored"):
+            save_epoch_cm_sketches(
+                retry, cmp_, "day", "event_type", mode="append"
+            )
+
+
+def test_cm_hard_guarantees_and_exact_merge(spark):
+    """Count-min pins: estimate >= exact ALWAYS (the deterministic CM
+    guarantee), within the e/width bound on a zipf-ish stream, and
+    merged-from-epoch-partials is bit-identical to the direct sketch
+    (CM merge is exact addition, unlike HLL union)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+        epoch_cm_sketches,
+        frequency_report,
+        merge_cm_sketches,
+    )
+
+    # zipf-ish frequencies with known exact counts: term t_k appears
+    # floor(8000/k) times, k = 1..40
+    df = spark.range(40).select(
+        F.concat(F.lit("t"), F.col("id") + 1).alias("term"),
+        (F.lit(8000) / (F.col("id") + 1)).cast("long").alias("n"),
+    ).select(F.col("term"), F.explode(F.sequence(F.lit(1), F.col("n"))))
+    rep = frequency_report(df, "term", top_k=15, width=256, depth=4)
+    rows = rep.collect()
+    assert len(rows) == 15
+    exact = {r.term: r.n_exact for r in rows}
+    assert exact["t1"] == 8000 and exact["t2"] == 4000
+    for r in rows:
+        assert r.cm_ge_exact is True
+        assert r.cm_tol_ok is True
+
+    # merge exactness: per-epoch partials -> groupBy-SUM == direct
+    epoched = df.withColumn("e", F.length("term") % 3)
+    merged = merge_cm_sketches(
+        epoch_cm_sketches(epoched, "e", "term", width=256, depth=4)
+    )
+    direct = cm_sketch(df, "term", width=256, depth=4)
+    joined = merged.withColumnRenamed("cnt", "m").join(
+        direct.withColumnRenamed("cnt", "d"), ["depth", "bucket"], "full"
+    )
+    assert joined.filter(F.col("m") != F.col("d")).count() == 0
+    assert joined.filter(F.col("m").isNull() | F.col("d").isNull()).count() == 0
+
+    # point query of an out-of-stream item estimates 0 (left join
+    # coalesce path), and of an in-stream item >= its true count
+    probes = spark.createDataFrame([("t1",), ("nope",)], "term string")
+    est = {
+        r.term: r.cm_est
+        for r in cm_estimate(direct, probes, "term", width=256, depth=4).collect()
+    }
+    assert est["nope"] == 0
+    assert est["t1"] >= 8000
+
+
+def test_cm_sketch_bounded_and_partitioning_invariant(spark):
+    """The sketch table never exceeds depth*width rows however large the
+    stream, and is a pure function of the input multiset (partitioning
+    cannot change counters)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        cm_sketch,
+    )
+
+    df = spark.range(50000).select(
+        F.concat(F.lit("w"), F.col("id") % 3000).alias("term")
+    )
+    sk = cm_sketch(df, "term", width=64, depth=3)
+    assert sk.count() <= 64 * 3
+    a = sorted(map(tuple, sk.collect()))
+    b = sorted(map(tuple, cm_sketch(df.repartition(17), "term",
+                                    width=64, depth=3).collect()))
+    assert a == b
+    # total mass per depth row == stream size (every item counted once
+    # per hash function)
+    per_depth = {r.depth: r.s for r in
+                 sk.groupBy("depth").agg(F.sum("cnt").alias("s")).collect()}
+    assert set(per_depth.values()) == {50000}

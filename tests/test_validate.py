@@ -163,3 +163,25 @@ def test_fk_orphans_moves_keys_not_rows(spark):
     ]
     assert carried == [], carried
     assert "LeftAnti" in plan
+
+
+def test_rule_names_with_quotes_are_escaped(spark):
+    """ADVICE r9: caller-supplied check/rule names are interpolated into
+    the stack() SQL as string literals — a quote or backslash must come
+    back verbatim in the report, not parse-error or splice into the
+    generated expression."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.validate import (
+        check_rules,
+        null_profile,
+    )
+
+    df = spark.createDataFrame([(1,), (None,)], "v int")
+    weird = "o'brien's \\ rule `x`"
+    rows = {r.check: r.violations
+            for r in check_rules(df, [(weird, "v > 0")]).collect()}
+    assert rows == {weird: 1}  # NULL v violates; name round-trips exactly
+
+    # null_profile interpolates COLUMN names as literals the same way
+    df2 = spark.range(3).select(F.col("id").alias("a"))
+    out = null_profile(df2, ["a"]).collect()
+    assert out[0].column == "a" and out[0].n_null == 0

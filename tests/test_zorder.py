@@ -221,3 +221,47 @@ def test_zvalue_hypothesis_random_dims(spark):
         got = [r["z"] for r in df.select(zvalue(cols, bits=bits, out="z")).collect()]
         want = [_morton(r, bits) for r in rows]
         assert got == want, (n, bits)
+
+
+def test_zvalue_null_placement_documented_and_dialable(spark):
+    """ADVICE r9: NULL inputs clamp to the max bucket by default (both
+    engines' least/greatest skip NULLs identically); nulls=<bucket>
+    coalesces them to a chosen bucket, mirrored in the oracle SQL."""
+    import duckdb
+
+    from similarity_search_with_hadoop_mapreduce_spark.sources.sinks import (
+        zvalue,
+        zvalue_oracle_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 2), (3, None), (1, 2)], "x int, y int"
+    )
+    bits = 4
+    hi = (1 << bits) - 1
+    got = [r.z for r in df.select(
+        zvalue(["x", "y"], bits=bits, out="z")).collect()]
+    # default: NULL -> max bucket
+    def ref(x, y):
+        z = 0
+        for i in range(bits):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+    assert got == [ref(hi, 2), ref(3, hi), ref(1, 2)]
+
+    got0 = [r.z for r in df.select(
+        zvalue(["x", "y"], bits=bits, out="z", nulls=0)).collect()]
+    assert got0 == [ref(0, 2), ref(3, 0), ref(1, 2)]
+
+    # oracle twin agrees under both settings
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (x INT, y INT)")
+    con.sql("INSERT INTO t VALUES (NULL, 2), (3, NULL), (1, 2)")
+    for nulls, want in ((None, got), (0, got0)):
+        expr = zvalue_oracle_sql(["x", "y"], bits=bits, nulls=nulls)
+        assert [r[0] for r in con.sql(f"SELECT {expr} FROM t").fetchall()] == want
+
+    import pytest
+    with pytest.raises(ValueError, match="nulls bucket"):
+        zvalue(["x"], bits=4, nulls=99)
