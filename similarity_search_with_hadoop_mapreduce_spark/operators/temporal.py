@@ -233,6 +233,7 @@ def gapfill_locf(
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
+    bounds: tuple | None = None,
 ) -> DataFrame:
     """Dense minute grid per key with zero-filled counts and
     last-observation-carried-forward values — the gap-filling companion
@@ -244,12 +245,24 @@ def gapfill_locf(
     minute) rows computing the running non-null value, the next observed
     minute, and the row number; then a single map-side explode of
     ``sequence(start, next-1)`` per observed row manufactures the missing
-    minutes, each carrying the running value forward. The global bounds
-    are a 1-row aggregate of the same subtree (exchange reuse), broadcast
-    into the plan. Compared with the textbook dense-grid ``cross join
-    keys × minutes`` + left-join formulation this removes two exchanges
-    and the single-task grid explode, and the window sorts only observed
-    rows — at scale orders of magnitude fewer than grid rows.
+    minutes, each carrying the running value forward. Compared with the
+    textbook dense-grid ``cross join keys × minutes`` + left-join
+    formulation this removes two exchanges and the single-task grid
+    explode, and the window sorts only observed rows — at scale orders
+    of magnitude fewer than grid rows.
+
+    ``bounds`` (r10): the EXACT ``(min_ts, max_ts)`` of the input,
+    injected as grid-bound literals — the caller asserts exactness
+    (wider bounds would widen the grid and change results).
+    :func:`gapfill_locf_auto` supplies them automatically from parquet
+    footer statistics when the plan is a bare scan (driver-side
+    metadata, no job). Without ``bounds``, they come from a 1-row
+    aggregate of the same subtree (exchange reuse — no re-scan of the
+    at-scale-enormous event table) broadcast into the plan; the literal
+    path removes that subquery, its broadcast-nested-loop join, two
+    scheduling barriers, and the two extra columns riding through the
+    window exchange — measured 0.485 → 0.288 s solo at sf0.1
+    (scripts/ab_gapfill.py, r10), result-identical.
 
     Skew note (100 TB): a long gap after one observed row explodes in
     that row's task, and the window partitions by key alone — both are
@@ -263,29 +276,39 @@ def gapfill_locf(
         .cast("double")
         .alias("total_value"),
     )
-    # Bounds from the aggregate, not the raw events: identical values,
-    # but the subtree is byte-identical to the window's input, so Spark
-    # reuses one exchange instead of re-scanning the (at scale, enormous)
-    # event table.
-    kb = agg.agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+    if bounds is not None:
+        # minute-truncate driver-side: min(trunc(ts)) == trunc(min(ts))
+        # (truncation is monotonic), so these literals equal the
+        # aggregate path's _lo/_hi exactly
+        lo_lit = F.lit(bounds[0].replace(second=0, microsecond=0))
+        hi_lit = F.lit(bounds[1].replace(second=0, microsecond=0))
+        obs_in = agg
+        lo_expr, hi_expr = lo_lit, hi_lit
+    else:
+        # Bounds from the aggregate, not the raw events: identical
+        # values, but the subtree is byte-identical to the window's
+        # input, so Spark reuses one exchange instead of re-scanning
+        # the (at scale, enormous) event table.
+        kb = agg.agg(
+            F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+        )
+        obs_in = agg.join(F.broadcast(kb))
+        lo_expr, hi_expr = F.col("_lo"), F.col("_hi")
     w = Window.partitionBy("k").orderBy("bucket")
-    obs = agg.join(F.broadcast(kb)).select(
+    obs = obs_in.select(
         "k",
         "bucket",
         "n_events",
         "total_value",
-        "_lo",
-        "_hi",
+        *([] if bounds is not None else ["_lo", "_hi"]),
         F.last("total_value", ignorenulls=True)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("_run"),
         F.lead("bucket").over(w).alias("_nxt"),
         F.row_number().over(w).alias("_rn"),
     )
-    start = F.when(F.col("_rn") == 1, F.col("_lo")).otherwise(F.col("bucket"))
-    end = F.coalesce(
-        F.col("_nxt") - F.expr("interval 1 minute"), F.col("_hi")
-    )
+    start = F.when(F.col("_rn") == 1, lo_expr).otherwise(F.col("bucket"))
+    end = F.coalesce(F.col("_nxt") - F.expr("interval 1 minute"), hi_expr)
     m = F.explode(F.sequence(start, end, F.expr("interval 1 minute")))
     filled = obs.select(
         "k", "bucket", "n_events", "total_value", "_run", m.alias("_m")
@@ -352,6 +375,27 @@ def _parquet_footer_span(events: DataFrame, ts_col: str):
     return (lo, hi)
 
 
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True when the optimized logical plan is a relation under 1:1
+    nodes only (Project / SubqueryAlias) — i.e. no Filter/Join/Generate/
+    Aggregate can have dropped or added rows, so parquet footer
+    statistics over the scan's files are EXACT row bounds for this
+    DataFrame, not just an upper bound. Conservative by construction:
+    an unrecognized node name means "not bare"."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001
+        return False
+    import re
+
+    allowed = {"Project", "Relation", "SubqueryAlias", "LogicalRelation"}
+    for line in plan.splitlines():
+        m = re.match(r"^[\s+:-]*([A-Za-z]+)", line)
+        if m and m.group(1) not in allowed:
+            return False
+    return True
+
+
 def gapfill_locf_auto(
     events: DataFrame,
     ts_col: str = "ts",
@@ -388,24 +432,39 @@ def gapfill_locf_auto(
     the oracle does not change.
 
     ``stats['gapfill_plan']`` records the choice when a dict is passed.
+
+    Bound INJECTION (r10): routing tolerates an over-span, but the grid
+    bounds themselves must be exact (wider bounds widen the grid and
+    change results). They are exact on two paths: the min/max aggregate
+    fallback (any input), and the footer span when the plan is a **bare
+    scan** (no Filter/Join/Generate below — checked on the optimized
+    plan, :func:`_is_bare_scan`; 1:1 projections cannot drop rows).
+    When exact, the span doubles as :func:`gapfill_locf`'s ``bounds``
+    literals, deleting the bounds subquery + broadcast join from the
+    global plan (measured -41% solo, scripts/ab_gapfill.py).
     """
     memo = _span_cache.setdefault(events, {})
     if ts_col in memo:
-        lo, hi = memo[ts_col]
+        lo, hi, exact = memo[ts_col]
     else:
         bounds = _parquet_footer_span(events, ts_col)
         if bounds is None:
             lo, hi = events.agg(F.min(ts_col), F.max(ts_col)).first()
+            exact = True  # aggregate of the actual rows
         else:
             lo, hi = bounds
-        memo[ts_col] = (lo, hi)
+            exact = _is_bare_scan(events)  # footer stats == row bounds
+        memo[ts_col] = (lo, hi, exact)
     span_minutes = (
         0 if lo is None else int((hi - lo).total_seconds() // 60) + 1
     )
     if span_minutes <= hot_window_rows:
         if stats is not None:
-            stats["gapfill_plan"] = "global"
-        return gapfill_locf(events, ts_col, key_col, value_col)
+            stats["gapfill_plan"] = "global" + ("_bounds" if exact else "")
+        return gapfill_locf(
+            events, ts_col, key_col, value_col,
+            bounds=(lo, hi) if exact and lo is not None else None,
+        )
     if stats is not None:
         stats["gapfill_plan"] = "bucketed"
     return gapfill_locf_bucketed(events, ts_col, key_col, value_col, bucket_unit)

@@ -195,7 +195,9 @@ def test_gapfill_auto_switches_on_span_and_stays_result_identical(spark):
         key(r): (r.n_events, r.total_value, r.locf_value)
         for r in gapfill_locf_auto(ev, stats=stats).collect()
     }
-    assert stats["gapfill_plan"] == "global"
+    # createDataFrame input -> min/max aggregate span (exact) -> the
+    # r10 bounds-literal global plan
+    assert stats["gapfill_plan"] == "global_bounds"
     assert got == want
     # forced-low threshold -> bucketed plan, same result
     stats = {}
@@ -447,3 +449,95 @@ def test_footer_span_probe_declines_non_parquet(spark):
         [("a", 1.0)], "event_type string, value double"
     )
     assert _parquet_footer_span(df, "ts") is None
+
+
+def test_gapfill_bounds_injection_exactness_and_plan(spark):
+    """r10 bounds-literal path: exact (lo, hi) literals delete the
+    bounds subquery + broadcast join from the global plan; the auto
+    router only injects when bounds are provably exact (bare parquet
+    scan footer stats, or the min/max aggregate) — a FILTERED parquet
+    input must NOT use footer bounds (they over-span the filtered rows
+    and would widen the grid)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        _is_bare_scan,
+        gapfill_locf,
+        gapfill_locf_auto,
+    )
+
+    ev = _skewed_events(spark).withColumn(
+        "event_type", F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string"))
+    )
+    key = lambda r: (r.event_type, r.bucket_start)  # noqa: E731
+    want = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in gapfill_locf(ev).collect()
+    }
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    with_bounds = gapfill_locf(ev, bounds=(lo, hi))
+    got = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in with_bounds.collect()
+    }
+    assert got == want
+    # the literal plan has no bounds subquery join; the default does
+    plan_b = with_bounds._jdf.queryExecution().executedPlan().toString()
+    plan_d = gapfill_locf(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_b
+    assert "BroadcastNestedLoopJoin" in plan_d
+
+    # Spark-written parquet: INT96 timestamps carry no footer stats, so
+    # the probe falls back to the min/max aggregate — exact for ANY
+    # input, so bounds inject here too
+    with tempfile.TemporaryDirectory(prefix="gapfill-") as d:
+        ev.write.parquet(d + "/ev")
+        pq = spark.read.parquet(d + "/ev")
+        assert _is_bare_scan(pq)
+        assert not _is_bare_scan(pq.filter("value > 0"))
+        stats = {}
+        got_pq = {
+            key(r): (r.n_events, r.total_value, r.locf_value)
+            for r in gapfill_locf_auto(pq, stats=stats).collect()
+        }
+        assert stats["gapfill_plan"] == "global_bounds"
+        assert got_pq == want
+
+    # footer-statted parquet (testdata, INT64 timestamps): bare scan ->
+    # footer bounds are exact -> injected; FILTERED scan -> footer span
+    # is an over-bound, routing-only — grid bounds must come from the
+    # aggregate over the filtered rows (results == direct gapfill of
+    # the filtered frame, NOT of the whole table)
+    tev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        _parquet_footer_span,
+    )
+
+    assert _parquet_footer_span(tev, "ts") is not None  # stats present
+    stats = {}
+    out_bare = gapfill_locf_auto(tev, stats=stats)
+    assert stats["gapfill_plan"] == "global_bounds"
+    assert (
+        "BroadcastNestedLoopJoin"
+        not in out_bare._jdf.queryExecution().executedPlan().toString()
+    )
+    half = tev.filter(F.col("ts") < F.lit("2024-01-05"))  # drops rows
+    assert half.count() < tev.count()
+    stats = {}
+    out_half = gapfill_locf_auto(half, stats=stats)
+    assert stats["gapfill_plan"] == "global"  # footer over-spans: no inject
+    want_half = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in gapfill_locf(half).collect()
+    }
+    got_half = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in out_half.collect()
+    }
+    assert got_half == want_half
+    # the filtered grid must END at the filtered max, not the table max
+    assert max(b for _, b in got_half) < min(
+        r.ts for r in tev.agg(F.max("ts").alias("ts")).collect()
+    )
