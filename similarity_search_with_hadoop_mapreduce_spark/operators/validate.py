@@ -71,7 +71,6 @@ def _stack_report(one_row: DataFrame, names: list[str], cols: list[str],
     (``{col}_{i}`` over fixed col lists), never caller input.
     """
     n = len(names)
-    width = len(out)
 
     def lit(s: str) -> str:
         # Spark SQL string literal: backslash is the escape char and
