@@ -256,3 +256,19 @@ def test_cm_sketch_bounded_and_partitioning_invariant(spark):
     per_depth = {r.depth: r.s for r in
                  sk.groupBy("depth").agg(F.sum("cnt").alias("s")).collect()}
     assert set(per_depth.values()) == {50000}
+
+
+def test_cm_frequency_entry_plan_shape(spark):
+    """Plan pins for the r10 registry entry: the exact top-k compiles to
+    TakeOrderedAndProject (never a global sort), every sketch/estimate
+    join broadcasts (the sketch is <= d*w rows by construction), and
+    nothing falls back to SortMergeJoin / cartesian / Python."""
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+
+    df = QUERIES["agg_sketch_frequency"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
