@@ -46,6 +46,13 @@ __all__ = [
     "merge_cm_sketches",
     "save_epoch_cm_sketches",
     "frequency_report",
+    "epoch_theta_sketches",
+    "save_epoch_theta_sketches",
+    "theta_epoch_ops",
+    "distinct_set_report",
+    "epoch_quantile_sketches",
+    "save_epoch_quantile_sketches",
+    "quantile_from_stored_sketches",
 ]
 
 _LGK = 12  # default HLL/theta precision: ~1.6% RSE, 4-32 KB per sketch
@@ -438,4 +445,223 @@ def frequency_report(
             (F.col("cm_est") >= F.col("n_exact")).alias("cm_ge_exact"),
             (F.col("cm_est") <= F.col("n_exact") + bound).alias("cm_tol_ok"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta set algebra over stored epoch sketches (r10). HLL partials answer
+# "distinct over these epochs" (union only); theta sketches additionally
+# support INTERSECTION and DIFFERENCE — the retention/churn primitives:
+# "users active in March AND April" (retention), "terms in snapshot A but
+# not B" (vocabulary churn between crawl versions), each answered from
+# O(epochs) kilobyte rows with the corpus never rescanned. Below ~2^lgk
+# distinct values a theta sketch holds every hash, so the set ops are
+# EXACT; past it they degrade gracefully to ~1.6% RSE at the default
+# lgk=12 (set-op error scales with the UNION size, not the result size —
+# a small difference estimated from two big sketches carries union-scale
+# noise, which is why the report's tolerance flags are union-relative).
+# ---------------------------------------------------------------------------
+
+
+def epoch_theta_sketches(
+    df: DataFrame, epoch: Column | str, col: str, lgk: int = _LGK
+) -> DataFrame:
+    """One theta sketch per epoch — the storable partial that supports
+    union AND intersection/difference at merge time."""
+    e = F.col(epoch) if isinstance(epoch, str) else epoch
+    return df.groupBy(e.alias("epoch")).agg(
+        F.theta_sketch_agg(col, F.lit(lgk)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def save_epoch_theta_sketches(
+    df: DataFrame,
+    path: str,
+    epoch: Column | str,
+    col: str,
+    lgk: int = _LGK,
+    mode: str = "overwrite",
+    on_conflict: str = "error",
+) -> None:
+    """Persist per-epoch theta partials with the guarded-append
+    idempotency contract of :func:`save_epoch_sketches`."""
+    part = epoch_theta_sketches(df, epoch, col, lgk)
+    if mode == "append":
+        part = _guard_epoch_append(part, path, on_conflict)
+        if part is None:
+            return
+    part.write.mode(mode).parquet(path)
+
+
+def theta_epoch_ops(sketches: DataFrame, epochs_a, epochs_b) -> DataFrame:
+    """Set algebra between two epoch ranges of a stored theta table:
+    one row ``(est_a, est_b, est_union, est_both, est_a_only)``.
+
+    Each side is a ``theta_union_agg`` over its epochs' kilobyte rows
+    (filters pushed to the sketch scan); the cross of the two 1-row
+    sides is the documented driver-held-scalar pattern. ``est_both`` is
+    the sketch intersection (retention), ``est_a_only`` the difference
+    (churn) — set operations no HLL partial can answer."""
+    a = sketches.filter(F.col("epoch").isin(list(epochs_a))).agg(
+        F.theta_union_agg("sketch").alias("ska")
+    )
+    b = sketches.filter(F.col("epoch").isin(list(epochs_b))).agg(
+        F.theta_union_agg("sketch").alias("skb")
+    )
+    return a.crossJoin(b).select(
+        F.theta_sketch_estimate("ska").alias("est_a"),
+        F.theta_sketch_estimate("skb").alias("est_b"),
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias(
+            "est_union"
+        ),
+        F.theta_sketch_estimate(F.theta_intersection("ska", "skb")).alias(
+            "est_both"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("ska", "skb")).alias(
+            "est_a_only"
+        ),
+    )
+
+
+def distinct_set_report(
+    df: DataFrame,
+    col: str,
+    cond_a: Column,
+    cond_b: Column,
+    rel_tol: float = 0.05,
+    lgk: int = _LGK,
+) -> DataFrame:
+    """Retention/churn report with its exact baseline: distinct ``col``
+    under ``cond_a`` vs ``cond_b`` — exact counts for A, B, union, both,
+    A-only (one Expand-planned aggregate over tagged rows) next to the
+    theta-sketch estimates of the same five sets, each flagged within
+    ``rel_tol`` **of the union** (set-op noise is union-scale; a
+    tolerance relative to a near-empty difference would be vacuous).
+    The exact side is the oracle baseline; at 100 TB it drops and the
+    sketches — served from stored epoch partials via
+    :func:`theta_epoch_ops` — are the answer."""
+    tagged = df.select(
+        F.col(col).alias("_v"),
+        cond_a.alias("_a"),
+        cond_b.alias("_b"),
+    ).filter(F.col("_a") | F.col("_b"))
+    exact = tagged.agg(
+        F.countDistinct(F.when(F.col("_a"), F.col("_v"))).alias("n_a"),
+        F.countDistinct(F.when(F.col("_b"), F.col("_v"))).alias("n_b"),
+        F.countDistinct("_v").alias("n_union"),
+    ).crossJoin(
+        tagged.groupBy("_v")
+        .agg(F.max("_a").alias("_ia"), F.max("_b").alias("_ib"))
+        .agg(
+            F.sum(F.when(F.col("_ia") & F.col("_ib"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_both"),
+            F.sum(F.when(F.col("_ia") & ~F.col("_ib"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_a_only"),
+        )
+    )
+    sk = tagged.agg(
+        F.theta_sketch_agg(F.when(F.col("_a"), F.col("_v")), F.lit(lgk)).alias(
+            "ska"
+        ),
+        F.theta_sketch_agg(F.when(F.col("_b"), F.col("_v")), F.lit(lgk)).alias(
+            "skb"
+        ),
+    ).select(
+        F.theta_sketch_estimate("ska").alias("est_a"),
+        F.theta_sketch_estimate("skb").alias("est_b"),
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias(
+            "est_union"
+        ),
+        F.theta_sketch_estimate(F.theta_intersection("ska", "skb")).alias(
+            "est_both"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("ska", "skb")).alias(
+            "est_a_only"
+        ),
+    )
+    out = exact.crossJoin(sk)
+    tol = F.lit(float(rel_tol)) * F.col("n_union").cast("double")
+
+    def ok(est: str, exact_col: str) -> Column:
+        return (
+            F.abs(F.col(est).cast("double") - F.col(exact_col).cast("double"))
+            <= tol
+        ).alias(exact_col + "_ok")
+
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_both",
+        "n_a_only",
+        ok("est_a", "n_a"),
+        ok("est_b", "n_b"),
+        ok("est_union", "n_union"),
+        ok("est_both", "n_both"),
+        ok("est_a_only", "n_a_only"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stored KLL quantile partials (r10): kll_merge_agg makes the quantile
+# sketch a first-class member of the stored-partials lifecycle — per-epoch
+# KLL states merge losslessly (rank guarantee composes), so "p99 latency
+# this quarter" is a merge over O(epochs) rows like the distinct and
+# frequency families. KLL state is not partitioning-deterministic, so
+# estimates are pinned by RANK tolerance (quantile_report's contract),
+# never by value.
+# ---------------------------------------------------------------------------
+
+
+def epoch_quantile_sketches(
+    df: DataFrame, epoch: Column | str, col: str
+) -> DataFrame:
+    """One KLL(double) sketch per epoch — the storable quantile partial."""
+    e = F.col(epoch) if isinstance(epoch, str) else epoch
+    return df.groupBy(e.alias("epoch")).agg(
+        F.kll_sketch_agg_double(F.col(col).cast("double")).alias("sketch"),
+        F.count(col).alias("n_rows"),
+    )
+
+
+def save_epoch_quantile_sketches(
+    df: DataFrame,
+    path: str,
+    epoch: Column | str,
+    col: str,
+    mode: str = "overwrite",
+    on_conflict: str = "error",
+) -> None:
+    """Persist per-epoch KLL partials with the guarded-append contract."""
+    part = epoch_quantile_sketches(df, epoch, col)
+    if mode == "append":
+        part = _guard_epoch_append(part, path, on_conflict)
+        if part is None:
+            return
+    part.write.mode(mode).parquet(path)
+
+
+def quantile_from_stored_sketches(
+    spark, path: str, q: float = 0.5, epochs=None
+) -> DataFrame:
+    """Answer "quantile over these epochs" from the stored KLL partials
+    alone: ``(est, kll_n, n_rows, n_epochs)``. ``kll_n == n_rows`` pins
+    that every stored row reached the merged sketch; the estimate's
+    rank guarantee is the per-epoch guarantee composed through the
+    lossless merge."""
+    sk = spark.read.parquet(path)
+    if epochs is not None:
+        sk = sk.filter(F.col("epoch").isin(list(epochs)))
+    return sk.agg(
+        F.kll_merge_agg_double("sketch").alias("_m"),
+        F.sum("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_epochs"),
+    ).select(
+        F.kll_sketch_get_quantile_double("_m", F.lit(float(q))).alias("est"),
+        F.kll_sketch_get_n_double("_m").alias("kll_n"),
+        "n_rows",
+        "n_epochs",
     )

@@ -1626,6 +1626,25 @@ def _register_agg_stats_suite() -> None:
             "CAST(merged_eq AS DOUBLE) AS v3, "
             f"{nv4}, {nv5}",
         ),
+        (
+            # r10: theta set algebra — retention/churn distinct ops
+            "agg_sketch_theta_ops",
+            f"'sketch_theta_ops' AS shape, CAST(NULL AS VARCHAR) AS g, {ns}, "
+            "n_union AS n1, n_both AS n2, "
+            "CAST(n_a AS DOUBLE) AS v1, CAST(n_b AS DOUBLE) AS v2, "
+            "CAST(n_a_only AS DOUBLE) AS v3, "
+            "CAST(n_a_ok AND n_b_ok AND n_union_ok AND n_both_ok "
+            "AND n_a_only_ok AS DOUBLE) AS v4, "
+            f"{nv5}",
+        ),
+        (
+            # r10: merged-from-epoch-partials KLL quantile lifecycle
+            "agg_sketch_quantile_merged",
+            f"'sketch_quantile_merged' AS shape, CAST(NULL AS VARCHAR) AS g, "
+            f"{ns}, n_rows AS n1, n_epochs AS n2, "
+            "CAST(kll_n_ok AS DOUBLE) AS v1, CAST(rank_ok AS DOUBLE) AS v2, "
+            f"{nv3}, {nv4}, {nv5}",
+        ),
     ]
 
     @register("agg_stats_suite", oracle=_union_oracle(parts))
@@ -1633,10 +1652,11 @@ def _register_agg_stats_suite() -> None:
         """Tagged union of the statistical aggregate families, plus (r9)
         the DataSketches tier — per-key HLL/theta distinct flags and the
         per-epoch-partials-merged lifecycle pin — and (r10) the
-        count-min heavy-hitter member (members: agg_count_distinct,
-        agg_stats, agg_percentile, agg_argmax, agg_sketch_distinct,
-        agg_sketch_merge, agg_sketch_quantile,
-        agg_sketch_frequency)."""
+        count-min heavy-hitter, theta set-algebra, and merged-KLL
+        members (members: agg_count_distinct, agg_stats,
+        agg_percentile, agg_argmax, agg_sketch_distinct,
+        agg_sketch_merge, agg_sketch_quantile, agg_sketch_frequency,
+        agg_sketch_theta_ops, agg_sketch_quantile_merged)."""
         runs = []
         runs.append(
             _q("agg_count_distinct")(spark, sf_dir).select(
@@ -1732,6 +1752,35 @@ def _register_agg_stats_suite() -> None:
                 F.col("cm_tol_ok").cast("double").alias("v2"),
                 F.col("merged_eq").cast("double").alias("v3"),
                 *[_null(f"v{i}", "double") for i in range(4, 6)],
+            )
+        )
+        runs.append(
+            _q("agg_sketch_theta_ops")(spark, sf_dir).select(
+                F.lit("sketch_theta_ops").alias("shape"),
+                _null("g", "string"),
+                _null("s", "string"),
+                F.col("n_union").alias("n1"),
+                F.col("n_both").alias("n2"),
+                F.col("n_a").cast("double").alias("v1"),
+                F.col("n_b").cast("double").alias("v2"),
+                F.col("n_a_only").cast("double").alias("v3"),
+                (
+                    F.col("n_a_ok") & F.col("n_b_ok") & F.col("n_union_ok")
+                    & F.col("n_both_ok") & F.col("n_a_only_ok")
+                ).cast("double").alias("v4"),
+                _null("v5", "double"),
+            )
+        )
+        runs.append(
+            _q("agg_sketch_quantile_merged")(spark, sf_dir).select(
+                F.lit("sketch_quantile_merged").alias("shape"),
+                _null("g", "string"),
+                _null("s", "string"),
+                F.col("n_rows").alias("n1"),
+                F.col("n_epochs").alias("n2"),
+                F.col("kll_n_ok").cast("double").alias("v1"),
+                F.col("rank_ok").cast("double").alias("v2"),
+                *[_null(f"v{i}", "double") for i in range(3, 6)],
             )
         )
         return _union_spark(runs)

@@ -2058,3 +2058,115 @@ def agg_sketch_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_tol_ok",
         (F.col("cm_est") == F.col("cm_est_merged")).alias("merged_eq"),
     )
+
+
+@register(
+    "agg_sketch_theta_ops",
+    oracle="""
+WITH t AS (
+  SELECT user_id, day(ts) <= 15 AS a, day(ts) > 15 AS b FROM events
+),
+per AS (
+  SELECT user_id, bool_or(a) AS ia, bool_or(b) AS ib
+  FROM t GROUP BY user_id
+)
+SELECT
+  CAST((SELECT count(*) FROM per WHERE ia) AS BIGINT) AS n_a,
+  CAST((SELECT count(*) FROM per WHERE ib) AS BIGINT) AS n_b,
+  CAST((SELECT count(*) FROM per) AS BIGINT) AS n_union,
+  CAST((SELECT count(*) FROM per WHERE ia AND ib) AS BIGINT) AS n_both,
+  CAST((SELECT count(*) FROM per WHERE ia AND NOT ib) AS BIGINT)
+    AS n_a_only,
+  TRUE AS n_a_ok, TRUE AS n_b_ok, TRUE AS n_union_ok,
+  TRUE AS n_both_ok, TRUE AS n_a_only_ok
+""",
+)
+def agg_sketch_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA (r10) — the retention/churn primitive no
+    HLL partial can serve: distinct users active in the first half of
+    the month vs the second, with the sketch intersection (retention)
+    and difference (churn) next to exact baselines, each flagged within
+    5% OF THE UNION (set-op noise is union-scale — a tolerance relative
+    to a near-empty difference would be vacuous). Below 2^lgk distinct
+    values a theta sketch holds every hash and the set ops are EXACT
+    (the certified SFs run in that regime); past it they degrade to
+    ~1.6% RSE. The 100-TB serving path is ``theta_epoch_ops`` over
+    stored per-epoch partials (operators/sketches.py) — same estimates,
+    O(epochs) kilobyte rows, corpus never rescanned (pytest-pinned
+    equal to this inline computation)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        distinct_set_report,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    return distinct_set_report(
+        ev,
+        "user_id",
+        F.dayofmonth("ts") <= 15,
+        F.dayofmonth("ts") > 15,
+        rel_tol=SKETCH_REL_TOL,
+        lgk=SKETCH_LGK,
+    )
+
+
+@register(
+    "agg_sketch_quantile_merged",
+    oracle="""
+SELECT CAST(count(value) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_epochs,
+       TRUE AS kll_n_ok,
+       TRUE AS rank_ok
+FROM events
+""",
+)
+def agg_sketch_quantile_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-partials QUANTILE lifecycle (r10): per-day KLL sketches
+    merged losslessly (``kll_merge_agg_double`` — the rank guarantee
+    composes through the merge), the merged median then graded by KLL's
+    ACTUAL contract: its exact rank within 0.5 ± 5% (value error is
+    unbounded on skew and KLL state is not partitioning-deterministic,
+    so the booleans — not the estimate — are the replay-stable pin,
+    exactly as agg_sketch_quantile) plus ``kll_n`` == exact row count
+    (every stored row reached the merged sketch). This is "p99 latency
+    this quarter from O(epochs) kilobyte rows" — the quantile member of
+    the stored-partials family (``save_epoch_quantile_sketches`` /
+    ``quantile_from_stored_sketches``, disk path pytest-pinned equal to
+    this in-memory merge)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        epoch_quantile_sketches,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    merged = epoch_quantile_sketches(ev, F.to_date("ts"), "value").agg(
+        F.kll_merge_agg_double("sketch").alias("_m"),
+        F.sum("n_rows").alias("_part_n"),
+        F.count(F.lit(1)).alias("n_epochs"),
+    ).select(
+        F.kll_sketch_get_quantile_double("_m", F.lit(0.5)).alias("est"),
+        F.kll_sketch_get_n_double("_m").alias("kll_n"),
+        F.col("n_epochs").cast("long").alias("n_epochs"),
+    )
+    exact = ev.agg(F.count("value").alias("n_rows"))
+    ranked = (
+        ev.crossJoin(F.broadcast(merged))
+        .agg(
+            F.first("est").alias("est"),
+            F.first("kll_n").alias("kll_n"),
+            F.first("n_epochs").alias("n_epochs"),
+            F.sum(
+                F.when(F.col("value").cast("double") <= F.col("est"), 1)
+                .otherwise(0)
+            ).alias("_rank"),
+        )
+        .crossJoin(F.broadcast(exact))
+    )
+    lo, hi = 0.5 - SKETCH_RANK_TOL, 0.5 + SKETCH_RANK_TOL
+    return ranked.select(
+        "n_rows",
+        "n_epochs",
+        (F.col("kll_n") == F.col("n_rows")).alias("kll_n_ok"),
+        (
+            (F.col("_rank") >= F.lit(lo) * F.col("n_rows"))
+            & (F.col("_rank") <= F.ceil(F.lit(hi) * F.col("n_rows")))
+        ).alias("rank_ok"),
+    )

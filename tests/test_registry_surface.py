@@ -119,6 +119,8 @@ FOLDED = {
     "agg_sketch_merge": "agg_stats_suite",
     "agg_sketch_quantile": "agg_stats_suite",
     "agg_sketch_frequency": "agg_stats_suite",
+    "agg_sketch_theta_ops": "agg_stats_suite",
+    "agg_sketch_quantile_merged": "agg_stats_suite",
     "events_tumbling_window": "events_time_windows",
     "events_ohlc": "events_time_windows",
     "events_sliding_window": "events_time_windows",

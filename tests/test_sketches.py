@@ -272,3 +272,77 @@ def test_cm_frequency_entry_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_theta_set_algebra_exact_mode_and_stored_path(spark):
+    """r10 theta tier: on a closed-form fixture (A = 0..99, B = 50..149)
+    the set estimates are EXACT (below 2^lgk the sketch keeps every
+    hash), the report's union-relative tolerance flags all hold, and
+    the stored-partials path (save -> theta_epoch_ops) serves the SAME
+    estimates from kilobyte rows without touching the corpus."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        distinct_set_report,
+        save_epoch_theta_sketches,
+        theta_epoch_ops,
+    )
+
+    rows = [(u, "a") for u in range(100)] + [(u, "b") for u in range(50, 150)]
+    df = spark.createDataFrame(rows, "user_id long, tag string")
+    rep = distinct_set_report(
+        df, "user_id", F.col("tag") == "a", F.col("tag") == "b"
+    ).collect()[0]
+    assert (rep.n_a, rep.n_b, rep.n_union, rep.n_both, rep.n_a_only) == (
+        100, 100, 150, 50, 50,
+    )
+    assert all([rep.n_a_ok, rep.n_b_ok, rep.n_union_ok, rep.n_both_ok,
+                rep.n_a_only_ok])
+
+    with tempfile.TemporaryDirectory(prefix="theta-") as d:
+        path = os.path.join(d, "th")
+        save_epoch_theta_sketches(df, path, "tag", "user_id")
+        stored = spark.read.parquet(path)
+        ops = theta_epoch_ops(stored, ["a"], ["b"])
+        row = ops.collect()[0]
+        assert (row.est_a, row.est_b, row.est_union, row.est_both,
+                row.est_a_only) == (100.0, 100.0, 150.0, 50.0, 50.0)
+        # the probe's plan reads ONLY the stored sketch table
+        plan = ops._jdf.queryExecution().executedPlan().toString()
+        assert "user_id" not in plan
+        # guarded append applies to the theta table too
+        with pytest.raises(ValueError, match="already stored"):
+            save_epoch_theta_sketches(
+                df.filter("tag = 'a'"), path, "tag", "user_id", mode="append"
+            )
+
+
+def test_quantile_stored_partials_merge_and_rank(spark):
+    """r10 KLL stored-partials lifecycle: per-epoch sketches merge
+    losslessly (kll_n == total rows through the merge), the merged
+    median's exact rank honors the composed guarantee, and the stored
+    path answers epoch-range questions with pushed filters."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        quantile_from_stored_sketches,
+        save_epoch_quantile_sketches,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 10).alias("e"),
+        (F.col("id") * F.col("id")).cast("double").alias("v"),  # skewed
+    )
+    with tempfile.TemporaryDirectory(prefix="kll-") as d:
+        path = os.path.join(d, "q")
+        save_epoch_quantile_sketches(df, path, "e", "v")
+        row = quantile_from_stored_sketches(spark, path, 0.5).collect()[0]
+        assert row.kll_n == 20000 and row.n_rows == 20000
+        assert row.n_epochs == 10
+        # rank check (KLL bounds RANK error even on v = id^2 skew)
+        rank = df.filter(F.col("v") <= F.lit(row.est)).count()
+        assert 0.45 * 20000 <= rank <= 0.55 * 20000
+        # epoch-range question with the filter pushed to the sketch scan
+        half = quantile_from_stored_sketches(
+            spark, path, 0.5, epochs=[0, 1, 2, 3, 4]
+        )
+        hrow = half.collect()[0]
+        assert hrow.n_epochs == 5 and hrow.kll_n == hrow.n_rows == 10000
+        hplan = half._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in hplan and "In(epoch" in hplan
