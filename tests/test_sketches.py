@@ -346,3 +346,50 @@ def test_quantile_stored_partials_merge_and_rank(spark):
         assert hrow.n_epochs == 5 and hrow.kll_n == hrow.n_rows == 10000
         hplan = half._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in hplan and "In(epoch" in hplan
+
+
+def test_cm_overestimate_guarantee_property(spark):
+    """Property: CM's estimate >= exact count holds for EVERY item of
+    EVERY stream, whatever the dials — the hard guarantee the registry
+    pins as a TRUE literal (hypothesis over random multisets, small
+    widths to force heavy collisions)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        items=st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=3),
+            min_size=1,
+            max_size=120,
+        ),
+        width=st.sampled_from([2, 4, 16]),
+        depth=st.sampled_from([1, 3]),
+    )
+    def run(items, width, depth):
+        from collections import Counter
+
+        exact = Counter(items)
+        df = spark.createDataFrame([(t,) for t in items], "term string")
+        sk = cm_sketch(df, "term", width=width, depth=depth)
+        cand = spark.createDataFrame(
+            [(t,) for t in exact], "term string"
+        )
+        est = {
+            r.term: r.cm_est
+            for r in cm_estimate(sk, cand, "term", width=width,
+                                 depth=depth).collect()
+        }
+        for t, n in exact.items():
+            assert est[t] >= n, (t, n, est[t], width, depth)
+
+    run()
