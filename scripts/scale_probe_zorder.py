@@ -59,14 +59,26 @@ def files_touched(path: str, box: dict[str, tuple[int, int]]) -> tuple[int, int]
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         mins: dict[str, int] = {}
         maxs: dict[str, int] = {}
+        no_stats: set[str] = set()
         for rg in range(md.num_row_groups):
             for ci, name in enumerate(names):
                 if name not in box:
                     continue
                 st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    # a row group without min/max for a predicated
+                    # column cannot be pruned — the reader must touch
+                    # the file (ADVICE r10: was an AttributeError)
+                    no_stats.add(name)
+                    continue
                 mins[name] = min(mins.get(name, st.min), st.min)
                 maxs[name] = max(maxs.get(name, st.max), st.max)
-        if all(maxs[c] >= lo and mins[c] <= hi for c, (lo, hi) in box.items()):
+        if all(
+            c in no_stats
+            or c not in mins
+            or (maxs[c] >= lo and mins[c] <= hi)
+            for c, (lo, hi) in box.items()
+        ):
             touch += 1
     return touch, len(files)
 

@@ -191,9 +191,27 @@ def _guard_epoch_append(new_epochs: DataFrame, path: str,
     Returns the filtered new-epoch frame, or None when nothing is left
     to write."""
     spark = new_epochs.sparkSession
+    from pyspark.errors import AnalysisException
+
     try:
         stored = spark.read.parquet(path).select("epoch")
-    except Exception:  # noqa: BLE001 — first epoch: nothing stored yet
+    except AnalysisException as e:
+        # Only "nothing stored yet" may disarm the guard (ADVICE r10):
+        # a transient IO error, permission failure, or corrupt footer
+        # swallowed here would silently re-enable the double-count this
+        # guard exists to prevent — re-raise anything that is not the
+        # path-absent case.
+        cls = ""
+        get_cls = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        if callable(get_cls):
+            try:
+                cls = get_cls() or ""
+            except Exception:  # noqa: BLE001
+                cls = ""
+        if "PATH_NOT_FOUND" not in cls and "PATH_NOT_FOUND" not in str(e):
+            raise
         return new_epochs
     # O(epochs) driver-held keys — the stored table is kilobyte rows,
     # one per epoch, by construction

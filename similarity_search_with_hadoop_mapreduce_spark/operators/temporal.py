@@ -375,13 +375,22 @@ def _parquet_footer_span(events: DataFrame, ts_col: str):
     return (lo, hi)
 
 
-def _is_bare_scan(df: DataFrame) -> bool:
+def _is_bare_scan(df: DataFrame, ts_col: str | None = None) -> bool:
     """True when the optimized logical plan is a relation under 1:1
     nodes only (Project / SubqueryAlias) — i.e. no Filter/Join/Generate/
     Aggregate can have dropped or added rows, so parquet footer
     statistics over the scan's files are EXACT row bounds for this
-    DataFrame, not just an upper bound. Conservative by construction:
-    an unrecognized node name means "not bare"."""
+    DataFrame, not just an upper bound.
+
+    Row preservation alone is not enough for ``ts_col`` (ADVICE r10):
+    a Project can *redefine* the column under its physical name —
+    ``select((ts + interval 1 hour).alias('ts'))`` — while the footer
+    still describes the raw values, so the second check rejects any
+    plan in which an alias defines ``ts_col`` (a bare passthrough
+    renders as ``ts#12``; a redefinition as ``... AS ts#45``). This
+    also conservatively rejects the harmless ``col('ts').alias('ts')``.
+    Conservative by construction: an unrecognized node name, or any
+    alias onto the probed name, means "not bare"."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:  # noqa: BLE001
@@ -393,6 +402,10 @@ def _is_bare_scan(df: DataFrame) -> bool:
         m = re.match(r"^[\s+:-]*([A-Za-z]+)", line)
         if m and m.group(1) not in allowed:
             return False
+    if ts_col is not None and re.search(
+        r"\bAS %s#\d" % re.escape(ts_col), plan, re.IGNORECASE
+    ):
+        return False
     return True
 
 
@@ -453,7 +466,9 @@ def gapfill_locf_auto(
             exact = True  # aggregate of the actual rows
         else:
             lo, hi = bounds
-            exact = _is_bare_scan(events)  # footer stats == row bounds
+            # footer stats == row bounds only if no node drops rows AND
+            # no Project redefines ts_col under its physical name
+            exact = _is_bare_scan(events, ts_col)
         memo[ts_col] = (lo, hi, exact)
     span_minutes = (
         0 if lo is None else int((hi - lo).total_seconds() // 60) + 1

@@ -14,6 +14,27 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
+# One temp warehouse per PROCESS, created lazily and removed at exit
+# (ADVICE r10): mkdtemp on every get_session call orphaned a fresh
+# directory whenever getOrCreate returned an already-running session
+# (the config is ignored then), accumulating spark-warehouse-* dirs in
+# /tmp across repeated calls.
+_WAREHOUSE_DIR: str | None = None
+
+
+def _warehouse_dir() -> str:
+    env = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if env:
+        return env
+    global _WAREHOUSE_DIR
+    if _WAREHOUSE_DIR is None:
+        import atexit
+        import shutil
+
+        _WAREHOUSE_DIR = tempfile.mkdtemp(prefix="spark-warehouse-")
+        atexit.register(shutil.rmtree, _WAREHOUSE_DIR, ignore_errors=True)
+    return _WAREHOUSE_DIR
+
 
 def get_session(
     app_name: str = "similarity_search_with_hadoop_mapreduce_spark",
@@ -74,11 +95,7 @@ def get_session(
         # models from one local run leaking into the next (the default
         # ./spark-warehouse accumulated them in the repo root). Override
         # with SPARK_GRAFT_WAREHOUSE for a deliberately persistent one.
-        .config(
-            "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_GRAFT_WAREHOUSE")
-            or tempfile.mkdtemp(prefix="spark-warehouse-"),
-        )
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

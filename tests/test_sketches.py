@@ -183,6 +183,33 @@ def test_append_duplicate_epoch_guard(spark, events):
             )
 
 
+def test_epoch_guard_reraises_non_missing_read_errors(spark, events):
+    """ADVICE r10: only the path-absent case may disarm the duplicate-
+    epoch guard. A stored table that EXISTS but cannot be read (here: a
+    corrupt parquet footer standing in for a storage blip) must raise,
+    not silently append — a swallowed read error would re-enable the
+    exact double-count the guard was added to prevent."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        _guard_epoch_append,
+    )
+
+    new = events.filter(F.col("day") == "3").groupBy(
+        F.col("day").alias("epoch")
+    ).count()
+    with tempfile.TemporaryDirectory(prefix="sketches-") as d:
+        # genuinely absent path: guard disarms (first epoch)
+        missing = os.path.join(d, "nothing-here")
+        assert _guard_epoch_append(new, missing, "error") is new
+        # present-but-unreadable: corrupt footer in the stored dir
+        bad = os.path.join(d, "stored")
+        os.makedirs(bad)
+        with open(os.path.join(bad, "part-00000.parquet"), "wb") as f:
+            f.write(b"PAR1 this is not a parquet file PAR1")
+        with pytest.raises(Exception) as ei:
+            _guard_epoch_append(new, bad, "error")
+        assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
 def test_cm_hard_guarantees_and_exact_merge(spark):
     """Count-min pins: estimate >= exact ALWAYS (the deterministic CM
     guarantee), within the e/width bound on a zipf-ish stream, and

@@ -541,3 +541,59 @@ def test_gapfill_bounds_injection_exactness_and_plan(spark):
     assert max(b for _, b in got_half) < min(
         r.ts for r in tev.agg(F.max("ts").alias("ts")).collect()
     )
+
+
+def test_gapfill_auto_rejects_redefined_ts(spark):
+    """ADVICE r10 (medium): a Project that REDEFINES ts under its
+    physical name — select((ts + interval 1 hour).alias('ts')) — keeps
+    the plan "bare" by node shape, but the parquet footer still
+    describes the RAW values; injecting them as exact grid-bound
+    literals would shift/crop the gapfill grid. _is_bare_scan must
+    reject any alias onto the probed column, so the auto router falls
+    back to the min/max aggregate and results match the direct gapfill
+    of the shifted frame."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        _is_bare_scan,
+        _parquet_footer_span,
+        gapfill_locf,
+        gapfill_locf_auto,
+    )
+
+    tev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    shifted = tev.select(
+        (F.col("ts") + F.expr("interval 1 hour")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    # physical column `ts` is still in the footer, so the name-based
+    # probe WOULD find raw-value bounds — exactness must be denied
+    assert _parquet_footer_span(shifted, "ts") is not None
+    assert _is_bare_scan(tev, "ts")
+    assert not _is_bare_scan(shifted, "ts")
+    # passthrough with extra derived columns stays exact (ts untouched)
+    derived = tev.select("ts", "event_type", "value",
+                         (F.col("value") * 2).alias("v2"))
+    assert _is_bare_scan(derived, "ts")
+
+    stats = {}
+    out = gapfill_locf_auto(shifted, stats=stats)
+    assert stats["gapfill_plan"] == "global"  # aggregate bounds, no inject
+    key = lambda r: (r.event_type, r.bucket_start)  # noqa: E731
+    want = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in gapfill_locf(shifted).collect()
+    }
+    got = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in out.collect()
+    }
+    assert got == want
+    # the shifted grid must START an hour after the raw footer lo —
+    # the exact failure the injected raw bounds would have caused
+    raw_lo, _ = _parquet_footer_span(tev, "ts")
+    grid_lo = min(b for _, b in got)
+    assert grid_lo >= raw_lo.replace(second=0, microsecond=0) and (
+        grid_lo - raw_lo.replace(second=0, microsecond=0)
+    ).total_seconds() >= 3600
