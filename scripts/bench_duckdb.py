@@ -27,7 +27,16 @@ TABLES = [
 ]
 
 
-def main() -> None:
+def run_suite(
+    sf_dir: str = SF_DIR,
+    cpus: int | str = CPUS,
+    names: list[str] | None = None,
+    iterations: int = 3,
+) -> dict[str, float]:
+    """Per-query min-of-``iterations`` DuckDB walls for ``names``
+    (default: bench.py's HEADLINE). Also importable by bench.py
+    (``--with-duckdb``, r11) so the per-round BENCH artifact carries the
+    gate's denominator from the SAME window as the Spark numbers."""
     from similarity_search_with_hadoop_mapreduce_spark.registry import ORACLES
     from similarity_search_with_hadoop_mapreduce_spark.registry.ann import (
         ivf_assigned_materialize_sql,
@@ -36,10 +45,10 @@ def main() -> None:
     )
 
     con = duckdb.connect()
-    con.execute(f"SET threads TO {int(CPUS)}")
+    con.execute(f"SET threads TO {int(cpus)}")
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
     # Untimed, like the Spark side's build-time index: materialize the
@@ -56,10 +65,9 @@ def main() -> None:
         "ann_ivf_topk": ivf_topk_oracle_prebuilt("assigned_mat", "cents_mat")
     }
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
-    for _ in range(3):
-        for name in HEADLINE:
+    for _ in range(iterations):
+        for name in names if names is not None else HEADLINE:
             sql = overrides.get(name) or ORACLES.get(name)
             if sql is None:
                 continue
@@ -67,7 +75,13 @@ def main() -> None:
             con.execute(sql).fetchall()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+    con.close()
+    return timings
 
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings = run_suite()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -91,6 +91,90 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixed_sum(expr: Column, scale: int) -> Column:
+    """Exact money sum on overflow-checked LONG accumulators: round the
+    expression at ``scale`` decimals (``+0.5 → cast(long)`` — HALF_UP for
+    the all-positive money columns, no per-row BigDecimal), accumulate
+    with ``try_sum`` (NULL on long overflow), raise loudly instead of
+    wrapping, then rescale through decimal so the final double is
+    correctly rounded at any magnitude (a direct long→double cast loses
+    exactness past 2^53).
+
+    vs :func:`_dsum`: bit-identical results wherever the scaled sum fits
+    a long (pinned in tests/test_relational_extra.py and by sharing q1's
+    decimal oracle), ~6x cheaper per row (codegen'd multiply+add vs
+    BigDecimal), but capacity-bounded: a group's sum must stay under
+    2^63/10^scale (9.2e12 at scale 6). TPC-H Q1 at ~sf30k crosses that
+    for sum_charge — at the 100 TB target, either shard the window
+    (per-epoch partials, then one exact decimal merge of O(groups) rows)
+    or fall back to the decimal entry; the overflow check makes the
+    wrong choice loud, never silent."""
+    scaled = (expr * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+    checked = F.coalesce(
+        F.try_sum(scaled),
+        F.raise_error(
+            F.lit(f"q1 long accumulator overflow at scale {scale} — "
+                  "use the decimal entry or shard the window")
+        ).cast("long"),
+    )
+    return (
+        checked.cast("decimal(25,0)") / F.lit(10**scale).cast("decimal(12,0)")
+    ).cast("double")
+
+
+@register(
+    "q1_pricing_summary_production",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_osum('l_quantity')} AS sum_qty,
+       {_osum('l_extendedprice')} AS sum_base_price,
+       {_osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_osum('l_quantity')} / count(*) AS avg_qty,
+       {_osum('l_extendedprice')} / count(*) AS avg_price,
+       {_osum('l_discount')} / count(*) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of :func:`q1_pricing_summary` (r11, retiring the
+    standing decimal perf-weak): same oracle, same results bit-for-bit —
+    the only changes are physical. (1) :func:`_fixed_sum` long
+    accumulators replace ``decimal(25,6)`` sums: each money column has a
+    fixed decimal scale (qty integer, price 2, disc_price 4, charge 6),
+    so the sum is exact fixed-point arithmetic, order-independent like
+    decimal but codegen'd. (2) NO ``fan_out``: with the BigDecimal
+    per-row cost gone, q1 is scan-bound, and the round-robin exchange
+    that paid for itself by spreading decimal CPU (~1.7x there) now
+    costs more than the whole aggregation — partial aggregation stays
+    inside the scan task and the exchange moves ≤ a few rows per group.
+    Measured at sf0.1: 0.88 s (decimal, no fan_out) / 0.65 s (decimal +
+    fan_out, the gated entry) / 0.24 s (this plan) vs DuckDB 0.10 s.
+    The same accumulator-cost-decides-the-plan rule holds on a cluster:
+    cheap accumulators keep q1 a map-side-combined scan at any SF."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _fixed_sum(F.col("l_quantity"), 0).alias("sum_qty"),
+            _fixed_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _fixed_sum(disc_price, 4).alias("sum_disc_price"),
+            _fixed_sum(charge, 6).alias("sum_charge"),
+            (_fixed_sum(F.col("l_quantity"), 0) / cnt).alias("avg_qty"),
+            (_fixed_sum(F.col("l_extendedprice"), 2) / cnt).alias("avg_price"),
+            (_fixed_sum(F.col("l_discount"), 2) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
 @register(
     "q6_forecast_revenue",
     oracle=f"""

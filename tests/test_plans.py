@@ -499,3 +499,39 @@ def test_round9_validate_zorder_entries_pass_scale_audit(spark):
         if findings:
             offenders[name] = findings
     assert offenders == {}, offenders
+
+
+def test_q1_production_twin_bit_identical(spark):
+    """r11: the long-accumulator production twin must equal the decimal
+    gated entry BIT-FOR-BIT (both are exact, order-independent sums of
+    the same fixed-point values), its plan must have exactly ONE shuffle
+    (partial agg in the scan task — the decimal entry's fan_out
+    round-robin exchange is the cost the cheap accumulators delete),
+    and the overflow guard must raise loudly, never wrap."""
+    import struct
+
+    import pytest
+
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+    from similarity_search_with_hadoop_mapreduce_spark.registry.relational import (
+        _fixed_sum,
+    )
+
+    prod = QUERIES["q1_pricing_summary_production"](spark, SF)
+    assert shuffle_exchange_count(prod) == 1
+    dec = QUERIES["q1_pricing_summary"](spark, SF)
+
+    bits = lambda v: struct.pack("<d", v) if isinstance(v, float) else v  # noqa: E731
+    key = lambda r: (r.l_returnflag, r.l_linestatus)  # noqa: E731
+    want = {key(r): [bits(v) for v in r[2:]] for r in dec.collect()}
+    got = {key(r): [bits(v) for v in r[2:]] for r in prod.collect()}
+    assert got == want
+
+    # overflow: two rows whose scaled sum exceeds 2^63 must raise, not
+    # silently wrap negative the way a plain long sum() would
+    big = spark.createDataFrame([(8.0e18,), (8.0e18,)], "v double")
+    with pytest.raises(Exception, match="overflow"):
+        big.agg(_fixed_sum(F.col("v"), 0).alias("s")).collect()
+    # same magnitude at scale 0 WITHOUT overflow still exact
+    ok = spark.createDataFrame([(4.0e18,), (1.0e18,)], "v double")
+    assert ok.agg(_fixed_sum(F.col("v"), 0).alias("s")).first()["s"] == 5.0e18

@@ -203,6 +203,9 @@ EQUIVALENT = {
     # stored-model path, value-identical to text_lm_heldout (itself
     # folded into text_corpus_stats)
     "text_lm_stored": "text_corpus_stats",
+    # long-accumulator physical twin, bit-identical to q1_pricing_summary
+    # (pinned in test_plans.py::test_q1_production_twin_bit_identical)
+    "q1_pricing_summary_production": "tpch_scan_agg",
 }
 
 
