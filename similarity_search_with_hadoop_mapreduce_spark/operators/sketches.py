@@ -466,6 +466,120 @@ def frequency_report(
     )
 
 
+def append_epoch_cm_partition(
+    terms: DataFrame,
+    path: str,
+    epoch_id: int,
+    col: str = "term",
+    width: int = _CM_WIDTH,
+    depth: int = _CM_DEPTH,
+) -> None:
+    """Land one epoch's CM partial as an epoch PARTITION with dynamic
+    overwrite — the streaming loop's idempotency idiom (vs
+    :func:`save_epoch_cm_sketches`'s guarded flat append, the batch
+    idiom): a crash-replayed epoch overwrites exactly its own partition,
+    never double-counts, never needs a driver-side key read. The stored
+    layout stays probe-cheap: O(epochs · d·w) kilobyte rows, partition-
+    pruned by epoch filters."""
+    (
+        epoch_cm_sketches(terms, F.lit(epoch_id), col, width, depth)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(path)
+    )
+
+
+def cm_surge_probe(
+    spark,
+    terms: DataFrame,
+    path: str,
+    epoch_id: int,
+    col: str = "term",
+    top_k: int = 20,
+    surge_x: float = 4.0,
+    width: int = _CM_WIDTH,
+    depth: int = _CM_DEPTH,
+) -> DataFrame:
+    """Vocabulary-skew / spam-term-surge monitor for one ingest epoch
+    (r10 verdict #3): the epoch's exact top-``top_k`` terms (the epoch
+    is O(epoch)-small, so exact in-batch counts are one
+    TakeOrderedAndProject) are probed against the MERGED count-min
+    history stored at ``path`` — O(epochs · d·w) kilobyte rows, the
+    corpus-sized token stream is never rescanned. A term is ``flagged``
+    when its epoch frequency share exceeds ``surge_x`` times its
+    historical share (CM overestimates history, so a flagged surge is
+    understated, never manufactured — the conservative direction for an
+    alert). Shares are exact integer ppm; the historical total is
+    recovered exactly from the sketch itself (each occurrence increments
+    exactly one bucket per depth row, so sum(cnt | depth=0) = N).
+
+    Stored epochs >= ``epoch_id`` are EXCLUDED from the history: a
+    crash-replayed epoch whose previous attempt already landed its CM
+    partition must probe the pre-epoch state, or every term would be
+    its own history (the incremental-dedup ``exclude_epoch`` rule).
+    First epoch (no history): ``hist`` columns are null, nothing is
+    flagged — no history is not evidence of a surge."""
+    x = terms.filter(F.col(col).isNotNull())
+    epoch_top = (
+        x.groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_epoch"))
+        .orderBy(F.desc("n_epoch"), F.asc(col))
+        .limit(top_k)
+    )
+    epoch_total = x.agg(F.count(F.lit(1)).cast("long").alias("_t_epoch"))
+    base = epoch_top.join(F.broadcast(epoch_total)).select(
+        col,
+        "n_epoch",
+        (F.col("n_epoch") * 1_000_000 / F.col("_t_epoch"))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        stored = spark.read.parquet(path).filter(F.col("epoch") < epoch_id)
+        has_history = bool(stored.head(1))
+    except AnalysisException:
+        has_history = False
+    if not has_history:
+        return base.select(
+            col, "n_epoch", "share_ppm",
+            F.lit(None).cast("long").alias("hist_est"),
+            F.lit(None).cast("long").alias("hist_share_ppm"),
+            F.lit(False).alias("flagged"),
+        )
+    merged = merge_cm_sketches(stored)
+    hist_total = merged.agg(
+        F.sum(F.when(F.col("depth") == 0, F.col("cnt")))
+        .cast("long")
+        .alias("_t_hist")
+    )
+    est = cm_estimate(merged, base.select(col), col, width, depth)
+    return (
+        base.join(est, col)
+        .join(F.broadcast(hist_total))
+        .select(
+            col,
+            "n_epoch",
+            "share_ppm",
+            F.col("cm_est").alias("hist_est"),
+            (F.col("cm_est") * 1_000_000 / F.col("_t_hist"))
+            .cast("long")
+            .alias("hist_share_ppm"),
+            (
+                F.col("share_ppm")
+                > F.lit(surge_x)
+                * F.greatest(
+                    (F.col("cm_est") * 1_000_000 / F.col("_t_hist"))
+                    .cast("long"),
+                    F.lit(1),
+                )
+            ).alias("flagged"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Theta set algebra over stored epoch sketches (r10). HLL partials answer
 # "distinct over these epochs" (union only); theta sketches additionally

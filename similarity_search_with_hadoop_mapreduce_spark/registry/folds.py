@@ -1638,6 +1638,18 @@ def _register_agg_stats_suite() -> None:
             f"{nv5}",
         ),
         (
+            # r11: theta set algebra OVER capacity — l_partkey across
+            # ship years, ~5x past 2^lgk at sf0.1, estimation regime
+            "agg_sketch_theta_ops_estimated",
+            f"'sketch_theta_ops_est' AS shape, CAST(NULL AS VARCHAR) AS g, "
+            f"{ns}, n_union AS n1, n_both AS n2, "
+            "CAST(n_a AS DOUBLE) AS v1, CAST(n_b AS DOUBLE) AS v2, "
+            "CAST(n_a_only AS DOUBLE) AS v3, "
+            "CAST(n_a_ok AND n_b_ok AND n_union_ok AND n_both_ok "
+            "AND n_a_only_ok AS DOUBLE) AS v4, "
+            f"{nv5}",
+        ),
+        (
             # r10: merged-from-epoch-partials KLL quantile lifecycle
             "agg_sketch_quantile_merged",
             f"'sketch_quantile_merged' AS shape, CAST(NULL AS VARCHAR) AS g, "
@@ -1653,10 +1665,12 @@ def _register_agg_stats_suite() -> None:
         the DataSketches tier — per-key HLL/theta distinct flags and the
         per-epoch-partials-merged lifecycle pin — and (r10) the
         count-min heavy-hitter, theta set-algebra, and merged-KLL
-        members (members: agg_count_distinct, agg_stats,
+        members, and (r11) the over-capacity theta twin certifying the
+        estimation regime (members: agg_count_distinct, agg_stats,
         agg_percentile, agg_argmax, agg_sketch_distinct,
         agg_sketch_merge, agg_sketch_quantile, agg_sketch_frequency,
-        agg_sketch_theta_ops, agg_sketch_quantile_merged)."""
+        agg_sketch_theta_ops, agg_sketch_theta_ops_estimated,
+        agg_sketch_quantile_merged)."""
         runs = []
         runs.append(
             _q("agg_count_distinct")(spark, sf_dir).select(
@@ -1757,6 +1771,23 @@ def _register_agg_stats_suite() -> None:
         runs.append(
             _q("agg_sketch_theta_ops")(spark, sf_dir).select(
                 F.lit("sketch_theta_ops").alias("shape"),
+                _null("g", "string"),
+                _null("s", "string"),
+                F.col("n_union").alias("n1"),
+                F.col("n_both").alias("n2"),
+                F.col("n_a").cast("double").alias("v1"),
+                F.col("n_b").cast("double").alias("v2"),
+                F.col("n_a_only").cast("double").alias("v3"),
+                (
+                    F.col("n_a_ok") & F.col("n_b_ok") & F.col("n_union_ok")
+                    & F.col("n_both_ok") & F.col("n_a_only_ok")
+                ).cast("double").alias("v4"),
+                _null("v5", "double"),
+            )
+        )
+        runs.append(
+            _q("agg_sketch_theta_ops_estimated")(spark, sf_dir).select(
+                F.lit("sketch_theta_ops_est").alias("shape"),
                 _null("g", "string"),
                 _null("s", "string"),
                 F.col("n_union").alias("n1"),

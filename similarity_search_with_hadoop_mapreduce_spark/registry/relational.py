@@ -2194,6 +2194,60 @@ def agg_sketch_theta_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_sketch_theta_ops_estimated",
+    oracle="""
+WITH t AS (
+  SELECT l_partkey,
+         year(l_shipdate) = 1996 AS a, year(l_shipdate) = 1997 AS b
+  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+),
+per AS (
+  SELECT l_partkey, bool_or(a) AS ia, bool_or(b) AS ib
+  FROM t GROUP BY l_partkey
+)
+SELECT
+  CAST((SELECT count(*) FROM per WHERE ia) AS BIGINT) AS n_a,
+  CAST((SELECT count(*) FROM per WHERE ib) AS BIGINT) AS n_b,
+  CAST((SELECT count(*) FROM per) AS BIGINT) AS n_union,
+  CAST((SELECT count(*) FROM per WHERE ia AND ib) AS BIGINT) AS n_both,
+  CAST((SELECT count(*) FROM per WHERE ia AND NOT ib) AS BIGINT)
+    AS n_a_only,
+  TRUE AS n_a_ok, TRUE AS n_b_ok, TRUE AS n_union_ok,
+  TRUE AS n_both_ok, TRUE AS n_a_only_ok
+""",
+)
+def agg_sketch_theta_ops_estimated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta set algebra in the ESTIMATION regime (r11, r10 verdict #5):
+    ``agg_sketch_theta_ops`` certifies below 2^lgk distinct, where the
+    set ops are exact by construction — this twin pushes past capacity
+    where estimation actually happens. Key = ``l_partkey`` across ship
+    years 1996 vs 1997 ("parts active in both years" retention, the
+    real intersection/difference shapes): ~20k distinct at sf0.1, ~5x
+    over the 2^12 nominal entries, so every certified sf0.1 run
+    exercises the ~1.6% RSE degradation path and the union-relative
+    tolerance flags are live contracts, not vacuous exact equalities
+    (sf0.001/0.01 stay below capacity — the same entry certifies both
+    regimes). Deterministic on a fixed dataset (hash-based, no RNG); a
+    dataset where a flag fails re-pins via SKETCH_LGK / SKETCH_REL_TOL
+    (the dial discipline above), never a silent oracle edit."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        distinct_set_report,
+    )
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    return distinct_set_report(
+        li,
+        "l_partkey",
+        F.year("l_shipdate") == 1996,
+        F.year("l_shipdate") == 1997,
+        rel_tol=SKETCH_REL_TOL,
+        lgk=SKETCH_LGK,
+    )
+
+
+@register(
     "agg_sketch_quantile_merged",
     oracle="""
 SELECT CAST(count(value) AS BIGINT) AS n_rows,

@@ -262,6 +262,7 @@ def streaming_curation_loop_demo(
     rule_gate: dict | None = None,
     lm_gate: tuple[str, float] | None = None,
     drift_monitor: tuple[str, int] | None = None,
+    cm_monitor: tuple[str, int, float] | None = None,
     encode_vocab: str | None = None,
 ) -> None:
     """The CLOSED continuous-curation loop in one streaming artifact:
@@ -335,6 +336,26 @@ def streaming_curation_loop_demo(
     distribution shift is an operator decision, and the record is the
     evidence.
 
+    ``cm_monitor`` (r11): ``(cm_index_path, top_k, surge_x)`` — the
+    frequency member of the per-epoch dial family. Each epoch's RAW
+    term stream (before any gate, like ``drift_monitor``: the dial
+    answers "what is arriving") is (1) probed for spam-term surges via
+    :func:`operators.sketches.cm_surge_probe` — the epoch's exact
+    top-``top_k`` terms against the MERGED count-min history, flagging
+    terms whose epoch share exceeds ``surge_x``× their historical
+    share — with the report landing epoch-partitioned in
+    ``{out_dir}_cm_log``; then (2) appended into the stored CM index at
+    ``cm_index_path`` via
+    :func:`operators.sketches.append_epoch_cm_partition`. Both writes
+    are dynamic-overwrite epoch partitions (crash-replay overwrites
+    itself), and the probe EXCLUDES stored epochs >= the current
+    ``epoch_id`` so a replay whose previous attempt landed its CM
+    partition still probes the pre-epoch history. Because CM merge is
+    exact addition, the stored index after N epochs is bit-identical
+    to a direct sketch of all N batches (batch-equivalence pinned in
+    tests/test_streaming.py). Like ``drift_monitor``, it OBSERVES —
+    the record is evidence, the drop is an operator decision.
+
     ``encode_vocab``: a :func:`operators.textstats.save_vocab` prefix —
     when set, each epoch's ACCEPTED documents are additionally encoded
     against the FROZEN stored vocabulary
@@ -364,6 +385,36 @@ def streaming_curation_loop_demo(
     )
 
     def curate_epoch(batch_df, epoch_id: int) -> None:
+        if cm_monitor is not None:
+            from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+                append_epoch_cm_partition,
+                cm_surge_probe,
+            )
+            from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+                _stage_tokens,
+            )
+
+            cm_path, cm_top_k, cm_surge_x = cm_monitor
+            terms = (
+                _stage_tokens(batch_df, "text", "doc_id")
+                .select(F.explode("_toks").alias("term"))
+                .filter(F.length("term") > 0)
+            )
+            # probe BEFORE append is not load-bearing (the probe
+            # excludes epochs >= epoch_id) but keeps the failure mode
+            # obvious: a crash between the two replays both.
+            (
+                cm_surge_probe(
+                    spark, terms, cm_path, epoch_id,
+                    top_k=cm_top_k, surge_x=cm_surge_x,
+                )
+                .withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(f"{out_dir}_cm_log")
+            )
+            append_epoch_cm_partition(terms, cm_path, epoch_id)
         if drift_monitor is not None:
             profile_prefix, alert_tvd_ppm = drift_monitor
             (

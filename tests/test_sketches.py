@@ -420,3 +420,41 @@ def test_cm_overestimate_guarantee_property(spark):
             assert est[t] >= n, (t, n, est[t], width, depth)
 
     run()
+
+
+def test_theta_set_ops_over_capacity_estimation_regime(spark):
+    """r10 verdict #5: push theta set algebra PAST 2^lgk where the ops
+    actually estimate. 20k distinct keys vs lgk=12 (4096 nominal
+    entries): the union estimate must differ from exact (proof we are
+    in the estimation regime, not silently exact) while every
+    union-relative tolerance flag still holds — the degradation
+    contract the registry entry agg_sketch_theta_ops_estimated
+    certifies at sf0.1."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        distinct_set_report,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 40 < 39).alias("in_a"),  # 97.5% of keys
+        (F.col("id") % 40 > 0).alias("in_b"),   # 97.5%, overlap 95%
+    )
+    # distinct_set_report needs estimates via sketches on the value col
+    rep = distinct_set_report(
+        df, "k", F.col("in_a"), F.col("in_b"), rel_tol=0.05, lgk=12
+    ).collect()[0]
+    assert rep.n_union == n
+    assert all(
+        getattr(rep, f) for f in
+        ("n_a_ok", "n_b_ok", "n_union_ok", "n_both_ok", "n_a_only_ok")
+    )
+    # and prove estimation actually happened: the raw theta estimate of
+    # 20k distinct at lgk=12 cannot be the exact integer count
+    est = (
+        df.agg(F.theta_sketch_agg("k", F.lit(12)).alias("sk"))
+        .select(F.theta_sketch_estimate("sk").alias("est"))
+        .collect()[0]["est"]
+    )
+    assert est != float(n)
+    assert abs(est - n) / n < 0.05

@@ -716,3 +716,98 @@ def test_streaming_curation_loop_encode_sink(spark, tmp_path):
     assert list(got.ids) == list(want.ids)
     assert (got.n_tokens, got.n_unk) == (want.n_tokens, want.n_unk)
     assert got.n_unk == 1  # 'zeta' is OOV for the corpus vocab
+
+
+def test_streaming_curation_loop_cm_monitor(spark, tmp_path):
+    """r11: with cm_monitor set, every epoch lands (1) a surge report
+    probing its exact top terms against the count-min HISTORY and (2)
+    its own CM partition in the stored index. Pins: a spam-term surge
+    in epoch 2 is flagged (a term whose epoch share has no historical
+    counterpart), epoch 1 flags nothing (no history is not a surge),
+    batch equivalence — the merged stored partials are BIT-IDENTICAL
+    to a direct cm_sketch over all epochs' terms (CM merge is exact
+    addition) — and a full replay (fresh checkpoint, same input)
+    overwrites its own partitions without changing a single counter."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        cm_sketch,
+        merge_cm_sketches,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        _stage_tokens,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_curation_loop_demo,
+    )
+
+    base_vocab = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document about engines and data pipelines")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, prefix="loop_dedup_index")
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    # epoch 1: four docs of steady vocabulary (each term share 1/8)
+    spark.createDataFrame(
+        [(900 + i, base_vocab) for i in range(4)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(inc / "e1"))
+    # epoch 2: same vocabulary once, plus one spam term at 32x
+    spark.createDataFrame(
+        [(910, base_vocab + " " + " ".join(["spamword"] * 32))],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(inc / "e2"))
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
+    cm_path = str(tmp_path / "cm_index")
+    streaming_curation_loop_demo(
+        spark, f"{inc}/*", out, ckpt, cm_monitor=(cm_path, 10, 4.0)
+    )
+
+    # materialize before the replay below: dynamic overwrite replaces
+    # the files a lazily-held DataFrame would still point at
+    log_rows = spark.read.parquet(f"{out}_cm_log").collect()
+    e0 = [r for r in log_rows if r.epoch == 0]
+    assert e0 and all(not r.flagged and r.hist_est is None for r in e0)
+    e1 = {r.term: r for r in log_rows if r.epoch == 1}
+    assert e1["spamword"].flagged  # 800k ppm vs zero history
+    assert e1["spamword"].hist_est == 0
+    steady = [r for t, r in e1.items() if t != "spamword"]
+    assert steady and all(not r.flagged for r in steady)
+    # steady terms: epoch share 25k ppm, history 125k ppm — under 4x
+    assert all(r.hist_share_ppm == 125000 for r in steady)
+
+    # batch equivalence: merged stored partials == direct sketch over
+    # the union of both epochs' token streams, bit-identical
+    def cm_rows(df):
+        return sorted(
+            (r.depth, r.bucket, r.cnt)
+            for r in merge_cm_sketches(df).collect()
+        )
+
+    all_docs = spark.read.parquet(str(inc / "e1")).unionByName(
+        spark.read.parquet(str(inc / "e2"))
+    )
+    terms = (
+        _stage_tokens(all_docs, "text", "doc_id")
+        .select(F.explode("_toks").alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    direct = cm_rows(cm_sketch(terms, "term"))
+    stored = cm_rows(spark.read.parquet(cm_path).drop("epoch"))
+    assert stored == direct
+
+    # replay: fresh checkpoint reprocesses both epochs with the same
+    # epoch ids — dynamic overwrite lands on the same partitions, the
+    # surge report re-probes the pre-epoch history, nothing changes
+    streaming_curation_loop_demo(
+        spark, f"{inc}/*", out, str(tmp_path / "ckpt2"),
+        cm_monitor=(cm_path, 10, 4.0),
+    )
+    assert cm_rows(spark.read.parquet(cm_path).drop("epoch")) == direct
+    log2_rows = spark.read.parquet(f"{out}_cm_log").collect()
+    assert len(log2_rows) == len(log_rows)
+    assert {
+        (r.epoch, r.term, r.flagged) for r in log2_rows
+    } == {(r.epoch, r.term, r.flagged) for r in log_rows}
