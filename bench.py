@@ -120,13 +120,16 @@ def _production_impls():
     }
 
 
-# HOF-heavy subset with production twins: these are the queries whose
-# co-run numbers historically carried a "solo ~1x, co-run allocator/JIT
-# pressure" asterisk (BASELINE.md). The bench measures each one in a
-# FRESH JVM subprocess too (--solo-one), so the weak-list adjudication
-# no longer depends on a judge rerunning them by hand.
+# Queries whose co-run numbers historically carried a "solo ~1x, co-run
+# allocator/JIT pressure" asterisk or a standing perf ruling
+# (BASELINE.md): the HOF-heavy hash families with production twins,
+# plus q1 (r11: decimal vs long-accumulator ruling) and the gapfill
+# watch item. The bench measures each in a FRESH JVM subprocess too
+# (--solo-one), so weak-list adjudication no longer depends on a judge
+# rerunning them by hand.
 SOLO = [
     "q1_pricing_summary",
+    "events_gapfill_locf",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_top_ngrams",
