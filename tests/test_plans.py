@@ -535,3 +535,56 @@ def test_q1_production_twin_bit_identical(spark):
     # same magnitude at scale 0 WITHOUT overflow still exact
     ok = spark.createDataFrame([(4.0e18,), (1.0e18,)], "v double")
     assert ok.agg(_fixed_sum(F.col("v"), 0).alias("s")).first()["s"] == 5.0e18
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                       # group
+            st.integers(1, 9_999_999),               # price in cents
+            st.integers(0, 10), st.integers(0, 8),   # disc%, tax%
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_property_fixed_sum_matches_decimal(spark, rows):
+    """Property pin for the q1 production twin's accumulator: for any
+    batch of 2-decimal money values with 2-decimal rates, the long
+    fixed-point sums (scale 2/4/6 matching each expression's exact
+    decimal width) are BIT-identical to the decimal(25,6) sums — the
+    claim the fixture certification spot-checks, here across random
+    inputs including the .5-rounding boundaries percent math produces."""
+    import struct
+
+    from similarity_search_with_hadoop_mapreduce_spark.registry.relational import (
+        _dsum,
+        _fixed_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(g, c / 100.0, d / 100.0, t / 100.0) for g, c, d, t in rows],
+        "g int, price double, disc double, tax double",
+    )
+    disc_price = F.col("price") * (1 - F.col("disc"))
+    charge = disc_price * (1 + F.col("tax"))
+    exprs = [(F.col("price"), 2), (disc_price, 4), (charge, 6),
+             (F.col("disc"), 2)]
+    out = df.groupBy("g").agg(
+        *[_fixed_sum(e, s).alias(f"l{i}") for i, (e, s) in enumerate(exprs)],
+        *[_dsum(e).alias(f"d{i}") for i, (e, _) in enumerate(exprs)],
+    )
+    for r in out.collect():
+        for i in range(len(exprs)):
+            a, b = r[f"l{i}"], r[f"d{i}"]
+            assert struct.pack("<d", a) == struct.pack("<d", b), (
+                r["g"], i, repr(a), repr(b))
