@@ -45,6 +45,8 @@ __all__ = [
     "epoch_cm_sketches",
     "merge_cm_sketches",
     "save_epoch_cm_sketches",
+    "append_epoch_cm_partition",
+    "cm_surge_probe",
     "frequency_report",
     "epoch_theta_sketches",
     "save_epoch_theta_sketches",
@@ -53,6 +55,11 @@ __all__ = [
     "epoch_quantile_sketches",
     "save_epoch_quantile_sketches",
     "quantile_from_stored_sketches",
+    "bloom_build",
+    "bloom_probe",
+    "epoch_blooms",
+    "save_epoch_blooms",
+    "merge_blooms",
 ]
 
 _LGK = 12  # default HLL/theta precision: ~1.6% RSE, 4-32 KB per sketch
@@ -796,4 +803,255 @@ def quantile_from_stored_sketches(
         F.kll_sketch_get_n_double("_m").alias("kll_n"),
         "n_rows",
         "n_epochs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (r11) — the MEMBERSHIP member completing the
+# mergeable-sketch family (HLL = distinct, KLL = quantile, CM = frequency,
+# theta = set algebra, bloom = set membership). Like count-min, the sketch
+# is its defining structure in RELATIONAL form — an m-bit bitmap packed 63
+# bits per long (bit 63 unused: both engines' `<<` on the sign bit would
+# diverge/overflow) in a length-ceil(m/63) array:
+#   - build  = k md5/xxhash64-derived positions per item (the same
+#              universal-hash family as MinHash: p_i = ((a_i·h + b_i) mod
+#              M31) mod m, dedup._affine_params constants), one
+#              map-side-combined bit_or groupBy over ≤ m/63 words —
+#              the exchange moves a kilobyte bitmap, never items;
+#   - probe  = the corpus NEVER shuffles: the 1-row dense bitmap
+#              broadcasts and `forall` tests the k bits map-side — the
+#              semi-join pre-filter shape Spark's runtime bloom pruning
+#              uses, surfaced as an operator;
+#   - merge  = zip_with(bit_or) of word arrays — EXACT (bloom union is
+#              bitwise OR), so merged-from-epochs == direct, hard-pinned
+#              like the CM merge;
+#   - storage = per-epoch 1-row partials, the family's guarded lifecycle.
+# Guarantees: NO false negatives, ever (every member set all k of its
+# bits — deterministic); false-positive rate ≈ (1 - e^(-kn/m))^k. In md5
+# mode every position is engine-independent, so the registry entry pins
+# the FULL per-probe flag vector — including which non-members false-
+# positive — by value hash, not a TRUE-literal contract.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 14  # default bits: 16384 (~260 longs, ~2 KB broadcast)
+_BLOOM_K = 5  # hash count: FPR ~ (1 - e^(-5n/m))^5
+
+
+def _hash31_sql(value_sql: str, base_hash: str) -> str:
+    """31-bit base hash of a scalar SQL expression — the single-value
+    twin of dedup._base_hash (same two modes, same cross-engine md5
+    contract: DuckDB recomputes ('0x'||substr(md5(v),1,15))::BIGINT)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        _MERSENNE31,
+    )
+
+    if base_hash == "xxhash64":
+        return f"(xxhash64(CAST({value_sql} AS STRING)) & {_MERSENNE31})"
+    assert base_hash == "md5", base_hash
+    return (
+        f"(CAST(conv(substring(md5(CAST({value_sql} AS STRING)), 1, 15), "
+        f"16, 10) AS BIGINT) & {_MERSENNE31})"
+    )
+
+
+def _bloom_positions_sql(
+    value_sql: str, m_bits: int, k: int, base_hash: str
+) -> str:
+    """``array(p_0..p_{k-1})`` SQL — one base hash, k affine
+    permutations (md5-derived constants any engine regenerates)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        _MERSENNE31,
+        _affine_params,
+    )
+
+    h = _hash31_sql(value_sql, base_hash)
+    return "array(" + ", ".join(
+        f"pmod(({a}L * {h} + {b}L) % {_MERSENNE31}L, {m_bits})"
+        for a, b in _affine_params(k)
+    ) + ")"
+
+
+def bloom_build(
+    items: DataFrame,
+    col: str,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """ONE-row dense bloom bitmap ``(words array<long>, n_items)`` over
+    the distinct non-null values of ``col``. The only data-sized work is
+    the k-position explode of the (small, watchlist-sized) build side;
+    the bit_or groupBy is map-side combined over ≤ ceil(m/63) word keys
+    and the dense array is assembled from the kilobyte sparse result."""
+    n_words = (m_bits + 62) // 63
+    pos = (
+        items.filter(F.col(col).isNotNull())
+        .select(
+            F.explode(
+                F.expr(_bloom_positions_sql(col, m_bits, k, base_hash))
+            ).alias("p")
+        )
+        .select(
+            F.expr("p div 63").alias("wi"),
+            F.expr("shiftleft(1L, CAST(p % 63 AS INT))").alias("b"),
+        )
+        .groupBy("wi")
+        .agg(F.expr("bit_or(b)").alias("w"))
+    )
+    n = items.filter(F.col(col).isNotNull()).agg(
+        F.count_distinct(F.col(col)).alias("n_items")
+    )
+    return (
+        pos.agg(
+            F.map_from_arrays(
+                F.collect_list("wi"), F.collect_list("w")
+            ).alias("_mp")
+        )
+        .join(F.broadcast(n))
+        .select(
+            F.expr(
+                f"transform(sequence(0L, {n_words - 1}L), "
+                "i -> coalesce(element_at(_mp, i), 0L))"
+            ).alias("words"),
+            "n_items",
+        )
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """``probes`` + ``bloom_hit``: the 1-row bitmap broadcasts and every
+    probe tests its k bits map-side — NO shuffle of the probe side, the
+    at-scale contract (this is the semi-join pre-filter: downstream, only
+    bloom_hit rows pay the exact join). NULL probe values are not stream
+    members: ``bloom_hit`` is false for them."""
+    test = (
+        f"forall({_bloom_positions_sql(col, m_bits, k, base_hash)}, "
+        "p -> (shiftright(element_at(words, CAST(p div 63 AS INT) + 1), "
+        "CAST(p % 63 AS INT)) & 1) = 1)"
+    )
+    return probes.join(F.broadcast(bloom.select("words"))).select(
+        *probes.columns,
+        F.coalesce(
+            F.when(F.col(col).isNotNull(), F.expr(test)), F.lit(False)
+        ).alias("bloom_hit"),
+    )
+
+
+def epoch_blooms(
+    df: DataFrame,
+    epoch: Column | str,
+    col: str,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """One bloom partial per epoch: ``(epoch, words, n_items)``. Same
+    relational build as :func:`bloom_build`, keyed by epoch — the word
+    exchange moves O(epochs · m/63) longs, never items."""
+    e = F.col(epoch) if isinstance(epoch, str) else epoch
+    n_words = (m_bits + 62) // 63
+    x = df.filter(F.col(col).isNotNull()).select(
+        e.alias("epoch"),
+        F.explode(
+            F.expr(_bloom_positions_sql(col, m_bits, k, base_hash))
+        ).alias("p"),
+    )
+    sparse = (
+        x.select(
+            "epoch",
+            F.expr("p div 63").alias("wi"),
+            F.expr("shiftleft(1L, CAST(p % 63 AS INT))").alias("b"),
+        )
+        .groupBy("epoch", "wi")
+        .agg(F.expr("bit_or(b)").alias("w"))
+    )
+    n = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(e.alias("epoch"))
+        .agg(F.count_distinct(F.col(col)).alias("n_items"))
+    )
+    return (
+        sparse.groupBy("epoch")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("wi"), F.collect_list("w")
+            ).alias("_mp")
+        )
+        .join(n, "epoch")
+        .select(
+            "epoch",
+            F.expr(
+                f"transform(sequence(0L, {n_words - 1}L), "
+                "i -> coalesce(element_at(_mp, i), 0L))"
+            ).alias("words"),
+            "n_items",
+        )
+    )
+
+
+def save_epoch_blooms(
+    df: DataFrame,
+    path: str,
+    epoch: Column | str,
+    col: str,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+    base_hash: str = "xxhash64",
+    mode: str = "overwrite",
+    on_conflict: str = "error",
+) -> None:
+    """Persist per-epoch bloom partials with the family's guarded-append
+    idempotency contract (:func:`_guard_epoch_append`): a double-counted
+    epoch cannot corrupt a bloom (OR is idempotent), but a silently
+    re-ingested epoch still lies about ``n_items``, so the same guard
+    applies."""
+    part = epoch_blooms(df, epoch, col, m_bits, k, base_hash)
+    if mode == "append":
+        part = _guard_epoch_append(part, path, on_conflict)
+        if part is None:
+            return
+    part.write.mode(mode).parquet(path)
+
+
+def merge_blooms(blooms: DataFrame) -> DataFrame:
+    """Union stored bloom partials into one bitmap: per-position bit_or
+    — EXACT (bloom union is bitwise OR), so the merged bitmap is
+    bit-identical to one built directly over the union of the epochs
+    (hard-pinned, the CM-merge contract). Input is O(epochs) kilobyte
+    rows; the posexplode/re-assemble moves O(epochs · m/63) longs."""
+    sparse = (
+        blooms.select(
+            F.posexplode("words").alias("wi", "w"), F.col("n_items")
+        )
+        .groupBy("wi")
+        .agg(F.expr("bit_or(w)").alias("w"))
+    )
+    n = blooms.agg(
+        F.sum("n_items").alias("n_items_summed"),
+        F.count(F.lit(1)).alias("n_epochs"),
+    )
+    return (
+        sparse.agg(
+            F.map_from_arrays(
+                F.collect_list(F.col("wi").cast("long")),
+                F.collect_list("w"),
+            ).alias("_mp"),
+            F.max("wi").alias("_mx"),
+        )
+        .join(F.broadcast(n))
+        .select(
+            F.expr(
+                "transform(sequence(0L, CAST(_mx AS LONG)), "
+                "i -> coalesce(element_at(_mp, i), 0L))"
+            ).alias("words"),
+            "n_items_summed",
+            "n_epochs",
+        )
     )

@@ -1650,6 +1650,19 @@ def _register_agg_stats_suite() -> None:
             f"{nv5}",
         ),
         (
+            # r11: bloom membership — exact probe/member/hit/fn/fp counts
+            # (the per-order flag vector is engine-independent md5 math,
+            # so even the false-positive COUNT is a hard integer pin)
+            "agg_sketch_bloom_membership",
+            f"'sketch_bloom' AS shape, CAST(NULL AS VARCHAR) AS g, {ns}, "
+            "CAST(count(*) AS BIGINT) AS n1, "
+            "CAST(sum(is_member::INT) AS BIGINT) AS n2, "
+            "CAST(sum(bloom_hit::INT) AS DOUBLE) AS v1, "
+            "CAST(sum((is_member AND NOT bloom_hit)::INT) AS DOUBLE) AS v2, "
+            "CAST(sum((bloom_hit AND NOT is_member)::INT) AS DOUBLE) AS v3, "
+            f"{nv4}, {nv5}",
+        ),
+        (
             # r10: merged-from-epoch-partials KLL quantile lifecycle
             "agg_sketch_quantile_merged",
             f"'sketch_quantile_merged' AS shape, CAST(NULL AS VARCHAR) AS g, "
@@ -1666,10 +1679,11 @@ def _register_agg_stats_suite() -> None:
         per-epoch-partials-merged lifecycle pin — and (r10) the
         count-min heavy-hitter, theta set-algebra, and merged-KLL
         members, and (r11) the over-capacity theta twin certifying the
-        estimation regime (members: agg_count_distinct, agg_stats,
-        agg_percentile, agg_argmax, agg_sketch_distinct,
-        agg_sketch_merge, agg_sketch_quantile, agg_sketch_frequency,
-        agg_sketch_theta_ops, agg_sketch_theta_ops_estimated,
+        estimation regime plus the bloom-membership counts (members:
+        agg_count_distinct, agg_stats, agg_percentile, agg_argmax,
+        agg_sketch_distinct, agg_sketch_merge, agg_sketch_quantile,
+        agg_sketch_frequency, agg_sketch_theta_ops,
+        agg_sketch_theta_ops_estimated, agg_sketch_bloom_membership,
         agg_sketch_quantile_merged)."""
         runs = []
         runs.append(
@@ -1799,6 +1813,31 @@ def _register_agg_stats_suite() -> None:
                     F.col("n_a_ok") & F.col("n_b_ok") & F.col("n_union_ok")
                     & F.col("n_both_ok") & F.col("n_a_only_ok")
                 ).cast("double").alias("v4"),
+                _null("v5", "double"),
+            )
+        )
+        bl = _q("agg_sketch_bloom_membership")(spark, sf_dir)
+        runs.append(
+            bl.agg(
+                F.count(F.lit(1)).alias("n1"),
+                F.sum(F.col("is_member").cast("int")).alias("n2"),
+                F.sum(F.col("bloom_hit").cast("int")).cast("double").alias("v1"),
+                F.sum(
+                    (F.col("is_member") & ~F.col("bloom_hit")).cast("int")
+                ).cast("double").alias("v2"),
+                F.sum(
+                    (F.col("bloom_hit") & ~F.col("is_member")).cast("int")
+                ).cast("double").alias("v3"),
+            ).select(
+                F.lit("sketch_bloom").alias("shape"),
+                _null("g", "string"),
+                _null("s", "string"),
+                "n1",
+                "n2",
+                "v1",
+                "v2",
+                "v3",
+                _null("v4", "double"),
                 _null("v5", "double"),
             )
         )

@@ -2247,6 +2247,94 @@ def agg_sketch_theta_ops_estimated(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _bloom_oracle_sql(m_bits: int, k: int) -> str:
+    """DuckDB twin of the md5-mode bloom build+probe: same md5-derived
+    affine constants (embedded as literals), same 63-bit word packing,
+    same positions — every per-order flag, INCLUDING which non-members
+    false-positive, is engine-independent and value-hashed."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        _MERSENNE31,
+        _affine_params,
+    )
+
+    ab = ", ".join(f"({a}, {b})" for a, b in _affine_params(k))
+    h = (
+        "((('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 15))::BIGINT)"
+        " & 2147483647)"
+    )
+    return f"""
+WITH ab(a, b) AS (VALUES {ab}),
+wl AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+pos AS (
+  SELECT ((ab.a * {h.format(v='wl.c_custkey')} + ab.b) % {_MERSENNE31})
+           % {m_bits} AS p
+  FROM wl, ab
+),
+sparse AS (
+  SELECT p // 63 AS wi, bit_or(1::BIGINT << (p % 63)::INT) AS w
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         ((ab.a * {h.format(v='o.o_custkey')} + ab.b) % {_MERSENNE31})
+           % {m_bits} AS p
+  FROM orders o, ab
+)
+SELECT probe.o_orderkey,
+       bool_and(((coalesce(sparse.w, 0) >> (probe.p % 63)::INT) & 1) = 1)
+         AS bloom_hit,
+       bool_and(probe.o_custkey IN (SELECT c_custkey FROM wl)) AS is_member
+FROM probe LEFT JOIN sparse ON sparse.wi = probe.p // 63
+GROUP BY probe.o_orderkey
+"""
+
+
+@register("agg_sketch_bloom_membership", oracle=_bloom_oracle_sql(1 << 14, 5))
+def agg_sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter MEMBERSHIP (r11) — the member completing the
+    mergeable-sketch family (HLL distinct / KLL quantile / CM frequency /
+    theta set algebra / bloom membership). Watchlist = customers with
+    negative account balance (~9%); every order is flagged map-side
+    against the 2 KB broadcast bitmap — the semi-join pre-filter shape
+    Spark's runtime bloom pruning uses, surfaced as an operator: the
+    orders side NEVER shuffles (plan-pinned in tests/test_sketches.py).
+
+    Strongest oracle in the sketch tier: because the bitmap is built
+    relationally from md5-derived positions (operators/sketches.py
+    bloom section), DuckDB reproduces it bit-for-bit and the FULL
+    per-order flag vector — including exactly which non-member orders
+    false-positive (the sf0.1 regime: m/n ≈ 12, FPR ≈ 0.4%) — is
+    value-hashed, not pinned as TRUE literals. ``is_member`` is the
+    exact baseline; no-false-negatives (is_member → bloom_hit) is the
+    hard guarantee, unit- and property-tested. Production mode is
+    ``base_hash='xxhash64'`` (codegen'd, no hex round trip), the
+    md5/xxhash64 twin pattern of the MinHash family."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    wl = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    bloom = bloom_build(wl, "c_custkey", base_hash="md5")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    hit = bloom_probe(orders, bloom, "o_custkey", base_hash="md5")
+    return (
+        hit.join(
+            wl.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+                "_m", F.lit(True)
+            ),
+            "o_custkey",
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            "bloom_hit",
+            F.coalesce(F.col("_m"), F.lit(False)).alias("is_member"),
+        )
+    )
+
+
 @register(
     "agg_sketch_quantile_merged",
     oracle="""

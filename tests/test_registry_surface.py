@@ -155,6 +155,7 @@ FOLDED = {
     "agg_percentile": "agg_stats_suite",
     "agg_argmax": "agg_stats_suite",
     "agg_sketch_theta_ops_estimated": "agg_stats_suite",
+    "agg_sketch_bloom_membership": "agg_stats_suite",
     "string_funcs": "scalar_funcs_suite",
     "date_funcs": "scalar_funcs_suite",
     "math_funcs": "scalar_funcs_suite",

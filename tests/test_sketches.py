@@ -458,3 +458,115 @@ def test_theta_set_ops_over_capacity_estimation_regime(spark):
     )
     assert est != float(n)
     assert abs(est - n) / n < 0.05
+
+
+def test_bloom_no_false_negatives_and_probe_plan(spark):
+    """Bloom membership (r11): the hard guarantee — NO false negatives,
+    in both hash modes, even on a deliberately saturated bitmap — and
+    the at-scale plan contract: the probe side never shuffles (the only
+    exchanges are the kilobyte build side's; the probe rides the scan
+    through a 1-row broadcast)."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.plans import (
+        broadcast_exchange_count,
+    )
+
+    members = spark.range(40).select((F.col("id") * 7).alias("v"))
+    probes = spark.range(1000).select(F.col("id").alias("v"))
+    truth = {i * 7 for i in range(40)}
+    for mode in ("md5", "xxhash64"):
+        # saturated: m=256 bits for 40 keys x 3 hashes -> real FPs
+        bloom = bloom_build(members, "v", m_bits=256, k=3, base_hash=mode)
+        out = bloom_probe(probes, bloom, "v", m_bits=256, k=3,
+                          base_hash=mode)
+        res = {r.v: r.bloom_hit for r in out.collect()}
+        assert all(res[v] for v in truth)  # zero false negatives
+        fps = sum(1 for v, hit in res.items() if hit and v not in truth)
+        assert fps > 0  # saturation really exercised the FP path
+    # plan: the probe side is map-only — the 1000-row probe Range feeds
+    # the broadcast join DIRECTLY, no Exchange between (every shuffle in
+    # the plan belongs to the kilobyte build side)
+    import re
+
+    assert broadcast_exchange_count(out) >= 1
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    m = re.search(
+        r"BroadcastNestedLoopJoin.*?(?=Broadcast(?:Exchange|QueryStage))",
+        final,
+        re.DOTALL,
+    )
+    assert m, final
+    streaming_side = m.group(0)  # join line + its streaming child lines
+    assert "Range (0, 1000" in streaming_side, streaming_side
+    assert "Exchange" not in streaming_side, streaming_side
+
+
+def test_bloom_merge_exact_and_guarded_append(spark):
+    """Bloom union is bitwise OR — merged-from-epoch-partials must be
+    BIT-identical to a direct bitmap over the union (the CM-merge
+    contract), and the stored lifecycle shares the family's guarded
+    append."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        bloom_build,
+        epoch_blooms,
+        merge_blooms,
+        save_epoch_blooms,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 5).cast("string").alias("epoch"),
+        (F.col("id") * 13 % 311).alias("v"),
+    )
+    parts = epoch_blooms(df, "epoch", "v", m_bits=1024, k=4)
+    merged = merge_blooms(parts).collect()[0]
+    direct = bloom_build(df, "v", m_bits=1024, k=4).collect()[0]
+    assert list(merged.words) == list(direct.words)  # bit-identical
+    assert merged.n_epochs == 5
+    # n_items_summed counts per-epoch distincts (values recur across
+    # epochs, so it is an upper bound of the global distinct count)
+    assert merged.n_items_summed >= direct.n_items
+    with tempfile.TemporaryDirectory(prefix="bloom-") as d:
+        path = os.path.join(d, "daily")
+        save_epoch_blooms(df, path, "epoch", "v", m_bits=1024, k=4)
+        retry = df.filter(F.col("epoch") == "3")
+        with pytest.raises(ValueError, match="already stored"):
+            save_epoch_blooms(retry, path, "epoch", "v", m_bits=1024,
+                              k=4, mode="append")
+        save_epoch_blooms(retry, path, "epoch", "v", m_bits=1024, k=4,
+                          mode="append", on_conflict="skip")  # no-op
+        stored = spark.read.parquet(path)
+        assert stored.count() == 5
+        assert list(merge_blooms(stored).collect()[0].words) == list(
+            direct.words
+        )
+
+
+def test_bloom_null_probe_and_registry_regime(spark):
+    """NULL probe values are not members (bloom_hit false, never null);
+    the registry entry's fixture regime holds: at sf0.001 every member
+    order is hit and the flag vector equals the exact semi-join when no
+    false positive occurs."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+
+    members = spark.range(10).select(F.col("id").alias("v"))
+    probes = spark.createDataFrame([(1,), (None,), (100,)], "v long")
+    bloom = bloom_build(members, "v", m_bits=512, k=3)
+    res = {r.v: r.bloom_hit for r in bloom_probe(
+        probes, bloom, "v", m_bits=512, k=3).collect()}
+    assert res[1] is True and res[100] is False and res[None] is False
+
+    out = QUERIES["agg_sketch_bloom_membership"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert all(r.bloom_hit for r in rows if r.is_member)  # no FN
