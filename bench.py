@@ -41,7 +41,12 @@ HEADLINE = [
     "flagship_multi_query",
     "flagship_multi_query_shuffled",
     "events_gapfill_locf",
-    "q1_pricing_summary",
+    # r12 (r11 verdict #1): the HEADLINE times the plan a production
+    # cluster would run — the overflow-checked long fixed-point twin,
+    # certified bit-identical to the decimal entry at all three SFs.
+    # The decimal entry stays in certification (227-entry registry) and
+    # its wall stays visible in the production_queries side series.
+    "q1_pricing_summary_production",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
@@ -85,19 +90,19 @@ def _production_impls():
     from similarity_search_with_hadoop_mapreduce_spark.operators import (
         textstats as T,
     )
-    from similarity_search_with_hadoop_mapreduce_spark.registry.relational import (
-        q1_pricing_summary_production,
-    )
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
     from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
         load_table,
     )
 
     return {
-        # r11: overflow-checked long accumulators + no fan_out — the
-        # gated entry stays decimal(25,6) (bit-exact at any magnitude);
-        # this is what a deployment bounded under 2^63/10^6 per group
-        # runs. Bit-identical results (test_plans.py pin).
-        "q1_pricing_summary": q1_pricing_summary_production,
+        # r12 role inversion (r11 verdict #1): the HEADLINE now times
+        # q1_pricing_summary_production (the long fixed-point plan a
+        # cluster would run); this side series keeps the DECIMAL
+        # certification entry's wall visible round-over-round — in
+        # r10/r11 this key carried the production twin instead. Both
+        # entries stay certified bit-identical (test_plans.py pin).
+        "q1_pricing_summary": QUERIES["q1_pricing_summary"],
         "dedup_minhash_lsh": lambda spark, sf: D.minhash_lsh_pairs(
             load_table(spark, sf, "documents"),
             k=16,
@@ -128,7 +133,7 @@ def _production_impls():
 # (--solo-one), so weak-list adjudication no longer depends on a judge
 # rerunning them by hand.
 SOLO = [
-    "q1_pricing_summary",
+    "q1_pricing_summary_production",
     "events_gapfill_locf",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -508,25 +513,65 @@ def main() -> None:
                 json.dump(detail, f, indent=1)
         except OSError:
             pass  # detail files are best-effort; the stdout lines are canonical
-    # Final record: the driver parses the LAST JSON line (bounded stdout
-    # tail — see the r5 note above). production_queries(+_solo) are ≤5
-    # scalar entries each, so carrying them here keeps the gated-md5 vs
-    # production-xxhash64 story machine-readable per round (r9 verdict
-    # "What's wrong" #3) without approaching the capture window.
+    # Round-over-round diff, self-maintaining (r11 verdict #7): the
+    # official --commit-detail refresh also emits
+    # BENCH_diff_r{N}_r{N+1}.txt against the latest committed round
+    # artifact. Gated behind the flag so ad-hoc/driver runs at other SFs
+    # neither compare apples to oranges nor dirty the tree.
+    if "--commit-detail" in sys.argv:
+        try:
+            import re
+
+            sys.path.insert(0, os.path.join(here, "scripts"))
+            import bench_diff
+
+            rounds = {}
+            for f in os.listdir(here):
+                m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+                if m:
+                    rounds[int(m.group(1))] = os.path.join(here, f)
+            if rounds:
+                n = max(rounds)
+                txt = bench_diff.render(
+                    bench_diff._load(rounds[n]), detail,
+                    old_label=f"BENCH_r{n}.json",
+                    new_label="this run (--commit-detail)",
+                )
+                out = os.path.join(here, f"BENCH_diff_r{n}_r{n + 1}.txt")
+                with open(out, "w") as f:
+                    f.write(txt + "\n")
+        except Exception as e:  # noqa: BLE001 — the diff is auxiliary
+            print(json.dumps(
+                {"bench_diff_error": f"{type(e).__name__}: {e}"[:200]}
+            ))
+    # Final record: the driver parses the LAST JSON line out of a
+    # BOUNDED stdout tail (~2000 chars — see the r5 note above). r11's
+    # final line outgrew that window (queries_solo + duckdb_queries +
+    # two protocol strings pushed it past the capture) and the driver
+    # recorded "parsed": null, so r12 slims it to the contract fields +
+    # the gate SCALARS (duckdb_value and both ratios — the in-artifact
+    # denominator the r11 protocol exists for) + production_queries
+    # (≤6 scalars, the gated-md5 vs production-xxhash64 story, r9 #3).
+    # Everything bulky (per-query duckdb walls, solos, protocols,
+    # task_compute) lives in the preceding detail line and in
+    # bench_detail*.json.
     final = {
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "value_build_exec": total_be,
-        "queries_solo": solo["queries_solo"],
         "production_queries": prod_timings,
-        "production_queries_solo": solo["production_queries_solo"],
-        "solo_protocol": solo_protocol,
         "sf": float(sf),
     }
-    final.update(gate)  # duckdb_queries/value + ratios, same window
-    print(json.dumps(final))
+    for k in ("duckdb_value", "ratio_exec", "ratio_build_exec"):
+        if k in gate:
+            final[k] = gate[k]
+    line = json.dumps(final)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the capture
+        final.pop("production_queries", None)
+        line = json.dumps(final)
+    print(line)
     spark.stop()
 
 

@@ -55,33 +55,33 @@ def _load(path: str) -> dict:
     raise SystemExit(f"{path}: no bench record with a 'queries' field")
 
 
-def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    band = 0.25
-    for a in sys.argv[1:]:
-        if a.startswith("--band"):
-            band = float(a.split("=", 1)[1] if "=" in a else sys.argv[
-                sys.argv.index(a) + 1])
-    if len(args) < 2:
-        raise SystemExit(__doc__)
-    old, new = _load(args[0]), _load(args[1])
+def render(
+    old: dict,
+    new: dict,
+    band: float = 0.25,
+    old_label: str = "old",
+    new_label: str = "new",
+) -> str:
+    """The diff report as one string — importable (bench.py --commit-detail
+    auto-emits the round diff, r11 verdict #7) and printable by main()."""
+    lines: list[str] = []
     qo, qn = old["queries"], new["queries"]
     shared = [n for n in qn if n in qo and qo[n] and qn[n]]
     ratios = {n: qn[n] / qo[n] for n in shared}
     med = statistics.median(ratios.values()) if ratios else 1.0
 
-    print(f"old: {args[0]}  suite {old.get('value')} s "
-          f"(build+exec {old.get('value_build_exec')})")
-    print(f"new: {args[1]}  suite {new.get('value')} s "
-          f"(build+exec {new.get('value_build_exec')})")
+    lines.append(f"old: {old_label}  suite {old.get('value')} s "
+                 f"(build+exec {old.get('value_build_exec')})")
+    lines.append(f"new: {new_label}  suite {new.get('value')} s "
+                 f"(build+exec {new.get('value_build_exec')})")
     for side, d in (("old", old), ("new", new)):
         if d.get("duckdb_value") is not None:
-            print(f"{side} duckdb_value {d['duckdb_value']} s  "
-                  f"ratio_exec {d.get('ratio_exec')}  "
-                  f"ratio_build_exec {d.get('ratio_build_exec')}")
-    print(f"median per-query ratio (ambient shift): {med:.3f}x  "
-          f"band ±{band:.0%} around it")
-    print()
+            lines.append(f"{side} duckdb_value {d['duckdb_value']} s  "
+                         f"ratio_exec {d.get('ratio_exec')}  "
+                         f"ratio_build_exec {d.get('ratio_build_exec')}")
+    lines.append(f"median per-query ratio (ambient shift): {med:.3f}x  "
+                 f"band ±{band:.0%} around it")
+    lines.append("")
     width = max((len(n) for n in shared), default=10)
     movers = 0
     for n in sorted(shared, key=lambda n: -abs(ratios[n] - med)):
@@ -91,16 +91,35 @@ def main() -> None:
         if abs(rel) > band:
             tag = "FASTER" if rel < 0 else "SLOWER"
             movers += 1
-        print(f"{n:<{width}}  {qo[n]:>7.3f} -> {qn[n]:>7.3f} s  "
-              f"{r:>5.2f}x  vs-median {rel:+6.1%}  {tag}")
+        lines.append(f"{n:<{width}}  {qo[n]:>7.3f} -> {qn[n]:>7.3f} s  "
+                     f"{r:>5.2f}x  vs-median {rel:+6.1%}  {tag}")
     gone = sorted(set(qo) - set(qn))
     added = sorted(set(qn) - set(qo))
     if gone:
-        print(f"\nremoved queries: {', '.join(gone)}")
+        lines.append(f"\nremoved queries: {', '.join(gone)}")
     if added:
-        print(f"added queries: {', '.join(added)}")
-    print(f"\n{movers} genuine mover(s) outside the ambient band; "
-          f"{len(shared) - movers} within it.")
+        lines.append(f"added queries: {', '.join(added)}")
+    lines.append(f"\n{movers} genuine mover(s) outside the ambient band; "
+                 f"{len(shared) - movers} within it.")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    # argparse, not hand-rolled flag scanning (ADVICE r11: a space-
+    # separated '--band 0.25' leaked its value into the positional list)
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    ap.add_argument("old", help="BENCH_r{N}.json or bench stdout log")
+    ap.add_argument("new", help="BENCH_r{M}.json or bench stdout log")
+    ap.add_argument("--band", type=float, default=0.25,
+                    help="relative deviation from the median ratio that "
+                         "flags a genuine mover (default 0.25)")
+    a = ap.parse_args()
+    print(render(_load(a.old), _load(a.new), a.band,
+                 old_label=a.old, new_label=a.new))
 
 
 if __name__ == "__main__":
