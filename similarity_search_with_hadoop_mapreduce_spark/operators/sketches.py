@@ -186,6 +186,24 @@ def merged_distinct_estimate(sketches: DataFrame) -> DataFrame:
     )
 
 
+def _is_path_not_found(e) -> bool:
+    """True only for the "nothing stored yet" AnalysisException. Shared
+    by every stored-sketch reader (ADVICE r10/r11): a transient IO
+    error, permission failure, or corrupt footer must re-raise — treated
+    as "no data" it would silently re-enable double-counting in the
+    append guard or permanently disable surge flagging in the probe."""
+    cls = ""
+    get_cls = getattr(e, "getCondition", None) or getattr(
+        e, "getErrorClass", None
+    )
+    if callable(get_cls):
+        try:
+            cls = get_cls() or ""
+        except Exception:  # noqa: BLE001
+            cls = ""
+    return "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(e)
+
+
 def _guard_epoch_append(new_epochs: DataFrame, path: str,
                         on_conflict: str) -> DataFrame | None:
     """Shared append-idempotency guard (ADVICE r9): a retried ingest
@@ -203,21 +221,9 @@ def _guard_epoch_append(new_epochs: DataFrame, path: str,
     try:
         stored = spark.read.parquet(path).select("epoch")
     except AnalysisException as e:
-        # Only "nothing stored yet" may disarm the guard (ADVICE r10):
-        # a transient IO error, permission failure, or corrupt footer
-        # swallowed here would silently re-enable the double-count this
-        # guard exists to prevent — re-raise anything that is not the
-        # path-absent case.
-        cls = ""
-        get_cls = getattr(e, "getCondition", None) or getattr(
-            e, "getErrorClass", None
-        )
-        if callable(get_cls):
-            try:
-                cls = get_cls() or ""
-            except Exception:  # noqa: BLE001
-                cls = ""
-        if "PATH_NOT_FOUND" not in cls and "PATH_NOT_FOUND" not in str(e):
+        # Only "nothing stored yet" may disarm the guard (ADVICE r10) —
+        # see _is_path_not_found.
+        if not _is_path_not_found(e):
             raise
         return new_epochs
     # O(epochs) driver-held keys — the stored table is kilobyte rows,
@@ -547,7 +553,13 @@ def cm_surge_probe(
     try:
         stored = spark.read.parquet(path).filter(F.col("epoch") < epoch_id)
         has_history = bool(stored.head(1))
-    except AnalysisException:
+    except AnalysisException as e:
+        # Only PATH_NOT_FOUND means "no history yet" (ADVICE r11): a
+        # corrupt or unreadable store swallowed here would silently
+        # disable surge flagging forever — the alert-suppressing twin of
+        # the double-count _guard_epoch_append re-raises.
+        if not _is_path_not_found(e):
+            raise
         has_history = False
     if not has_history:
         return base.select(
@@ -930,13 +942,25 @@ def bloom_probe(
     probe tests its k bits map-side — NO shuffle of the probe side, the
     at-scale contract (this is the semi-join pre-filter: downstream, only
     bloom_hit rows pay the exact join). NULL probe values are not stream
-    members: ``bloom_hit`` is false for them."""
+    members: ``bloom_hit`` is false for them.
+
+    The bitmap column is aliased to an internal name before the join
+    (ADVICE r11): a probes frame that itself carries ``words`` would
+    otherwise make the bit test ambiguous. A probes frame already
+    carrying the OUTPUT column is a caller error surfaced loudly."""
+    if "bloom_hit" in probes.columns or "_bloom_words" in probes.columns:
+        raise ValueError(
+            "bloom_probe: probes frame already has a 'bloom_hit' or "
+            "'_bloom_words' column — rename it before probing"
+        )
     test = (
         f"forall({_bloom_positions_sql(col, m_bits, k, base_hash)}, "
-        "p -> (shiftright(element_at(words, CAST(p div 63 AS INT) + 1), "
-        "CAST(p % 63 AS INT)) & 1) = 1)"
+        "p -> (shiftright(element_at(_bloom_words, "
+        "CAST(p div 63 AS INT) + 1), CAST(p % 63 AS INT)) & 1) = 1)"
     )
-    return probes.join(F.broadcast(bloom.select("words"))).select(
+    return probes.join(
+        F.broadcast(bloom.select(F.col("words").alias("_bloom_words")))
+    ).select(
         *probes.columns,
         F.coalesce(
             F.when(F.col(col).isNotNull(), F.expr(test)), F.lit(False)
@@ -1025,7 +1049,12 @@ def merge_blooms(blooms: DataFrame) -> DataFrame:
     — EXACT (bloom union is bitwise OR), so the merged bitmap is
     bit-identical to one built directly over the union of the epochs
     (hard-pinned, the CM-merge contract). Input is O(epochs) kilobyte
-    rows; the posexplode/re-assemble moves O(epochs · m/63) longs."""
+    rows; the posexplode/re-assemble moves O(epochs · m/63) longs.
+
+    ZERO stored partials merge to ZERO rows (ADVICE r11 — previously a
+    single row with NULL ``words``): no epochs means no sketch, and the
+    caller must treat no-sketch as no-filter rather than probe a NULL
+    bitmap."""
     sparse = (
         blooms.select(
             F.posexplode("words").alias("wi", "w"), F.col("n_items")
@@ -1054,4 +1083,7 @@ def merge_blooms(blooms: DataFrame) -> DataFrame:
             "n_items_summed",
             "n_epochs",
         )
+        # empty-input guard: no partials -> _mx is NULL -> words is NULL
+        # -> drop the row (zero-row result, never a NULL bitmap)
+        .filter(F.col("words").isNotNull())
     )

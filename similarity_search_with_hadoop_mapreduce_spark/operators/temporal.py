@@ -390,23 +390,43 @@ def _is_bare_scan(df: DataFrame, ts_col: str | None = None) -> bool:
     renders as ``ts#12``; a redefinition as ``... AS ts#45``). This
     also conservatively rejects the harmless ``col('ts').alias('ts')``.
     Conservative by construction: an unrecognized node name, or any
-    alias onto the probed name, means "not bare"."""
+    alias onto the probed name, means "not bare".
+
+    The walk inspects the JVM plan tree directly (ADVICE r11), not
+    ``optimizedPlan().toString()``: the string render elides Project
+    fields past ``spark.sql.debug.maxToStringFields`` (default 25), so
+    a wide projection that redefined ``ts_col`` beyond the cutoff
+    rendered as ``... N more fields``, the alias went unseen, and
+    footer bounds were wrongly claimed exact — the grid-shift bug this
+    guard exists to prevent."""
     try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        plan = df._jdf.queryExecution().optimizedPlan()
+        allowed = {"Project", "Relation", "SubqueryAlias", "LogicalRelation"}
+        tgt = None if ts_col is None else ts_col.lower()
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            cls = node.getClass().getSimpleName().rstrip("$")
+            if cls not in allowed:
+                return False
+            if cls == "Project" and tgt is not None:
+                # every named expression in the project list,
+                # untruncated: a passthrough is an AttributeReference,
+                # a redefinition is Alias(child) AS ts_col
+                pl = node.projectList()
+                for j in range(pl.size()):
+                    e = pl.apply(j)
+                    if (
+                        e.getClass().getSimpleName().rstrip("$") == "Alias"
+                        and str(e.name()).lower() == tgt
+                    ):
+                        return False
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return True
     except Exception:  # noqa: BLE001
         return False
-    import re
-
-    allowed = {"Project", "Relation", "SubqueryAlias", "LogicalRelation"}
-    for line in plan.splitlines():
-        m = re.match(r"^[\s+:-]*([A-Za-z]+)", line)
-        if m and m.group(1) not in allowed:
-            return False
-    if ts_col is not None and re.search(
-        r"\bAS %s#\d" % re.escape(ts_col), plan, re.IGNORECASE
-    ):
-        return False
-    return True
 
 
 def gapfill_locf_auto(

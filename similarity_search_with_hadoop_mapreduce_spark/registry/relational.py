@@ -108,8 +108,29 @@ def _fixed_sum(expr: Column, scale: int) -> Column:
     for sum_charge — at the 100 TB target, either shard the window
     (per-epoch partials, then one exact decimal merge of O(groups) rows)
     or fall back to the decimal entry; the overflow check makes the
-    wrong choice loud, never silent."""
-    scaled = (expr * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+    wrong choice loud, never silent.
+
+    "Never silent" covers BOTH overflow sites (ADVICE r11): the
+    accumulator (``try_sum`` → NULL → ``raise_error``) and the per-row
+    scaled value, which uses ``try_cast`` — ANSI cast semantics
+    regardless of ``spark.sql.ansi.enabled``, NULL on overflow/NaN —
+    gated behind an ``isNotNull`` check so a NULL input row stays a
+    NULL (sum ignores it) while an unrepresentable one raises. A plain
+    ``cast('long')`` relied on the session being ANSI; non-ANSI it
+    clamps to Long.MaxValue silently."""
+    scaled_d = expr * F.lit(float(10**scale)) + F.lit(0.5)
+    scaled = F.when(
+        scaled_d.isNotNull(),
+        F.coalesce(
+            scaled_d.try_cast("long"),
+            F.raise_error(
+                F.lit(
+                    f"q1 per-row value unrepresentable at scale {scale} — "
+                    "use the decimal entry"
+                )
+            ).cast("long"),
+        ),
+    )
     checked = F.coalesce(
         F.try_sum(scaled),
         F.raise_error(

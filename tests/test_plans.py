@@ -536,6 +536,24 @@ def test_q1_production_twin_bit_identical(spark):
     ok = spark.createDataFrame([(4.0e18,), (1.0e18,)], "v double")
     assert ok.agg(_fixed_sum(F.col("v"), 0).alias("s")).first()["s"] == 5.0e18
 
+    # ADVICE r11: the PER-ROW scaled value must also be loud in a
+    # NON-ANSI session — a single unrepresentable row used to clamp to
+    # Long.MaxValue silently there (plain cast relied on ANSI; the fix
+    # is try_cast + raise_error, ANSI-independent). NULL rows stay NULL
+    # (ignored by the sum), they do not trip the row guard.
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        huge = spark.createDataFrame([(1.0e19,), (1.0,)], "v double")
+        with pytest.raises(Exception, match="unrepresentable"):
+            huge.agg(_fixed_sum(F.col("v"), 0).alias("s")).collect()
+        withnull = spark.createDataFrame([(2.0,), (None,)], "v double")
+        assert withnull.agg(
+            _fixed_sum(F.col("v"), 0).alias("s")
+        ).first()["s"] == 2.0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

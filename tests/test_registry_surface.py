@@ -248,9 +248,13 @@ def test_bench_headline_names_resolve_with_oracles():
     for name in HEADLINE:
         assert name in QUERIES, name
         assert name in ORACLES, name
-    # production-mode variants report under real gated-entry names
+    # production-mode variants report under real registry-entry names;
+    # all but q1 are twins of a HEADLINE entry (q1's roles inverted in
+    # r12 — the twin IS the headline entry and the side series keeps the
+    # decimal certification entry visible, see BASELINE.md)
     for name in _production_impls():
-        assert name in HEADLINE, name
+        assert name in QUERIES and name in ORACLES, name
+        assert name in HEADLINE or name == "q1_pricing_summary", name
 
 
 def test_curated_schemas_are_driver_representable(spark):

@@ -570,3 +570,65 @@ def test_bloom_null_probe_and_registry_regime(spark):
     )
     rows = out.collect()
     assert all(r.bloom_hit for r in rows if r.is_member)  # no FN
+
+
+def test_bloom_probe_name_hygiene_and_empty_merge(spark):
+    """ADVICE r11 hardening: (1) a probes frame that itself carries a
+    ``words`` column probes fine (the bitmap side is aliased internally);
+    (2) a probes frame already carrying an output/internal name is a
+    loud caller error, not a silent shadow; (3) merging ZERO stored
+    partials returns ZERO rows, never a single row with a NULL bitmap."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        epoch_blooms,
+        merge_blooms,
+    )
+
+    members = spark.range(10).select(F.col("id").alias("v"))
+    bloom = bloom_build(members, "v", m_bits=512, k=3)
+    probes = spark.range(20).select(
+        F.col("id").alias("v"), F.array(F.col("id")).alias("words")
+    )
+    res = {r.v: r.bloom_hit for r in bloom_probe(
+        probes, bloom, "v", m_bits=512, k=3).collect()}
+    assert all(res[v] for v in range(10))  # no FN despite the name clash
+    for bad in ("bloom_hit", "_bloom_words"):
+        clash = spark.range(3).select(F.col("id").alias("v"),
+                                      F.lit(True).alias(bad))
+        with pytest.raises(ValueError, match="rename it before probing"):
+            bloom_probe(clash, bloom, "v", m_bits=512, k=3)
+
+    empty = epoch_blooms(
+        spark.range(5).filter("id < 0"), F.lit(0).alias("e"), "id",
+        m_bits=512, k=3,
+    )
+    assert merge_blooms(empty).count() == 0
+
+
+def test_cm_surge_probe_store_errors_are_loud(spark, tmp_path):
+    """ADVICE r11: only PATH_NOT_FOUND may disarm the surge probe's
+    history read — an unreadable/corrupt store must raise, not silently
+    flag nothing forever (the alert-suppressing twin of the append
+    guard's double-count rule)."""
+    from pyspark.errors import AnalysisException
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        cm_surge_probe,
+    )
+
+    terms = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2, "term string"
+    )
+    # missing path: legitimately "no history" -> nothing flagged
+    out = cm_surge_probe(
+        spark, terms, str(tmp_path / "nope"), epoch_id=1
+    ).collect()
+    assert out and not any(r.flagged for r in out)
+    assert all(r.hist_est is None for r in out)
+    # present-but-unreadable store (empty dir -> UNABLE_TO_INFER_SCHEMA,
+    # an AnalysisException that is NOT the path-absent case): loud
+    broken = tmp_path / "broken"
+    broken.mkdir()
+    with pytest.raises(AnalysisException):
+        cm_surge_probe(spark, terms, str(broken), epoch_id=1).collect()

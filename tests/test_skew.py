@@ -597,3 +597,29 @@ def test_gapfill_auto_rejects_redefined_ts(spark):
     assert grid_lo >= raw_lo.replace(second=0, microsecond=0) and (
         grid_lo - raw_lo.replace(second=0, microsecond=0)
     ).total_seconds() >= 3600
+
+
+def test_bare_scan_sees_aliases_past_tostring_cutoff(spark):
+    """ADVICE r11: _is_bare_scan must walk the JVM plan tree, not its
+    string render — toString elides Project fields past
+    spark.sql.debug.maxToStringFields (default 25), so a wide
+    projection redefining ts beyond the cutoff used to hide the alias
+    and footer bounds were wrongly claimed exact."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        _is_bare_scan,
+    )
+
+    tev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pad = [F.lit(i).alias(f"c{i:02d}") for i in range(30)]
+    hidden = tev.select(
+        *pad, (F.col("ts") + F.expr("interval 1 hour")).alias("ts")
+    )
+    # the render really does truncate (the bug's precondition) ...
+    assert "more fields" in hidden._jdf.queryExecution().optimizedPlan().toString()
+    # ... and the walk still sees the alias
+    assert not _is_bare_scan(hidden, "ts")
+    # wide passthrough stays exact-eligible
+    wide_ok = tev.select(*pad, "ts")
+    assert _is_bare_scan(wide_ok, "ts")
