@@ -41,6 +41,12 @@ from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
     staged_shingles_frame,
 )
 from similarity_search_with_hadoop_mapreduce_spark.operators.skew import write_bucketed
+from similarity_search_with_hadoop_mapreduce_spark.session import (
+    table_location as _table_location,
+)
+from similarity_search_with_hadoop_mapreduce_spark.session import (
+    tidy_default_warehouse as _tidy_default_warehouse,
+)
 from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
 
 HEX = "0123456789abcdef"
@@ -1786,9 +1792,9 @@ def append_dedup_index(
                 F.md5(t).alias("digest"),
                 F.lit(epoch).cast("long").alias("epoch"),
             )
-            digests.write.mode("append").bucketBy(
-                n_buckets, "digest"
-            ).saveAsTable(f"{prefix}_digest")
+            digests.write.mode("append").option(
+                "path", _table_location(f"{prefix}_digest")
+            ).bucketBy(n_buckets, "digest").saveAsTable(f"{prefix}_digest")
         if _between_appends_hook is not None:
             _between_appends_hook()
         if epoch_id is None or not _epoch_already_appended(
@@ -1808,9 +1814,10 @@ def append_dedup_index(
                     F.lit(epoch).cast("long").alias("epoch"),
                 )
             )
-            bandtbl.write.mode("append").bucketBy(
-                n_buckets, "bh"
-            ).saveAsTable(f"{prefix}_bands")
+            bandtbl.write.mode("append").option(
+                "path", _table_location(f"{prefix}_bands")
+            ).bucketBy(n_buckets, "bh").saveAsTable(f"{prefix}_bands")
+        _tidy_default_warehouse(spark)
     finally:
         new_docs.unpersist()  # free the checkpoint blocks
 

@@ -55,8 +55,24 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` bucketed (and optionally sorted) by ``key``:
     co-located, shuffle-free joins and aggregations for every future
-    reader keyed on ``key``."""
-    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    reader keyed on ``key``.
+
+    Written through an explicit location (``session.table_location``,
+    r11 verdict #3) so the files land in the engine's temp warehouse
+    under ANY caller's session — a bare managed ``saveAsTable`` grew
+    ``./spark-warehouse`` in cwd when the caller's session (the round
+    driver's) set no warehouse dir."""
+    from similarity_search_with_hadoop_mapreduce_spark.session import (
+        table_location,
+        tidy_default_warehouse,
+    )
+
+    w = (
+        df.write.mode("overwrite")
+        .option("path", table_location(table_name))
+        .bucketBy(n_buckets, key)
+    )
     if sort_by:
         w = w.sortBy(sort_by)
     w.saveAsTable(table_name)
+    tidy_default_warehouse(df.sparkSession)

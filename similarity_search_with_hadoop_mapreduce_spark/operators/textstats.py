@@ -26,6 +26,10 @@ from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
 from similarity_search_with_hadoop_mapreduce_spark.functions.text import (
     java_split_tokens,
 )
+from similarity_search_with_hadoop_mapreduce_spark.session import (
+    table_location,
+    tidy_default_warehouse,
+)
 from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
 
 # Small function-word list for the stopword-ratio language heuristic (the
@@ -1541,21 +1545,24 @@ def gopher_pass_filter(
 
 
 def _drop_model_tables(spark, *names: str) -> None:
-    """DROP each table AND delete its (possibly stale) warehouse
+    """DROP each table AND delete its (possibly stale) storage
     location: a table directory can outlive the catalog entry (a fresh
     session over an old warehouse), and saveAsTable would then die on
-    LOCATION_ALREADY_EXISTS."""
+    LOCATION_ALREADY_EXISTS. Two candidate locations per table: the
+    engine's explicit ``table_location`` (every writer since r12) and
+    the session warehouse (pre-r12 leftovers)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
     for t in names:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        jvm = spark.sparkContext._jvm
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        jpath = jvm.org.apache.hadoop.fs.Path(f"{wh}/{t}")
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        fs = jpath.getFileSystem(hconf)
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
+        for loc in (table_location(t), f"{wh}/{t}"):
+            jpath = jvm.org.apache.hadoop.fs.Path(loc)
+            fs = jpath.getFileSystem(hconf)
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
 
 
 def save_lm_model(
@@ -1619,7 +1626,10 @@ def save_lm_model(
     write_bucketed(uni, f"{prefix}_uni", "w1")
     vocab.select(
         F.col("_v").alias("v"), F.lit(k).cast("int").alias("k")
-    ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+    ).write.mode("overwrite").option(
+        "path", table_location(f"{prefix}_meta")
+    ).saveAsTable(f"{prefix}_meta")
+    tidy_default_warehouse(spark)
 
 
 def lm_score_from_model(
@@ -2003,7 +2013,10 @@ def save_term_profile(
     spark.read.table(f"{prefix}_terms").groupBy().agg(
         F.sum("tf").cast("bigint").alias("total_tf"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-    ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+    ).write.mode("overwrite").option(
+        "path", table_location(f"{prefix}_meta")
+    ).saveAsTable(f"{prefix}_meta")
+    tidy_default_warehouse(spark)
 
 
 def drift_from_profile(
@@ -2149,7 +2162,10 @@ def save_vocab(
     spark.read.table(f"{prefix}_terms").groupBy().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
         F.lit(int(coverage_ppm)).cast("bigint").alias("coverage_ppm"),
-    ).write.mode("overwrite").saveAsTable(f"{prefix}_meta")
+    ).write.mode("overwrite").option(
+        "path", table_location(f"{prefix}_meta")
+    ).saveAsTable(f"{prefix}_meta")
+    tidy_default_warehouse(spark)
 
 
 def encode_with_vocab(

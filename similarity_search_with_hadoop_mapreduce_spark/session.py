@@ -36,6 +36,41 @@ def _warehouse_dir() -> str:
     return _WAREHOUSE_DIR
 
 
+def table_location(table_name: str) -> str:
+    """Explicit storage location for every ``saveAsTable``-backed stored
+    model/index table this engine writes (r11 verdict #3): the writers
+    pass it as ``option("path", ...)`` so the files land under the
+    per-process temp warehouse (or ``SPARK_GRAFT_WAREHOUSE``) no matter
+    WHOSE SparkSession runs them. Relying on the session's
+    ``spark.sql.warehouse.dir`` was only clean under this repo's own
+    factory — under a caller's default session (the round driver's),
+    managed tables silently regrew ``./spark-warehouse`` in cwd."""
+    return os.path.join(_warehouse_dir(), table_name)
+
+
+def tidy_default_warehouse(spark) -> None:
+    """Remove the EMPTY ``./spark-warehouse`` directory that catalog
+    bootstrap mkdirs under a session with no explicit warehouse conf —
+    the last cwd residue once every table writes through
+    :func:`table_location`. Strictly scoped: acts only when the
+    session's warehouse resolves to Spark's DEFAULT (cwd/spark-
+    warehouse as seen from the current cwd) and only via ``rmdir``,
+    which refuses a non-empty directory — a caller who configured a
+    warehouse, or who has real managed tables there, is untouched.
+    Spark needs no standing default-db directory: any later managed
+    write mkdirs its own location on demand."""
+    try:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    except Exception:  # noqa: BLE001 — tidy is best-effort by definition
+        return
+    p = wh.removeprefix("file:")
+    if os.path.abspath(p) == os.path.join(os.getcwd(), "spark-warehouse"):
+        try:
+            os.rmdir(p)
+        except OSError:
+            pass
+
+
 def get_session(
     app_name: str = "similarity_search_with_hadoop_mapreduce_spark",
     master: str | None = None,
