@@ -889,12 +889,19 @@ def bloom_build(
     m_bits: int = _BLOOM_M,
     k: int = _BLOOM_K,
     base_hash: str = "xxhash64",
+    with_count: bool = True,
 ) -> DataFrame:
     """ONE-row dense bloom bitmap ``(words array<long>, n_items)`` over
     the distinct non-null values of ``col``. The only data-sized work is
     the k-position explode of the (small, watchlist-sized) build side;
     the bit_or groupBy is map-side combined over ≤ ceil(m/63) word keys
-    and the dense array is assembled from the kilobyte sparse result."""
+    and the dense array is assembled from the kilobyte sparse result.
+
+    ``with_count=False`` drops the ``n_items`` column AND its extra
+    pass over ``items`` — a probe-only consumer (``bloom_probe`` reads
+    only ``words``) shouldn't pay a second scan of the build side for
+    a statistic it discards; Catalyst cannot prune it away itself
+    because the count rides in through a row-count-changing join."""
     n_words = (m_bits + 62) // 63
     pos = (
         items.filter(F.col(col).isNotNull())
@@ -910,24 +917,21 @@ def bloom_build(
         .groupBy("wi")
         .agg(F.expr("bit_or(b)").alias("w"))
     )
+    dense = F.expr(
+        f"transform(sequence(0L, {n_words - 1}L), "
+        "i -> coalesce(element_at(_mp, i), 0L))"
+    ).alias("words")
+    sparse = pos.agg(
+        F.map_from_arrays(
+            F.collect_list("wi"), F.collect_list("w")
+        ).alias("_mp")
+    )
+    if not with_count:
+        return sparse.select(dense)
     n = items.filter(F.col(col).isNotNull()).agg(
         F.count_distinct(F.col(col)).alias("n_items")
     )
-    return (
-        pos.agg(
-            F.map_from_arrays(
-                F.collect_list("wi"), F.collect_list("w")
-            ).alias("_mp")
-        )
-        .join(F.broadcast(n))
-        .select(
-            F.expr(
-                f"transform(sequence(0L, {n_words - 1}L), "
-                "i -> coalesce(element_at(_mp, i), 0L))"
-            ).alias("words"),
-            "n_items",
-        )
-    )
+    return sparse.join(F.broadcast(n)).select(dense, "n_items")
 
 
 def bloom_probe(

@@ -524,6 +524,82 @@ def benchmark_contamination(
     )
 
 
+def benchmark_contamination_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """:func:`benchmark_contamination` with the bloom-filter pre-gate —
+    the membership sketch's reason to exist (r11 verdict #2), wired in
+    as a real consumer. Result-IDENTICAL to the ungated operator: a
+    bloom has no false negatives (every genuinely shared n-gram still
+    reaches the exact join), and the exact broadcast join kills the
+    false positives the bitmap admits — the bloom only decides which
+    rows PAY for that join.
+
+    100 TB shape, and why this beats the ungated plan there: the
+    ungated operator broadcasts the benchmark's distinct n-grams as a
+    hash relation — at real eval-suite scale (millions of 13-gram
+    STRINGS) that is a multi-GB broadcast whose hash probe every corpus
+    gram pays. Here every corpus gram instead probes a ≤ m/63-long
+    bitmap (kilobytes, one 1-row broadcast, NO shuffle of the corpus
+    stream — ``bloom_probe``'s plan contract), and only the surviving
+    ``bloom_hit`` rows — 5.5% of the gram stream on the fixture corpus,
+    less on a real one where train/eval overlap is rarer — enter the
+    exact string join. The corpus side still never shuffles before the
+    per-doc aggregation, and the one real exchange stays the high-
+    cardinality ``doc_id`` groupBy (plan-pinned in tests/test_plans.py).
+    """
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    bench = (
+        _stage_tokens(benchmark, text_col, "doc_id")
+        .select(
+            F.explode(
+                F.array_distinct(F.expr(_ngrams_attr_sql("_toks", n)))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    bloom = bloom_build(bench, "gram", m_bits=m_bits, k=k,
+                        base_hash=base_hash, with_count=False)
+    corp = _stage_tokens(corpus, text_col, "doc_id").select(
+        "doc_id",
+        F.array_distinct(F.expr(_ngrams_attr_sql("_toks", n))).alias("_ngs"),
+    )
+    stream = corp.select(
+        "doc_id", F.size("_ngs").alias("n_ngrams"),
+        F.explode("_ngs").alias("gram"),
+    )
+    gated = (
+        bloom_probe(stream, bloom, "gram", m_bits=m_bits, k=k,
+                    base_hash=base_hash)
+        .filter(F.col("bloom_hit"))
+        .drop("bloom_hit")
+    )
+    return (
+        gated.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_ngrams",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("hit_ratio"),
+        )
+    )
+
+
 def vocab_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus vocabulary summary: documents with content, distinct
     trigram vocabulary, total (per-doc-distinct) term occurrences, mean

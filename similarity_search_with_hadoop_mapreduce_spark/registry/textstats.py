@@ -263,9 +263,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_stats(table(spark, sf_dir, "documents"))
 
 
-@register(
-    "text_decontamination",
-    oracle="WITH "
+# Shared by the ungated entry and its bloom-gated twin: the bloom has no
+# false negatives and the exact join kills its false positives, so BOTH
+# plans compute exactly this overlap — one oracle, two physical plans.
+_DECON_ORACLE = (
+    "WITH "
     + SHINGLES_CTE
     + """
 , bench AS (
@@ -282,7 +284,13 @@ SELECT c.doc_id,
          AS hit_ratio
 FROM corp c JOIN bench b USING (gram)
 GROUP BY c.doc_id
-""",
+"""
+)
+
+
+@register(
+    "text_decontamination",
+    oracle=_DECON_ORACLE,
 )
 def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C n-gram overlap rule):
@@ -294,6 +302,27 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same distinct-trigram overlap from the shared shingle CTE."""
     docs = table(spark, sf_dir, "documents")
     return T.benchmark_contamination(
+        docs.filter(docs.doc_id % 17 != 0),
+        docs.filter(docs.doc_id % 17 == 0),
+        n=3,
+    )
+
+
+@register(
+    "text_decontamination_bloom",
+    oracle=_DECON_ORACLE,
+)
+def text_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`text_decontamination` behind the bloom membership
+    pre-gate (r11 verdict #2 — the sketch's first in-pipeline
+    consumer): corpus grams probe a kilobyte bitmap map-side and only
+    ``bloom_hit`` survivors (~5.5% of the gram stream on this fixture)
+    pay the exact string join. Same oracle as the ungated entry — the
+    gate is purely physical (no false negatives; exact join kills the
+    false positives), so the DuckDB value hash pins that the bloom
+    dropped nothing it shouldn't have."""
+    docs = table(spark, sf_dir, "documents")
+    return T.benchmark_contamination_bloom(
         docs.filter(docs.doc_id % 17 != 0),
         docs.filter(docs.doc_id % 17 == 0),
         n=3,

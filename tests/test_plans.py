@@ -606,3 +606,35 @@ def test_property_fixed_sum_matches_decimal(spark, rows):
             a, b = r[f"l{i}"], r[f"d{i}"]
             assert struct.pack("<d", a) == struct.pack("<d", b), (
                 r["g"], i, repr(a), repr(b))
+
+
+def test_decontamination_bloom_gate_plan(spark):
+    """r12 (r11 verdict #2): the bloom membership sketch wired into the
+    decontamination path as the semi-join pre-filter it exists to be.
+    Plan contract: (1) the corpus gram stream rides MAP-SIDE into the
+    bloom test — Catalyst folds the bloom_hit filter into the 1-row
+    BroadcastNestedLoopJoin's condition, and NO exchange sits between
+    the n-gram explode and that join (the only probe-side exchange is
+    the pre-tokenize fan_out, identical in the ungated twin); (2) the
+    EXACT BroadcastHashJoin consumes the gated stream (it sits above
+    the BNLJ), so only bloom_hit survivors pay the string hash probe;
+    (3) the one real shuffle is the per-doc aggregation."""
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+
+    df = QUERIES["text_decontamination_bloom"](spark, SF)
+    plan = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    bnlj = plan.index("BroadcastNestedLoopJoin")
+    bnlj_line = plan[bnlj:].splitlines()[0]
+    assert "forall(" in bnlj_line  # bloom test IS the join condition
+    # the exact join is ABOVE the gate, consuming only survivors
+    bhj = plan.index("BroadcastHashJoin")
+    assert bhj < bnlj
+    # the streamed segment between the gate and its gram explode holds
+    # no exchange of the data-sized stream
+    seg = plan[bnlj:plan.index("Generate explode(_ngs", bnlj)]
+    assert "Exchange" not in seg, seg
+    # and the aggregation is the single doc_id-keyed shuffle
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1

@@ -1239,3 +1239,60 @@ def test_remove_dup_spans_matches_python_model_random_corpora(spark):
         assert got == want, (got, want)
 
     inner()
+
+
+def test_contamination_bloom_gate_equals_ungated_and_prunes(spark):
+    """The bloom-gated decontamination is result-IDENTICAL to the
+    ungated operator (no false negatives by construction, false
+    positives killed by the exact join — forced here with a saturated
+    64-bit bitmap), and the gate actually PRUNES: the rows that pay the
+    exact join are a small fraction of the corpus gram stream."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
+        _ngrams_attr_sql,
+        _stage_tokens,
+        benchmark_contamination,
+        benchmark_contamination_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter("doc_id % 17 <> 0")
+    bench = docs.filter("doc_id % 17 = 0")
+    key = lambda r: (r.doc_id, r.n_hits, r.n_ngrams, round(r.hit_ratio, 9))  # noqa: E731
+    want = sorted(map(key, benchmark_contamination(corpus, bench, n=3).collect()))
+    for m_bits, k in ((1 << 16, 4), (64, 2)):  # honest and saturated
+        got = sorted(map(key, benchmark_contamination_bloom(
+            corpus, bench, n=3, m_bits=m_bits, k=k).collect()))
+        assert got == want, (m_bits, k)
+
+    # the saturated bitmap really admitted false positives (the exact
+    # join had to kill them), while the honest one prunes ~19x: count
+    # the gram stream entering the exact join under each bitmap
+    bg = (
+        _stage_tokens(bench, "text", "doc_id")
+        .select(F.explode(F.array_distinct(
+            F.expr(_ngrams_attr_sql("_toks", 3)))).alias("gram"))
+        .distinct()
+    )
+    stream = _stage_tokens(corpus, "text", "doc_id").select(
+        F.explode(F.array_distinct(
+            F.expr(_ngrams_attr_sql("_toks", 3)))).alias("gram")
+    )
+    total = stream.count()
+    true_hits = stream.join(bg, "gram").count()
+    survivors = {}
+    for m_bits, k in ((1 << 16, 4), (64, 2)):
+        bloom = bloom_build(bg, "gram", m_bits=m_bits, k=k,
+                            with_count=False)
+        survivors[m_bits] = (
+            bloom_probe(stream, bloom, "gram", m_bits=m_bits, k=k)
+            .filter("bloom_hit").count()
+        )
+    assert survivors[64] > true_hits  # FPs existed and were killed
+    assert survivors[1 << 16] >= true_hits  # no FN, ever
+    assert survivors[1 << 16] < 0.2 * total  # the gate pays for itself
