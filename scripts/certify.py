@@ -14,6 +14,7 @@ Usage::
 
     python scripts/certify.py [--out CERTIFY_r9.json] [--quick]
                               [--sf0.1-all] [--with-sweep]
+                              [--curated-10x [DIR]]
     python scripts/certify.py --diff CERTIFY_r8.json CERTIFY_r9.json
 
 ``--quick`` limits the sweep to the fine-grained registry at sf0.001
@@ -24,7 +25,11 @@ artifact. ``--with-sweep`` (r9) chains the 10× scale sweep
 (``scripts/scale_sweep.py``, building the ~sf1 dataset first if
 missing) after certification so a scaling-shape regression in any entry
 is caught the round it lands; its result is recorded in the artifact
-under ``scale_sweep``. ``--diff A B`` prints the entries whose
+under ``scale_sweep``. ``--curated-10x [DIR]`` (r12) certifies the
+curated driver surface at the 10× scale dir the sweep measures
+(default /dev/shm/sparkgraft-sf1.0), skip-listing the
+quadratic-by-design oracle folds with reasons recorded in the
+artifact. ``--diff A B`` prints the entries whose
 status/rows changed between two certify artifacts and exits — the
 artifact chain audits itself. Exit code 0 iff every entry in every
 sweep passes.
@@ -67,7 +72,18 @@ def _compare(sdf, oracle, con):
     return "ok", "", len(srows)
 
 
-def _sweep(spark, sf_dir, surface, qs, orc):
+# Curated entries whose ORACLE is quadratic-by-design (they fold the
+# exact all-pairs / exact-kNN baselines as ground truth); at the 10x dir
+# both engines would pay O(100x) for a baseline whose capped production
+# twin is the real plan — the same contract as scale_sweep.SKIP_AT_SF1.
+CURATED_SKIP_AT_10X = {
+    "dedup_embedding_suite": "folds the exact all-pairs cosine baseline",
+    "ann_ivf_suite": "folds the exact knn-graph member as recall truth",
+    "multimodal_frame_sample": "folds the uncapped pair-dedup members",
+}
+
+
+def _sweep(spark, sf_dir, surface, qs, orc, skip: dict | None = None):
     import duckdb
 
     con = duckdb.connect()
@@ -78,6 +94,11 @@ def _sweep(spark, sf_dir, surface, qs, orc):
     t_sweep = time.time()
     entries, failed = {}, []
     for name, fn in qs.items():
+        if skip and name in skip:
+            entries[name] = {"status": "skipped", "reason": skip[name]}
+            print(f"skip      [{surface}@{os.path.basename(sf_dir)}] "
+                  f"{name}: {skip[name]}", flush=True)
+            continue
         t0 = time.time()
         try:
             status, detail, n = _compare(fn(spark, sf_dir), orc.get(name), con)
@@ -97,12 +118,14 @@ def _sweep(spark, sf_dir, surface, qs, orc):
             print(f"{status:9s} [{surface}@{os.path.basename(sf_dir)}] {name} "
                   f"rows={n} [{entries[name]['sec']}s]", flush=True)
     con.close()
+    n_skip = sum(1 for e in entries.values() if e["status"] == "skipped")
     return {
         "sf_dir": sf_dir,
         "surface": surface,
         "total": len(entries),
-        "passed": len(entries) - len(failed),
+        "passed": len(entries) - len(failed) - n_skip,
         "rows_only": sum(1 for e in entries.values() if e["status"] == "rows_only"),
+        "skipped": n_skip,
         "failed": failed,
         "wall_sec": round(time.time() - t_sweep, 1),
         "entries": entries,
@@ -150,6 +173,7 @@ def main() -> int:
     quick = False
     sf01_all = False
     with_sweep = False
+    curated_10x: str | None = None
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
@@ -161,6 +185,11 @@ def main() -> int:
             sf01_all = True
         elif a == "--with-sweep":
             with_sweep = True
+        elif a == "--curated-10x":
+            curated_10x = (
+                args.pop(0) if args and not args[0].startswith("--")
+                else "/dev/shm/sparkgraft-sf1.0"
+            )
         elif a == "--diff":
             return diff_artifacts(args.pop(0), args.pop(0))
         else:
@@ -185,6 +214,18 @@ def main() -> int:
     if sf01_all:
         sweeps.append(
             _sweep(spark, "/root/testdata/sf0.1", "registry", QUERIES, ORACLES)
+        )
+    if curated_10x:
+        # r12 (r11 verdict #6): the curated surface certified at the
+        # SAME 10x dir the scale sweep measures — "correct at the scale
+        # we measure"; quadratic-by-design oracles skip-listed with
+        # their reasons recorded in the artifact.
+        if not os.path.isdir(curated_10x):
+            raise SystemExit(
+                f"{curated_10x} missing — run scripts/make_scale10x.py")
+        sweeps.append(
+            _sweep(spark, curated_10x, "curated", queries(), oracle_sql(),
+                   skip=CURATED_SKIP_AT_10X)
         )
     sweep_summary = None
     if with_sweep:

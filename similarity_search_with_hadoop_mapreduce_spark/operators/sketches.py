@@ -883,6 +883,31 @@ def _bloom_positions_sql(
     ) + ")"
 
 
+def _dense_words_sql(col: str, n_words_sql: str) -> str:
+    """O(m) dense-bitmap assembly from a wi-SORTED sparse entry array
+    ``col`` = ``array<struct<wi,w>>``: flatten per-entry
+    ``[gap zeros..., w]`` chunks plus the tail zeros.
+
+    Replaces the r11 ``transform(sequence(...), i -> element_at(map, i))``
+    assembly: ``element_at`` on a MAP is a linear scan, making that
+    shape O(m²) — invisible at the 2^14 family default (~0.07 s) but
+    18 s at the 2^20 bitmap the decontamination gate sizes for a real
+    benchmark (scale_probe_zipf.json, r12). Arrays are O(1)-indexed,
+    so this pays O(total output) exactly once."""
+    return (
+        f"CASE WHEN size({col}) = 0 THEN "
+        f"array_repeat(0L, CAST({n_words_sql} AS INT)) "
+        f"ELSE flatten(concat("
+        f"transform(sequence(1, size({col})), i -> concat("
+        f"array_repeat(0L, CAST(element_at({col}, i).wi - "
+        f"CASE WHEN i = 1 THEN 0 "
+        f"ELSE element_at({col}, i - 1).wi + 1 END AS INT)), "
+        f"array(element_at({col}, i).w))), "
+        f"array(array_repeat(0L, CAST({n_words_sql} - "
+        f"element_at({col}, -1).wi - 1 AS INT))))) END"
+    )
+
+
 def bloom_build(
     items: DataFrame,
     col: str,
@@ -917,14 +942,9 @@ def bloom_build(
         .groupBy("wi")
         .agg(F.expr("bit_or(b)").alias("w"))
     )
-    dense = F.expr(
-        f"transform(sequence(0L, {n_words - 1}L), "
-        "i -> coalesce(element_at(_mp, i), 0L))"
-    ).alias("words")
+    dense = F.expr(_dense_words_sql("_srt", str(n_words))).alias("words")
     sparse = pos.agg(
-        F.map_from_arrays(
-            F.collect_list("wi"), F.collect_list("w")
-        ).alias("_mp")
+        F.array_sort(F.collect_list(F.struct("wi", "w"))).alias("_srt")
     )
     if not with_count:
         return sparse.select(dense)
@@ -1008,17 +1028,12 @@ def epoch_blooms(
     return (
         sparse.groupBy("epoch")
         .agg(
-            F.map_from_arrays(
-                F.collect_list("wi"), F.collect_list("w")
-            ).alias("_mp")
+            F.array_sort(F.collect_list(F.struct("wi", "w"))).alias("_srt")
         )
         .join(n, "epoch")
         .select(
             "epoch",
-            F.expr(
-                f"transform(sequence(0L, {n_words - 1}L), "
-                "i -> coalesce(element_at(_mp, i), 0L))"
-            ).alias("words"),
+            F.expr(_dense_words_sql("_srt", str(n_words))).alias("words"),
             "n_items",
         )
     )
@@ -1072,17 +1087,17 @@ def merge_blooms(blooms: DataFrame) -> DataFrame:
     )
     return (
         sparse.agg(
-            F.map_from_arrays(
-                F.collect_list(F.col("wi").cast("long")),
-                F.collect_list("w"),
-            ).alias("_mp"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("wi").cast("long").alias("wi"), "w")
+                )
+            ).alias("_srt"),
             F.max("wi").alias("_mx"),
         )
         .join(F.broadcast(n))
         .select(
             F.expr(
-                "transform(sequence(0L, CAST(_mx AS LONG)), "
-                "i -> coalesce(element_at(_mp, i), 0L))"
+                _dense_words_sql("_srt", "(CAST(_mx AS INT) + 1)")
             ).alias("words"),
             "n_items_summed",
             "n_epochs",

@@ -529,8 +529,8 @@ def benchmark_contamination_bloom(
     benchmark: DataFrame,
     n: int = 13,
     text_col: str = "text",
-    m_bits: int = 1 << 16,
-    k: int = 4,
+    m_bits: int = 1 << 20,
+    k: int = 5,
     base_hash: str = "xxhash64",
 ) -> DataFrame:
     """:func:`benchmark_contamination` with the bloom-filter pre-gate —
@@ -553,6 +553,16 @@ def benchmark_contamination_bloom(
     exact string join. The corpus side still never shuffles before the
     per-doc aggregation, and the one real exchange stays the high-
     cardinality ``doc_id`` groupBy (plan-pinned in tests/test_plans.py).
+
+    SIZE THE BITMAP TO THE BENCHMARK: the default ``m_bits = 2^20``
+    (~130 KB broadcast — still nothing next to a hashed-relation
+    broadcast of the gram strings) holds FPR under ~1% to ~100k
+    benchmark grams; an undersized bitmap stays CORRECT (the exact
+    join still kills every false positive) but saturates toward
+    FPR → 1 and prunes nothing, which is how the family default
+    (2^14, watchlist-sized) measured 0.6% prune on the 22k-gram Zipf
+    benchmark before this dial was widened (scale_probe_zipf.json).
+    At real eval-suite scale raise ``m_bits`` with ~10 bits/key.
     """
     from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
         bloom_build,

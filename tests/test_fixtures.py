@@ -64,3 +64,48 @@ def test_events_ts_normalizes_to_session_timestamp(spark):
 def test_embeddings_are_float_arrays(spark):
     t = dict(load_table(spark, SF, "embeddings").dtypes)["embedding"]
     assert t.startswith("array<"), t
+
+
+def test_zipf_fixture_deterministic_and_skewed():
+    """r12 (r11 verdict #4): the Zipf corpus generator is byte-
+    deterministic (same seed -> identical rows) and actually produces
+    the long-tail trigram df distribution the skew machinery needs —
+    most trigrams once-only (rare prefixes), a hot head carrying real
+    O(df²) join mass (the max_df target), and a near-dup pair
+    population above the registry Jaccard threshold."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from collections import Counter
+
+    from make_zipf_corpus import make_documents
+
+    a = make_documents(400, seed=20260816)
+    b = make_documents(400, seed=20260816)
+    assert a.equals(b)  # byte-deterministic
+    c = make_documents(400, seed=7)
+    assert not a.equals(c)  # and the seed is actually used
+
+    texts = a.column("text").to_pylist()
+    df = Counter()
+    for t in texts:
+        w = t.split(" ")
+        df.update({" ".join(w[i:i + 3]) for i in range(len(w) - 2)})
+    counts = sorted(df.values(), reverse=True)
+    once = sum(1 for v in counts if v == 1)
+    assert once / len(counts) > 0.75  # long tail: most trigrams unique
+    assert counts[0] >= 20  # hot head exists
+    # near-dups: >= 2% of docs share >= 50% trigram Jaccard with another
+    sets = []
+    for t in texts:
+        w = t.split(" ")
+        sets.append({" ".join(w[i:i + 3]) for i in range(len(w) - 2)})
+    dup_docs = 0
+    for i in range(1, len(sets)):
+        for j in range(i):
+            inter = len(sets[i] & sets[j])
+            if inter and inter / len(sets[i] | sets[j]) >= 0.5:
+                dup_docs += 1
+                break
+    assert dup_docs >= 0.02 * len(sets), dup_docs
