@@ -507,43 +507,26 @@ def main() -> None:
     targets = [os.path.join(here, f"bench_detail_sf{sf}.json")]
     if "--commit-detail" in sys.argv:
         targets.append(os.path.join(here, "bench_detail.json"))
+    # Capture the PREVIOUS committed detail before overwriting it: when
+    # the latest BENCH_r{N}.json is unparseable (r11's final line
+    # outgrew the driver capture and its artifact has parsed: null),
+    # the prior bench_detail.json — last round's committed window — is
+    # the right old side for the round diff below.
+    prev_detail = None
+    if "--commit-detail" in sys.argv:
+        try:
+            with open(os.path.join(here, "bench_detail.json")) as f:
+                prev_detail = json.load(f)
+            if "queries" not in prev_detail:
+                prev_detail = None
+        except Exception:  # noqa: BLE001
+            prev_detail = None
     for path in targets:
         try:
             with open(path, "w") as f:
                 json.dump(detail, f, indent=1)
         except OSError:
             pass  # detail files are best-effort; the stdout lines are canonical
-    # Round-over-round diff, self-maintaining (r11 verdict #7): the
-    # official --commit-detail refresh also emits
-    # BENCH_diff_r{N}_r{N+1}.txt against the latest committed round
-    # artifact. Gated behind the flag so ad-hoc/driver runs at other SFs
-    # neither compare apples to oranges nor dirty the tree.
-    if "--commit-detail" in sys.argv:
-        try:
-            import re
-
-            sys.path.insert(0, os.path.join(here, "scripts"))
-            import bench_diff
-
-            rounds = {}
-            for f in os.listdir(here):
-                m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
-                if m:
-                    rounds[int(m.group(1))] = os.path.join(here, f)
-            if rounds:
-                n = max(rounds)
-                txt = bench_diff.render(
-                    bench_diff._load(rounds[n]), detail,
-                    old_label=f"BENCH_r{n}.json",
-                    new_label="this run (--commit-detail)",
-                )
-                out = os.path.join(here, f"BENCH_diff_r{n}_r{n + 1}.txt")
-                with open(out, "w") as f:
-                    f.write(txt + "\n")
-        except Exception as e:  # noqa: BLE001 — the diff is auxiliary
-            print(json.dumps(
-                {"bench_diff_error": f"{type(e).__name__}: {e}"[:200]}
-            ))
     # Final record: the driver parses the LAST JSON line out of a
     # BOUNDED stdout tail (~2000 chars — see the r5 note above). r11's
     # final line outgrew that window (queries_solo + duckdb_queries +
@@ -572,6 +555,49 @@ def main() -> None:
         final.pop("production_queries", None)
         line = json.dumps(final)
     print(line)
+    # Round-over-round diff, self-maintaining (r11 verdict #7): the
+    # official --commit-detail refresh also emits
+    # BENCH_diff_r{N}_r{N+1}.txt. AFTER the final line on purpose — a
+    # failure here must never eat the driver contract output (found
+    # r12: an unparseable round artifact raised through the old
+    # placement and killed the record). Old side: the latest PARSEABLE
+    # BENCH_r{N}.json, else the pre-overwrite bench_detail.json (last
+    # round's committed window).
+    if "--commit-detail" in sys.argv:
+        try:
+            import re
+
+            sys.path.insert(0, os.path.join(here, "scripts"))
+            import bench_diff
+
+            rounds = {}
+            for f in os.listdir(here):
+                m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+                if m:
+                    rounds[int(m.group(1))] = os.path.join(here, f)
+            old_rec, old_label = None, None
+            if rounds:
+                n = max(rounds)
+                try:
+                    old_rec = bench_diff._load(rounds[n])
+                    old_label = f"BENCH_r{n}.json"
+                except (ValueError, OSError):
+                    if prev_detail is not None:
+                        old_rec = prev_detail
+                        old_label = "bench_detail.json (pre-run committed)"
+            if old_rec is not None:
+                txt = bench_diff.render(
+                    old_rec, detail,
+                    old_label=old_label,
+                    new_label="this run (--commit-detail)",
+                )
+                out = os.path.join(here, f"BENCH_diff_r{n}_r{n + 1}.txt")
+                with open(out, "w") as f:
+                    f.write(txt + "\n")
+        except BaseException as e:  # noqa: BLE001 — the diff is auxiliary
+            print(json.dumps(
+                {"bench_diff_error": f"{type(e).__name__}: {e}"[:200]}
+            ))
     spark.stop()
 
 

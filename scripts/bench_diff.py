@@ -52,7 +52,11 @@ def _load(path: str) -> dict:
             p = d.get("parsed")
             if isinstance(p, dict) and "queries" in p:
                 return p
-    raise SystemExit(f"{path}: no bench record with a 'queries' field")
+    # ValueError, not SystemExit: bench.py imports this as a library
+    # (the --commit-detail auto-diff), and a SystemExit escaping its
+    # `except Exception` guard killed the bench before the final JSON
+    # line when a round artifact was unparseable (found r12)
+    raise ValueError(f"{path}: no bench record with a 'queries' field")
 
 
 def render(
@@ -118,8 +122,11 @@ def main() -> None:
                     help="relative deviation from the median ratio that "
                          "flags a genuine mover (default 0.25)")
     a = ap.parse_args()
-    print(render(_load(a.old), _load(a.new), a.band,
-                 old_label=a.old, new_label=a.new))
+    try:
+        old, new = _load(a.old), _load(a.new)
+    except (ValueError, OSError) as e:
+        raise SystemExit(str(e))
+    print(render(old, new, a.band, old_label=a.old, new_label=a.new))
 
 
 if __name__ == "__main__":
