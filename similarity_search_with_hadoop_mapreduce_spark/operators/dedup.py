@@ -1968,12 +1968,46 @@ def incremental_dedup_probe(
     text_col: str = "text",
     max_bucket: int | None = 1000,
     exclude_epoch: int | None = None,
+    bloom_gate: bool = False,
+    bloom_m_bits: int = 1 << 20,
 ) -> DataFrame:
     """Dedup an incoming batch against the *stored* indexes written by
     :func:`build_dedup_index` — same output contract as
     :func:`incremental_dedup` (doc_id, dup_of, kind, jaccard), different
     physical plan: the corpus side is two bucketed scans, never hashed
     or shuffled again.
+
+    ``bloom_gate=True`` (r12 — the membership sketch's second
+    in-pipeline consumer, the streaming loop's stored-index probe gate)
+    builds kilobyte bitmaps over the BATCH's digests and band hashes
+    and broadcasts them at the stored scans — each stored row tests
+    its k bits map-side, and only ``bloom_hit`` survivors (true
+    matches + bitmap false positives) reach the equi-join. Purely
+    physical: no false negatives ever (every batch key set all its
+    bits), and the exact join kills the false positives, so the output
+    is row-identical to the ungated probe (pytest-pinned, including
+    under a deliberately saturated 64-bit bitmap).
+
+    **When to flip it** (measured, scale_probe_bloom_gate.json): the
+    dial targets the regime where the epoch is too large for Spark to
+    broadcast-hash-join. With a broadcastable batch the ungated plan
+    already streams the stored side through a BroadcastHashJoin
+    map-side — a hash probe per stored row costs what a bit test
+    costs, so the gate is pure overhead there (leave it off; default
+    False). When the batch outgrows the hash-table broadcast (the
+    100-TB epoch: ~10^6-10^8 keys — a bitmap is ~40x smaller per key
+    than a broadcast hash table, 2^27 bits ≈ 16 MB where the hash
+    table is ~600 MB), Spark falls back to sorting the ENTIRE stored
+    index behind the bucketed scans every epoch; the gate collapses
+    that sort to O(hits): at a 500k-doc index (2M band rows) the
+    SMJ-regime probe cpu halves (50.3 -> 28.2 core-s), with the
+    crossover near 50k stored docs and the gap widening with index
+    size. The scans still read the full index (a bitmap cannot prune
+    files); the gate bounds JOIN work, not IO. ``bloom_m_bits`` sizes
+    the bitmaps (default 2^20 ≈ 130 KB broadcast — FPR < 1% up to
+    ~10^5 distinct batch keys; size ~10 bits/key); an undersized
+    bitmap saturates and degrades gracefully toward the ungated plan,
+    never toward a wrong answer.
 
     ``exclude_epoch`` makes the probe REPLAY-DETERMINISTIC for the
     streaming curation loop: pass the foreachBatch ``epoch_id`` and
@@ -2025,6 +2059,20 @@ def incremental_dedup_probe(
             e_band = e_band.filter(F.col("epoch") != F.lit(int(exclude_epoch)))
     t = F.col(text_col)
     i_dig = fan_out(incoming).select("doc_id", F.md5(t).alias("digest"))
+    if bloom_gate:
+        # function-level import: sketches imports dedup's hash helpers
+        # (also function-level) — module-level both ways would cycle
+        from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        e_dig = bloom_probe(
+            e_dig,
+            bloom_build(i_dig, "digest", m_bits=bloom_m_bits, with_count=False),
+            "digest",
+            m_bits=bloom_m_bits,
+        ).filter("bloom_hit").drop("bloom_hit")
     exact = (
         i_dig.join(e_dig, "digest")
         .filter(F.col("dup_of") != F.col("doc_id"))
@@ -2040,6 +2088,15 @@ def incremental_dedup_probe(
         e_band = e_band.filter(
             (F.col("bucket_n") <= max_bucket) | F.col("is_rep")
         )
+    if bloom_gate:
+        # gate on the join key alone (bh); band is a residual filter in
+        # the join, exactly as in the ungated plan
+        e_band = bloom_probe(
+            e_band,
+            bloom_build(i_band, "bh", m_bits=bloom_m_bits, with_count=False),
+            "bh",
+            m_bits=bloom_m_bits,
+        ).filter("bloom_hit").drop("bloom_hit")
     jac = F.size(F.array_intersect("s", "s_e")).cast("double") / F.size(
         F.array_union("s", "s_e")
     ).cast("double")

@@ -264,6 +264,7 @@ def streaming_curation_loop_demo(
     drift_monitor: tuple[str, int] | None = None,
     cm_monitor: tuple[str, int, float] | None = None,
     encode_vocab: str | None = None,
+    dedup_bloom_gate: bool = False,
 ) -> None:
     """The CLOSED continuous-curation loop in one streaming artifact:
     per epoch, incoming documents are probed against the stored dedup
@@ -363,7 +364,20 @@ def streaming_curation_loop_demo(
     ids, UNK=0, per-doc OOV counts) and land epoch-partitioned with
     dynamic overwrite in ``{out_dir}_encoded`` — the loop then emits
     training-READY rows, not just curated text, and a crash-replayed
-    epoch overwrites its own encodings exactly like the accept output."""
+    epoch overwrites its own encodings exactly like the accept output.
+
+    ``dedup_bloom_gate`` (r12): pass ``bloom_gate=True`` through to the
+    stored-index probe — each epoch builds kilobyte bloom bitmaps over
+    the BATCH's digests and band hashes and gates the stored digest and
+    band scans map-side, so when the epoch is too large to
+    broadcast-hash-join, the probe's per-epoch sort of the ENTIRE
+    stored index collapses to the might-match rows (measured -44% probe
+    cpu at a 500k-doc index in the SMJ regime; redundant — leave off —
+    while epochs still broadcast: see
+    :func:`operators.dedup.incremental_dedup_probe`). Purely physical:
+    the accepted set is row-identical with the gate on or off
+    (pytest-pinned), and replay determinism is untouched — the gate
+    composes with ``exclude_epoch`` below the same joins."""
     from similarity_search_with_hadoop_mapreduce_spark.operators.textstats import (
         drift_from_profile,
         encode_with_vocab,
@@ -447,7 +461,7 @@ def streaming_curation_loop_demo(
             # crash-replay pinned in tests/test_streaming.py.
             dups = incremental_dedup_probe(
                 spark, batch_df, prefix=prefix, threshold=threshold,
-                exclude_epoch=epoch_id,
+                exclude_epoch=epoch_id, bloom_gate=dedup_bloom_gate,
             )
             intra = intra_batch_dedup(batch_df, threshold=threshold)
             dup_ids = (

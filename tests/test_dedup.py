@@ -554,6 +554,99 @@ def test_incremental_probe_hot_index_bucket_star(spark):
     assert near_full == {(9000, i) for i in range(n)}
 
 
+def test_bloom_gated_probe_matches_ungated_and_gates_map_side(spark):
+    """r12 (the membership sketch's second in-pipeline consumer — the
+    stored-index probe gate the r11 verdict named): ``bloom_gate=True``
+    builds kilobyte bitmaps over the BATCH's digests and band hashes
+    and gates the STORED index scans map-side, so the probe joins
+    sort/hash only might-match stored rows instead of the whole index.
+    Purely physical: row-identical to the ungated probe under an honest
+    AND a deliberately saturated 64-bit bitmap (forced false positives
+    must die in the exact joins); the stored sides still never
+    exchange; and the gate composes with ``exclude_epoch``."""
+    import re
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.plans import explain_string
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i % 7}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta doc 3"),       # exact
+         (101, "alpha beta gamma delta epsilon zeta doc other"),   # near
+         (102, "totally unrelated words that have no overlap whatsoever")],
+        "doc_id long, text string",
+    )
+    D.build_dedup_index(corpus, prefix="bloomgate_idx", n_buckets=4)
+    key = lambda r: (r.doc_id, r.dup_of, r.kind, round(r.jaccard, 9))
+    ungated = sorted(map(key, D.incremental_dedup_probe(
+        spark, batch, prefix="bloomgate_idx").collect()))
+    gated = sorted(map(key, D.incremental_dedup_probe(
+        spark, batch, prefix="bloomgate_idx", bloom_gate=True).collect()))
+    assert gated == ungated and len(ungated) > 0
+    sat = sorted(map(key, D.incremental_dedup_probe(
+        spark, batch, prefix="bloomgate_idx", bloom_gate=True,
+        bloom_m_bits=64).collect()))
+    assert sat == ungated
+    # plan: bit tests land on the gated stored occurrences (digest +
+    # band), stored scans stay bucketed, and the gate adds NO exchange
+    # on the stored join keys even with broadcast disabled
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_string(D.incremental_dedup_probe(
+            spark, batch, prefix="bloomgate_idx", bloom_gate=True),
+            "formatted")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert plan.count("shiftright(") >= 2
+    assert "Bucketed: true" in plan
+    assert not re.search(r"Exchange hashpartitioning\((digest|bh)#", plan)
+    # prune evidence, measured at the gate itself: a batch disjoint from
+    # the corpus lights no bit pattern any stored digest passes
+    # (m=2^20, one key -> FP ~ 2^-something large), so the gated stored
+    # side is EMPTY where the ungated side is the whole index
+    stored = spark.table("bloomgate_idx_digest")
+    disjoint = spark.createDataFrame(
+        [(7, "nothing in common with anything stored here")],
+        "doc_id long, text string",
+    )
+    bl = bloom_build(
+        disjoint.select(F.md5("text").alias("digest")), "digest",
+        m_bits=1 << 20, with_count=False,
+    )
+    survivors = bloom_probe(
+        stored, bl, "digest", m_bits=1 << 20
+    ).filter("bloom_hit").count()
+    assert survivors == 0 and stored.count() == 40
+    # exclude_epoch composes below the gate: append an epoch, then a
+    # replay-style probe excluding it is gated/ungated-identical too
+    D.append_dedup_index(batch.filter("doc_id = 102"),
+                         prefix="bloomgate_idx", epoch_id=5, n_buckets=4)
+    probe2 = spark.createDataFrame(
+        [(300, "totally unrelated words that have no overlap whatsoever"),
+         (301, "alpha beta gamma delta epsilon zeta doc 3")],
+        "doc_id long, text string",
+    )
+    for excl in (None, 5):
+        u = sorted(map(key, D.incremental_dedup_probe(
+            spark, probe2, prefix="bloomgate_idx",
+            exclude_epoch=excl).collect()))
+        g = sorted(map(key, D.incremental_dedup_probe(
+            spark, probe2, prefix="bloomgate_idx", exclude_epoch=excl,
+            bloom_gate=True).collect()))
+        assert g == u
+    # the excluded-epoch run must not see doc 102's appended digest
+    assert not any(d == 300 for d, *_ in sorted(map(key, D.incremental_dedup_probe(
+        spark, probe2, prefix="bloomgate_idx", exclude_epoch=5,
+        bloom_gate=True).collect())))
+
+
 def test_embedding_lsh_recall_sampled_mode(spark):
     """The hash-sampled mode restricts all three sides to the SAME
     deterministic sub-corpus, so the counts stay a subset chain and the

@@ -628,7 +628,9 @@ def test_decontamination_bloom_gate_plan(spark):
     )
     bnlj = plan.index("BroadcastNestedLoopJoin")
     bnlj_line = plan[bnlj:].splitlines()[0]
-    assert "forall(" in bnlj_line  # bloom test IS the join condition
+    # bloom bit tests ARE the join condition (an AND-chain of k scalar
+    # shiftright tests — codegen-able, unlike the r11 forall HOF)
+    assert "shiftright(" in bnlj_line
     # the exact join is ABOVE the gate, consuming only survivors
     bhj = plan.index("BroadcastHashJoin")
     assert bhj < bnlj

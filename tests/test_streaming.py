@@ -286,6 +286,45 @@ def test_streaming_curation_loop_closed(spark, tmp_path):
     assert 0 in band_epochs  # epoch 0's append landed in the NEAR layer
 
 
+def test_streaming_curation_loop_bloom_gate_is_invisible(spark, tmp_path):
+    """r12 dial: ``dedup_bloom_gate=True`` routes every epoch's stored-
+    index probe through the batch-built bloom gate. The gate is purely
+    physical, so the gated loop's accepted set must equal the ungated
+    closed-loop verdicts exactly — including the cross-epoch exact AND
+    near rejections that only exist because the index grew mid-stream."""
+    from similarity_search_with_hadoop_mapreduce_spark.operators.dedup import (
+        build_dedup_index,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.streaming.stateful import (
+        streaming_curation_loop_demo,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document about engines and data pipelines")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, prefix="bloomloop_idx")
+    e1 = [(100, "fresh arrival text about rivers and mountain lakes today")]
+    e2 = [(200, "fresh arrival text about rivers and mountain lakes today"),
+          (201, "wholly original content with no relatives anywhere at all"),
+          (202, "fresh arrival text about rivers and mountain lakes today!")]
+    inc = tmp_path / "incoming"
+    inc.mkdir()
+    spark.createDataFrame(e1, "doc_id long, text string").coalesce(1)\
+        .write.parquet(str(inc / "e1"))
+    spark.createDataFrame(e2, "doc_id long, text string").coalesce(1)\
+        .write.parquet(str(inc / "e2"))
+    out, ckpt = str(tmp_path / "accepted"), str(tmp_path / "ckpt")
+    streaming_curation_loop_demo(
+        spark, f"{inc}/*", out, ckpt, prefix="bloomloop_idx",
+        dedup_bloom_gate=True,
+    )
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # identical verdicts to the ungated closed-loop test: 200 exact-dup
+    # of mid-stream 100, 202 near-dup of 100 via the appended bands
+    assert accepted == {100, 201}
+
+
 def test_streaming_curation_loop_survives_empty_epoch(spark, tmp_path):
     """An empty micro-batch (a backfill gap / empty file) must pass
     through the probe -> accept -> append cycle as a no-op, not break
