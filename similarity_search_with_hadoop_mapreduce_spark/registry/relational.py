@@ -66,9 +66,70 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; the filter and 7-column projection push into the parquet
     scan. Reference analog: U4's count agg (BookQuery.java:154-158).
 
-    fan_out: the 8 decimal aggregates are CPU-bound enough that spreading
-    an under-split scan wins (~1.7x here); join-shaped queries are left
-    alone — the extra exchange costs more than it buys."""
+    r12 (optimization round, guide §1.2 "per-task work"): the
+    ``decimal(25,6)`` accumulators are replaced by
+    :func:`_fixed_sum_wide` chunked long accumulators — bit-identical
+    on these money columns (shared oracle + property test + 3-SF
+    certification), exact under ANY grouping up to ~8.8e12 rows per
+    group (≈1 EB per group; two orders of magnitude past the 100 TB
+    target), loud ``try_sum`` overflow guards beyond. This retires the
+    "decimal is the only accumulator safe at scale" premise the entry
+    carried since r1: the wide accumulator has no overflow regime below
+    absurd group sizes AND codegens. The historical decimal plan stays
+    registered as :func:`q1_pricing_summary_decimal` (the BigDecimal
+    reference implementation, still certified, still the cross-check).
+
+    fan_out dropped with the BigDecimal cost (same reasoning measured
+    for the r11 production twin): the aggregation is scan-bound again,
+    partial aggregation stays inside the scan task, and the round-robin
+    exchange that paid for itself by spreading decimal CPU (~1.7x
+    there) would now cost more than the whole aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    w = _fixed_sum_wide
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            w(F.col("l_quantity"), 0, "q1").alias("sum_qty"),
+            w(F.col("l_extendedprice"), 2, "q1").alias("sum_base_price"),
+            w(disc_price, 4, "q1").alias("sum_disc_price"),
+            w(charge, 6, "q1").alias("sum_charge"),
+            (w(F.col("l_quantity"), 0, "q1") / cnt).alias("avg_qty"),
+            (w(F.col("l_extendedprice"), 2, "q1") / cnt).alias("avg_price"),
+            (w(F.col("l_discount"), 2, "q1") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q1_pricing_summary_decimal",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {_osum('l_quantity')} AS sum_qty,
+       {_osum('l_extendedprice')} AS sum_base_price,
+       {_osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_osum('l_quantity')} / count(*) AS avg_qty,
+       {_osum('l_extendedprice')} / count(*) AS avg_price,
+       {_osum('l_discount')} / count(*) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r1-r11 plan of :func:`q1_pricing_summary`, preserved verbatim
+    when the main entry moved to :func:`_fixed_sum_wide` accumulators
+    (r12): ``decimal(25,6)`` BigDecimal sums + ``fan_out`` to spread
+    their per-row CPU across an under-split scan. Kept registered (same
+    oracle, bit-identical results) as the reference implementation the
+    fixed-point plans are certified against, and as the measured
+    BigDecimal cost baseline (OPTIMIZATION_r12.md)."""
     from similarity_search_with_hadoop_mapreduce_spark.sources.tables import fan_out
 
     li = fan_out(table(spark, sf_dir, "lineitem"))
@@ -91,7 +152,34 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fixed_sum(expr: Column, scale: int) -> Column:
+def _scaled_long(expr: Column, scale: int, what: str) -> Column:
+    """Per-row fixed-point scaling shared by :func:`_fixed_sum` and
+    :func:`_fixed_sum_wide`: round ``expr`` at ``scale`` decimals
+    (``+0.5 → try_cast(long)`` — HALF_UP for the all-positive money
+    columns these sums run over; NULL input stays NULL; an
+    unrepresentable row RAISES regardless of ``spark.sql.ansi.enabled``
+    — ADVICE r11). Bit-equality with the ``decimal(25,6)`` cast is
+    property-tested for 2-decimal money values and their discount/tax
+    products (tests/test_plans.py); arbitrary-precision doubles (e.g.
+    sensor values) are NOT eligible — double×10^scale+0.5 truncation
+    can round a 1-ulp-under value differently than the decimal cast's
+    shortest-representation HALF_UP."""
+    scaled_d = expr * F.lit(float(10**scale)) + F.lit(0.5)
+    return F.when(
+        scaled_d.isNotNull(),
+        F.coalesce(
+            scaled_d.try_cast("long"),
+            F.raise_error(
+                F.lit(
+                    f"{what} per-row value unrepresentable at scale "
+                    f"{scale} — use the decimal entry"
+                )
+            ).cast("long"),
+        ),
+    )
+
+
+def _fixed_sum(expr: Column, scale: int, what: str = "q1") -> Column:
     """Exact money sum on overflow-checked LONG accumulators: round the
     expression at ``scale`` decimals (``+0.5 → cast(long)`` — HALF_UP for
     the all-positive money columns, no per-row BigDecimal), accumulate
@@ -117,29 +205,93 @@ def _fixed_sum(expr: Column, scale: int) -> Column:
     gated behind an ``isNotNull`` check so a NULL input row stays a
     NULL (sum ignores it) while an unrepresentable one raises. A plain
     ``cast('long')`` relied on the session being ANSI; non-ANSI it
-    clamps to Long.MaxValue silently."""
-    scaled_d = expr * F.lit(float(10**scale)) + F.lit(0.5)
-    scaled = F.when(
-        scaled_d.isNotNull(),
-        F.coalesce(
-            scaled_d.try_cast("long"),
-            F.raise_error(
-                F.lit(
-                    f"q1 per-row value unrepresentable at scale {scale} — "
-                    "use the decimal entry"
-                )
-            ).cast("long"),
-        ),
-    )
+    clamps to Long.MaxValue silently.
+
+    ``what`` labels the raise messages with the calling query (r12: the
+    accumulator is no longer q1-only)."""
+    scaled = _scaled_long(expr, scale, what)
     checked = F.coalesce(
         F.try_sum(scaled),
         F.raise_error(
-            F.lit(f"q1 long accumulator overflow at scale {scale} — "
+            F.lit(f"{what} long accumulator overflow at scale {scale} — "
                   "use the decimal entry or shard the window")
         ).cast("long"),
     )
     return (
         checked.cast("decimal(25,0)") / F.lit(10**scale).cast("decimal(12,0)")
+    ).cast("double")
+
+
+def _fixed_sum_wide(expr: Column, scale: int, what: str = "sum") -> Column:
+    """Exact fixed-point sum with NO practical group-size bound — the
+    r12 replacement for ``decimal(25,6)`` accumulators on money-shaped
+    columns (guide §2.3 "narrower types" + §1.2 "per-task work").
+
+    :func:`_fixed_sum` is capacity-bounded: one long accumulator
+    overflows when a group's scaled sum passes 2^63 (~sf30k for q1's
+    sum_charge). This variant decomposes each scaled row into three
+    base-2^20 digits — exact long bit-ops, no division anywhere::
+
+        v       = (v>>40)·2^40 + ((v>>20)&m)·2^20 + (v&m),  m = 2^20-1
+        sum(v)  = Σhi·2^40    + Σmid·2^20          + Σlo    (any grouping)
+
+    (the two's-complement identity ``x = (x>>k)·2^k + (x & (2^k-1))``
+    holds for every long — digits lo/mid land in ``[0, 2^20)``, the
+    sign rides ``hi`` — though eligibility is the same all-positive
+    money-column contract as :func:`_fixed_sum`, because the PER-ROW
+    ``+0.5`` rounding in :func:`_scaled_long` is HALF_UP only for
+    positives), recombined in wide DECIMAL and rescaled. Exactness does not depend on grouping or
+    partial-aggregation order (each digit sum is an exact integer sum),
+    so the result is bit-identical to the decimal accumulator wherever
+    per-row rounding matches (same money-value condition as
+    :func:`_fixed_sum`, see :func:`_scaled_long`; property-tested in
+    tests/test_plans.py).
+
+    Capacity: ``lo, mid < 2^20`` ⇒ their long sums overflow only past
+    ~8.8e12 rows **per group** (≈1 EB of lineitem in one group — two
+    orders of magnitude past the 100 TB target); ``Σhi`` overflows only
+    when the true sum would overflow decimal(25,6) itself. All three
+    accumulators are ``try_sum`` + ``raise_error``, so even that absurd
+    regime fails LOUD, never silent — the documented escape (shard the
+    window, merge exact per-shard partials) is unchanged.
+
+    Cost model: 3 codegen'd long sums + 2 shifts + 2 masks per row, vs
+    one BigDecimal add per row for decimal(25,6) — see
+    OPTIMIZATION_r12.md for the q1 before/after. Plan shape is
+    IDENTICAL to the decimal plan (same partial/final hash aggregate,
+    same single exchange); only the aggregate buffer narrows from
+    BigDecimal to 3 longs."""
+    if not 0 <= scale <= 6:
+        # the final decimal division is guaranteed exact only down to
+        # 6 fractional digits (Spark's minimum division result scale
+        # under precision loss)
+        raise ValueError(f"_fixed_sum_wide scale must be in [0, 6], got {scale}")
+    scaled = _scaled_long(expr, scale, what)
+    mask = F.lit((1 << 20) - 1).cast("long")
+    digits = {
+        "lo": scaled.bitwiseAND(mask),
+        "mid": F.shiftright(scaled, 20).bitwiseAND(mask),
+        "hi": F.shiftright(scaled, 40),
+    }
+    sums = {
+        name: F.coalesce(
+            F.try_sum(d),
+            F.raise_error(
+                F.lit(
+                    f"{what} wide accumulator ({name}) overflow at scale "
+                    f"{scale} — shard the window and merge exact partials"
+                )
+            ).cast("long"),
+        )
+        for name, d in digits.items()
+    }
+    total = (
+        sums["hi"].cast("decimal(38,0)") * F.lit(1 << 40).cast("decimal(13,0)")
+        + sums["mid"].cast("decimal(38,0)") * F.lit(1 << 20).cast("decimal(7,0)")
+        + sums["lo"].cast("decimal(38,0)")
+    )
+    return (
+        total.cast("decimal(38,0)") / F.lit(10**scale).cast("decimal(12,0)")
     ).cast("double")
 
 
@@ -484,7 +636,15 @@ LIMIT 10
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
-    Catalyst reorders so the filtered customer side broadcasts."""
+    Catalyst reorders so the filtered customer side broadcasts.
+
+    r12: revenue via :func:`_fixed_sum` (scale 4 — extprice 2dp ×
+    discount 2dp, the property-tested disc_price shape) instead of
+    ``decimal(25,6)``. Like q18, the group is one ORDER, so the scaled
+    sum is bounded by lines-per-order × max line revenue (~7 × 1.05e5
+    → ~7e9 scaled) at ANY corpus scale — no capacity boundary exists;
+    the ``try_sum`` raise guard stays as the loud backstop.
+    Bit-identical via the shared oracle (3-SF certification)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -496,7 +656,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(
+            _fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "q3"
+            ).alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -1402,13 +1566,24 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey and customer on c_custkey, the per-order quantity sum from
     the HAVING step IS total_qty — so lineitem is scanned, shuffled, and
     aggregated exactly once and the big table never appears in the join
-    a second time. Result-identical (oracle-checked)."""
+    a second time. Result-identical (oracle-checked).
+
+    r12 (guide §1.2 "per-task work"): the quantity sum uses
+    :func:`_fixed_sum` long accumulators instead of ``decimal(25,6)``
+    — bit-identical (quantities are integral money-grade values;
+    shared-oracle-certified at all three SFs), and here — unlike q1 —
+    there is NO capacity boundary at ANY corpus scale: the group is one
+    ORDER, so the scaled sum is bounded by lines-per-order × max
+    quantity (≤ a few hundred), not by the corpus. The ``try_sum``
+    raise guard stays as the loud backstop. Before: the decimal partial
+    aggregate was ~1.2 core-s fused into a single-split scan task —
+    most of the query's wall (OPTIMIZATION_r12.md)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .agg(_fixed_sum(F.col("l_quantity"), 0, "q18").alias("total_qty"))
         .filter(F.col("total_qty") > 300)
     )
     return (

@@ -502,12 +502,15 @@ def test_round9_validate_zorder_entries_pass_scale_audit(spark):
 
 
 def test_q1_production_twin_bit_identical(spark):
-    """r11: the long-accumulator production twin must equal the decimal
-    gated entry BIT-FOR-BIT (both are exact, order-independent sums of
-    the same fixed-point values), its plan must have exactly ONE shuffle
-    (partial agg in the scan task — the decimal entry's fan_out
+    """r11 (+r12): the three q1 plans must agree BIT-FOR-BIT — the
+    decimal reference (``q1_pricing_summary_decimal``, BigDecimal
+    accumulators), the r12 main entry (``q1_pricing_summary``,
+    :func:`_fixed_sum_wide` chunked long accumulators, unbounded-group
+    capacity), and the production twin (single-long accumulators,
+    capacity-bounded). The fixed-point plans must each have exactly ONE
+    shuffle (partial agg in the scan task — the decimal plan's fan_out
     round-robin exchange is the cost the cheap accumulators delete),
-    and the overflow guard must raise loudly, never wrap."""
+    and the overflow guards must raise loudly, never wrap."""
     import struct
 
     import pytest
@@ -519,13 +522,17 @@ def test_q1_production_twin_bit_identical(spark):
 
     prod = QUERIES["q1_pricing_summary_production"](spark, SF)
     assert shuffle_exchange_count(prod) == 1
-    dec = QUERIES["q1_pricing_summary"](spark, SF)
+    wide = QUERIES["q1_pricing_summary"](spark, SF)
+    assert shuffle_exchange_count(wide) == 1
+    dec = QUERIES["q1_pricing_summary_decimal"](spark, SF)
 
     bits = lambda v: struct.pack("<d", v) if isinstance(v, float) else v  # noqa: E731
     key = lambda r: (r.l_returnflag, r.l_linestatus)  # noqa: E731
     want = {key(r): [bits(v) for v in r[2:]] for r in dec.collect()}
     got = {key(r): [bits(v) for v in r[2:]] for r in prod.collect()}
     assert got == want
+    got_wide = {key(r): [bits(v) for v in r[2:]] for r in wide.collect()}
+    assert got_wide == want
 
     # overflow: two rows whose scaled sum exceeds 2^63 must raise, not
     # silently wrap negative the way a plain long sum() would
@@ -589,6 +596,10 @@ def test_property_fixed_sum_matches_decimal(spark, rows):
         _fixed_sum,
     )
 
+    from similarity_search_with_hadoop_mapreduce_spark.registry.relational import (
+        _fixed_sum_wide,
+    )
+
     df = spark.createDataFrame(
         [(g, c / 100.0, d / 100.0, t / 100.0) for g, c, d, t in rows],
         "g int, price double, disc double, tax double",
@@ -600,12 +611,17 @@ def test_property_fixed_sum_matches_decimal(spark, rows):
     out = df.groupBy("g").agg(
         *[_fixed_sum(e, s).alias(f"l{i}") for i, (e, s) in enumerate(exprs)],
         *[_dsum(e).alias(f"d{i}") for i, (e, _) in enumerate(exprs)],
+        # r12: the chunked-long unbounded-capacity accumulator must hit
+        # the same bits as both of the above on every money shape
+        *[_fixed_sum_wide(e, s).alias(f"w{i}") for i, (e, s) in enumerate(exprs)],
     )
     for r in out.collect():
         for i in range(len(exprs)):
-            a, b = r[f"l{i}"], r[f"d{i}"]
+            a, b, c = r[f"l{i}"], r[f"d{i}"], r[f"w{i}"]
             assert struct.pack("<d", a) == struct.pack("<d", b), (
                 r["g"], i, repr(a), repr(b))
+            assert struct.pack("<d", c) == struct.pack("<d", b), (
+                r["g"], i, repr(c), repr(b))
 
 
 def test_decontamination_bloom_gate_plan(spark):
