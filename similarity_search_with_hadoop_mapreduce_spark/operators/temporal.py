@@ -375,6 +375,32 @@ def _parquet_footer_span(events: DataFrame, ts_col: str):
     return (lo, hi)
 
 
+def _is_wall_preserving_ts_cast(alias_expr, tgt: str) -> bool:
+    """True iff a JVM ``Alias`` expression is exactly
+    ``cast(<attr tgt>: TIMESTAMP_NTZ AS TIMESTAMP) AS tgt`` — the one
+    redefinition of a probed ts column that preserves parquet footer
+    min/max verbatim (wall-clock reinterpretation; see
+    :func:`_is_bare_scan`). Anything unrecognized is False —
+    conservative like the caller."""
+    try:
+        child = alias_expr.child()
+        if child.getClass().getSimpleName().rstrip("$") != "Cast":
+            return False
+        if child.dataType().getClass().getSimpleName().rstrip("$") != (
+            "TimestampType"
+        ):
+            return False
+        src = child.child()
+        return (
+            src.getClass().getSimpleName().rstrip("$") == "AttributeReference"
+            and str(src.name()).lower() == tgt
+            and src.dataType().getClass().getSimpleName().rstrip("$")
+            == "TimestampNTZType"
+        )
+    except Exception:  # noqa: BLE001 — unrecognized shape means "not bare"
+        return False
+
+
 def _is_bare_scan(df: DataFrame, ts_col: str | None = None) -> bool:
     """True when the optimized logical plan is a relation under 1:1
     nodes only (Project / SubqueryAlias) — i.e. no Filter/Join/Generate/
@@ -391,6 +417,17 @@ def _is_bare_scan(df: DataFrame, ts_col: str | None = None) -> bool:
     also conservatively rejects the harmless ``col('ts').alias('ts')``.
     Conservative by construction: an unrecognized node name, or any
     alias onto the probed name, means "not bare".
+
+    One WHITELISTED redefinition (r12): ``cast(ts: TIMESTAMP_NTZ AS
+    TIMESTAMP).alias(ts)`` — exactly ``load_table``'s microsecond-
+    fixture normalization. The NTZ→TZ cast reinterprets the same wall-
+    clock value in the session zone, and footer statistics are wall
+    values too, so min/max are preserved VERBATIM in any session
+    timezone. Without this, every footer-bounds fast path was dead for
+    parquet TIMESTAMP(MICROS) fixtures — the driver's events table
+    always routed to the aggregate-bounds plan with its second scan
+    branch + broadcast-nested-loop join (the exact shape the r10
+    literal-injection win deleted; plans/r12/events_gapfill_locf_*).
 
     The walk inspects the JVM plan tree directly (ADVICE r11), not
     ``optimizedPlan().toString()``: the string render elides Project
@@ -419,6 +456,7 @@ def _is_bare_scan(df: DataFrame, ts_col: str | None = None) -> bool:
                     if (
                         e.getClass().getSimpleName().rstrip("$") == "Alias"
                         and str(e.name()).lower() == tgt
+                        and not _is_wall_preserving_ts_cast(e, tgt)
                     ):
                         return False
             ch = node.children()

@@ -370,7 +370,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.03, 0.09))
             & (F.col("l_quantity") < 24)
         )
-        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        # r12: wide fixed-point (global group grows with the corpus →
+        # the unbounded-capacity accumulator; extprice 2dp × discount
+        # 2dp = exact 4dp, the property-tested money shape)
+        .agg(
+            _fixed_sum_wide(
+                F.col("l_extendedprice") * F.col("l_discount"), 4, "q6"
+            ).alias("revenue")
+        )
     )
 
 
@@ -683,21 +690,60 @@ GROUP BY n.n_name
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with a compound join condition
-    (supplier and customer in the same nation)."""
+    (supplier and customer in the same nation).
+
+    r12 (guide §3.1 build side / §3.2 pre-filter the big side): the
+    join spine is now LINEITEM — the fact table streams and only
+    dimensions build. The r1-r11 customer-first formulation made
+    Catalyst stream ORDERS and *broadcast lineitem* (the largest
+    relation: a 600k-row hash-relation build, ~0.5 s serial, the
+    single biggest slice of the query's wall — stage profile in
+    OPTIMIZATION_r12.md). Joining the region-filtered
+    supplier⋈nation⋈region dim FIRST also drops ~4/5 of lineitem
+    before the orders/customer joins (ASIA suppliers only), which at
+    100 TB is exactly the §3.2 shuffle-bytes win: the orderkey
+    join/exchange sees 1/5 of lineitem instead of all of it, at any
+    scale. Results proven identical (same oracle, 3-SF value-hash;
+    in-session sorted-rows equality in the A/B). Revenue sums use
+    :func:`_fixed_sum_wide` (nation-level groups grow with the corpus,
+    so the bounded single-long accumulator would not do — the wide one
+    is exact to ~8.8e12 rows/group with loud guards)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(n, s.s_nationkey == n.n_nationkey)
+    sn = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    # Catalyst's stat-less size estimate for this composite of tiny
+    # tables multiplies input sizes and comes out LARGER than lineitem,
+    # flipping the build side onto the 600k-row fact table (measured:
+    # the bc(lineitem) build was the biggest slice of q5's wall). Hint
+    # the dim broadcast only when the supplier base table is PROVABLY
+    # small (parquet-footer row count, driver-side, no job): ≤2M
+    # suppliers ≈ ≤50 MB hash relation. At real scale the probe reports
+    # a large count, no hint is emitted, and the planner's own SMJ/SHJ
+    # choice stands.
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        table_rows,
+    )
+
+    if table_rows(sf_dir, "supplier") <= 2_000_000:
+        sn = F.broadcast(sn)
+    return (
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == sn.s_nationkey))
         .groupBy("n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(
+            _fixed_sum_wide(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "q5"
+            ).alias("revenue")
+        )
     )
 
 

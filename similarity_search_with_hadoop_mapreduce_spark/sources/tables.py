@@ -58,6 +58,24 @@ def table_fingerprint(sf_dir: str, name: str) -> tuple:
     return (st.st_mtime_ns, st.st_size)
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from its parquet FOOTER —
+    driver-side metadata, no job, no scan (the same class of probe as
+    :func:`table_fingerprint` and temporal's footer-span reads).
+
+    Used for scale-adaptive physical decisions (r12): e.g. q5 hints its
+    supplier⋈nation⋈region dim broadcast only when the supplier base
+    table is provably small, because Catalyst's stat-less join-size
+    estimate for a composite of tiny tables multiplies input sizes and
+    comes out LARGER than the fact table — flipping the build side onto
+    the 600k-row lineitem. At real scale the probe reads the same
+    footers and reports a large count, the hint is withheld, and the
+    planner's own choice (sort-merge / shuffled-hash) stands."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 def events_ts_type(sf_dir: str) -> str:
     """Physical parquet type of the events fixture's ``ts`` column, as a
     pyarrow type string. Driver fixtures have shipped both

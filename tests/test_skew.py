@@ -623,3 +623,56 @@ def test_bare_scan_sees_aliases_past_tostring_cutoff(spark):
     # wide passthrough stays exact-eligible
     wide_ok = tev.select(*pad, "ts")
     assert _is_bare_scan(wide_ok, "ts")
+
+
+def test_bare_scan_whitelists_wall_preserving_ntz_cast(spark):
+    """r12: `load_table`'s microsecond-fixture normalization —
+    cast(ts TIMESTAMP_NTZ AS TIMESTAMP).alias('ts') — preserves parquet
+    footer min/max verbatim (wall-clock reinterpretation in the session
+    zone), so _is_bare_scan must accept it; without the whitelist the
+    driver's events table NEVER got the literal-bounds gapfill plan and
+    always paid the second scan branch + broadcast-nested-loop join.
+    Every other redefinition stays rejected."""
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        _is_bare_scan,
+        gapfill_locf,
+        gapfill_locf_auto,
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        load_table,
+    )
+
+    tev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # the exact load_table shape (µs fixtures arrive TIMESTAMP_NTZ)
+    normalized = tev.withColumn("ts", F.col("ts").cast("timestamp"))
+    assert dict(tev.dtypes)["ts"] == "timestamp_ntz"
+    assert _is_bare_scan(normalized, "ts")
+    # ... and through load_table itself, end to end: literal plan fires
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    stats = {}
+    out = gapfill_locf_auto(ev, stats=stats)
+    assert stats["gapfill_plan"] == "global_bounds"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    key = lambda r: (r.event_type, r.bucket_start)  # noqa: E731
+    want = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in gapfill_locf(ev).collect()
+    }
+    got = {
+        key(r): (r.n_events, r.total_value, r.locf_value)
+        for r in out.collect()
+    }
+    assert got == want
+
+    # near-miss casts stay rejected: a double-cast chain, a cast of a
+    # DIFFERENT column aliased onto ts, and a value-shifting expr
+    double = tev.withColumn(
+        "ts", F.col("ts").cast("timestamp").cast("timestamp_ntz")
+    )
+    assert not _is_bare_scan(double, "ts")
+    other = tev.select(F.col("event_id").cast("timestamp").alias("ts"),
+                       "event_type", "value")
+    assert not _is_bare_scan(other, "ts")
