@@ -55,9 +55,9 @@ def test_gated_bench_runs_registry_entries_only():
         assert name in QUERIES
         assert ORACLES.get(name) is not None, f"{name} has no oracle"
     prod = bench._production_impls()
-    # r12 role inversion (BASELINE.md): HEADLINE times the q1 fixed-point
-    # twin; the side series' q1 key carries the DECIMAL certification
-    # entry — a registry entry with an oracle, just not a headline one.
+    # r12 (BASELINE.md): BOTH q1 entries hold HEADLINE slots (the bench
+    # contract adds, never removes); the production side series' q1 key
+    # carries the fixed-point twin exactly as in r10/r11.
     assert set(prod) <= set(bench.HEADLINE) | {"q1_pricing_summary"}
     for name in prod:
         assert name in QUERIES and name in ORACLES, name

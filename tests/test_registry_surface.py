@@ -208,6 +208,10 @@ EQUIVALENT = {
     # long-accumulator physical twin, bit-identical to q1_pricing_summary
     # (pinned in test_plans.py::test_q1_production_twin_bit_identical)
     "q1_pricing_summary_production": "tpch_scan_agg",
+    # r12: the r1-r11 BigDecimal plan preserved verbatim when
+    # q1_pricing_summary moved to _fixed_sum_wide accumulators — same
+    # oracle, bit-identical (same test pin as the production twin)
+    "q1_pricing_summary_decimal": "tpch_scan_agg",
     # bloom-gated physical twin of text_decontamination (same oracle;
     # r12 — gate is pre-filter only, no false negatives, exact join
     # kills false positives; curation_suite folds the ungated member)
