@@ -31,7 +31,12 @@ def explain_str(df, mode: str = "formatted") -> str:
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])  # optional subset of query names
-    out_dir = os.path.join(HERE, "plans", "r12")
+    # r13: the optimization round touches non-HEADLINE registry entries
+    # too — the round dir comes from the env and any fine-grained
+    # registry name can be captured by listing it explicitly.
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR", os.path.join(HERE, "plans", "r12")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     import bench
@@ -42,6 +47,9 @@ def main() -> None:
     work: dict = {n: QUERIES[n] for n in bench.HEADLINE}
     for name, fn in bench._production_impls().items():
         work[f"{name}__production"] = fn
+    for name in only:
+        if name not in work and name in QUERIES:
+            work[name] = QUERIES[name]
     for name, fn in sorted(work.items()):
         if only and name.split("__")[0] not in only and name not in only:
             continue

@@ -52,10 +52,17 @@ def main() -> None:
             if j.jobId() not in before_jobs
         ]
         for j in sorted(jobs, key=lambda j: j.jobId()):
-            sub = j.submissionTime().get().toInstant().toEpochMilli()
-            done = j.completionTime().get().toInstant().toEpochMilli()
+            # ADVICE r12: Scala Options — a job still missing either
+            # timestamp (running/failed) must not crash the profiler;
+            # mirror the stage-level isDefined guard
+            sub_o, done_o = j.submissionTime(), j.completionTime()
+            jw = (
+                (done_o.get().toInstant().toEpochMilli()
+                 - sub_o.get().toInstant().toEpochMilli()) / 1000
+                if sub_o.isDefined() and done_o.isDefined() else -1
+            )
             print(
-                f"job {j.jobId()}  wall={(done - sub) / 1000:.3f}s  "
+                f"job {j.jobId()}  wall={jw:.3f}s  "
                 f"stages={list(_iter(j.stageIds()))}"
             )
         seen = set()

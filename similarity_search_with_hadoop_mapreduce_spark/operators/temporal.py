@@ -279,9 +279,31 @@ def gapfill_locf(
     if bounds is not None:
         # minute-truncate driver-side: min(trunc(ts)) == trunc(min(ts))
         # (truncation is monotonic), so these literals equal the
-        # aggregate path's _lo/_hi exactly
-        lo_lit = F.lit(bounds[0].replace(second=0, microsecond=0))
-        hi_lit = F.lit(bounds[1].replace(second=0, microsecond=0))
+        # aggregate path's _lo/_hi exactly.
+        #
+        # r13 (ADVICE r12): the WALL value is injected as a STRING cast
+        # in the plan, not as a Python datetime literal. The bounds come
+        # from parquet footer statistics, i.e. wall-clock values that
+        # the data path maps to instants with the SESSION-timezone cast
+        # (load_table's NTZ→TIMESTAMP normalization); a naive Python
+        # datetime in F.lit() is converted with the DRIVER PROCESS's OS
+        # timezone instead, so whenever session tz != OS tz (or around
+        # a DST gap, where both must remap the same nonexistent wall
+        # times identically) the injected bounds would diverge from the
+        # aggregate path's. A string→timestamp cast uses the session
+        # zone with the same ZoneId rules as the data cast, making the
+        # two paths identical by construction in ANY session timezone —
+        # pinned under America/New_York across a spring-forward gap in
+        # tests/test_skew.py. Catalyst constant-folds the cast, so the
+        # executed plan still carries plain literals.
+        def _wall_lit(dt):
+            s = dt.replace(second=0, microsecond=0).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            return F.lit(s).cast("timestamp")
+
+        lo_lit = _wall_lit(bounds[0])
+        hi_lit = _wall_lit(bounds[1])
         obs_in = agg
         lo_expr, hi_expr = lo_lit, hi_lit
     else:
@@ -423,7 +445,12 @@ def _is_bare_scan(df: DataFrame, ts_col: str | None = None) -> bool:
     fixture normalization. The NTZ→TZ cast reinterprets the same wall-
     clock value in the session zone, and footer statistics are wall
     values too, so min/max are preserved VERBATIM in any session
-    timezone. Without this, every footer-bounds fast path was dead for
+    timezone — REQUIRING that the injected bound literals are mapped
+    wall→instant by the same session-zone rules as the cast itself,
+    which :func:`gapfill_locf` guarantees by injecting them as
+    string→timestamp casts (r13; end-to-end pinned under a non-UTC
+    DST-observing session zone across a spring-forward gap,
+    tests/test_skew.py). Without this, every footer-bounds fast path was dead for
     parquet TIMESTAMP(MICROS) fixtures — the driver's events table
     always routed to the aggregate-bounds plan with its second scan
     branch + broadcast-nested-loop join (the exact shape the r10

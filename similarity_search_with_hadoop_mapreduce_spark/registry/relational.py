@@ -152,7 +152,9 @@ def q1_pricing_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scaled_long(expr: Column, scale: int, what: str) -> Column:
+def _scaled_long(
+    expr: Column, scale: int, what: str, signed: bool = False
+) -> Column:
     """Per-row fixed-point scaling shared by :func:`_fixed_sum` and
     :func:`_fixed_sum_wide`: round ``expr`` at ``scale`` decimals
     (``+0.5 → try_cast(long)`` — HALF_UP for the all-positive money
@@ -163,7 +165,36 @@ def _scaled_long(expr: Column, scale: int, what: str) -> Column:
     products (tests/test_plans.py); arbitrary-precision doubles (e.g.
     sensor values) are NOT eligible — double×10^scale+0.5 truncation
     can round a 1-ulp-under value differently than the decimal cast's
-    shortest-representation HALF_UP."""
+    shortest-representation HALF_UP.
+
+    ``signed`` (r13): the default ``+0.5 → truncate-toward-zero``
+    rounding is HALF_UP only for non-negative values; for a negative
+    money value the double→long cast truncates TOWARD zero where
+    BigDecimal HALF_UP rounds AWAY (``trunc(-123.45·100 + 0.5) =
+    -12344`` but ``cast(-123.45 as decimal(25,6)) = -123.450000``).
+    Columns that can go negative (acctbal balances, q9's
+    revenue-minus-cost profit) pass ``signed=True``: the MAGNITUDE is
+    rounded HALF_UP and the sign reapplied afterwards — exactly
+    BigDecimal's ROUND_HALF_UP (away from zero on ties), one extra
+    codegen'd comparison+negate per row. Property-tested against the
+    decimal cast on signed money shapes (tests/test_plans.py). The
+    all-positive entries keep the branch-free default so their r12
+    certified plans stay byte-identical."""
+    if signed:
+        mag = F.abs(expr) * F.lit(float(10**scale)) + F.lit(0.5)
+        checked = F.coalesce(
+            mag.try_cast("long"),
+            F.raise_error(
+                F.lit(
+                    f"{what} per-row value unrepresentable at scale "
+                    f"{scale} — use the decimal entry"
+                )
+            ).cast("long"),
+        )
+        return F.when(
+            expr.isNotNull(),
+            F.when(expr < F.lit(0.0), -checked).otherwise(checked),
+        )
     scaled_d = expr * F.lit(float(10**scale)) + F.lit(0.5)
     return F.when(
         scaled_d.isNotNull(),
@@ -179,7 +210,9 @@ def _scaled_long(expr: Column, scale: int, what: str) -> Column:
     )
 
 
-def _fixed_sum(expr: Column, scale: int, what: str = "q1") -> Column:
+def _fixed_sum(
+    expr: Column, scale: int, what: str = "q1", signed: bool = False
+) -> Column:
     """Exact money sum on overflow-checked LONG accumulators: round the
     expression at ``scale`` decimals (``+0.5 → cast(long)`` — HALF_UP for
     the all-positive money columns, no per-row BigDecimal), accumulate
@@ -208,8 +241,16 @@ def _fixed_sum(expr: Column, scale: int, what: str = "q1") -> Column:
     clamps to Long.MaxValue silently.
 
     ``what`` labels the raise messages with the calling query (r12: the
-    accumulator is no longer q1-only)."""
-    scaled = _scaled_long(expr, scale, what)
+    accumulator is no longer q1-only).
+
+    r13 (ADVICE r12): ``try_sum`` also returns NULL for an EMPTY or
+    all-NULL group, which the overflow ``coalesce`` could not tell from
+    a wrap — such a group used to raise spuriously. A ``count(expr)``
+    gate (one extra codegen'd long accumulator) returns NULL for those
+    groups instead, exactly what the decimal ``sum`` returns; the
+    ``CaseWhen`` evaluates lazily, so the raise branch is never touched
+    when the count is zero."""
+    scaled = _scaled_long(expr, scale, what, signed)
     checked = F.coalesce(
         F.try_sum(scaled),
         F.raise_error(
@@ -217,12 +258,17 @@ def _fixed_sum(expr: Column, scale: int, what: str = "q1") -> Column:
                   "use the decimal entry or shard the window")
         ).cast("long"),
     )
-    return (
+    total = (
         checked.cast("decimal(25,0)") / F.lit(10**scale).cast("decimal(12,0)")
     ).cast("double")
+    return F.when(
+        F.count(expr) == F.lit(0), F.lit(None).cast("double")
+    ).otherwise(total)
 
 
-def _fixed_sum_wide(expr: Column, scale: int, what: str = "sum") -> Column:
+def _fixed_sum_wide(
+    expr: Column, scale: int, what: str = "sum", signed: bool = False
+) -> Column:
     """Exact fixed-point sum with NO practical group-size bound — the
     r12 replacement for ``decimal(25,6)`` accumulators on money-shaped
     columns (guide §2.3 "narrower types" + §1.2 "per-task work").
@@ -266,7 +312,7 @@ def _fixed_sum_wide(expr: Column, scale: int, what: str = "sum") -> Column:
         # 6 fractional digits (Spark's minimum division result scale
         # under precision loss)
         raise ValueError(f"_fixed_sum_wide scale must be in [0, 6], got {scale}")
-    scaled = _scaled_long(expr, scale, what)
+    scaled = _scaled_long(expr, scale, what, signed)
     mask = F.lit((1 << 20) - 1).cast("long")
     digits = {
         "lo": scaled.bitwiseAND(mask),
@@ -290,9 +336,19 @@ def _fixed_sum_wide(expr: Column, scale: int, what: str = "sum") -> Column:
         + sums["mid"].cast("decimal(38,0)") * F.lit(1 << 20).cast("decimal(7,0)")
         + sums["lo"].cast("decimal(38,0)")
     )
-    return (
+    result = (
         total.cast("decimal(38,0)") / F.lit(10**scale).cast("decimal(12,0)")
     ).cast("double")
+    # r13 (ADVICE r12): an empty/all-NULL group must return NULL like
+    # the decimal sum, not trip the overflow raise — one count(expr)
+    # gate covers all three digit sums (they are NULL together). The
+    # CaseWhen is lazy, so the raise branch is untouched at count 0.
+    # This also makes the accumulator safe under pivot, whose rewrite
+    # feeds every non-matching row as NULL (an empty cell used to
+    # raise).
+    return F.when(
+        F.count(expr) == F.lit(0), F.lit(None).cast("double")
+    ).otherwise(result)
 
 
 @register(
@@ -412,11 +468,20 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (category absent from reference, §2.4)."""
+    """ROLLUP hierarchy totals (category absent from reference, §2.4).
+
+    r13 (guide §1.2): quantity sum on :func:`_fixed_sum_wide` chunked
+    long accumulators instead of ``decimal(25,6)`` BigDecimal — the
+    rollup's grand-total group grows with the corpus, so the unbounded-
+    capacity wide form (not the bounded single long). Bit-identical via
+    the unchanged oracle (3-SF re-proof, r13)."""
     return (
         table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _fixed_sum_wide(F.col("l_quantity"), 0, "rollup").alias("qty"),
+        )
     )
 
 
@@ -484,12 +549,20 @@ FROM lineitem GROUP BY l_returnflag
 )
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (wide aggregation); DuckDB oracle uses FILTER clauses so the
-    output column names match Spark's pivot values exactly."""
+    output column names match Spark's pivot values exactly.
+
+    r13 (guide §1.2): per-cell quantity sums on the wide fixed-point
+    accumulator (cells grow with the corpus). The pivot rewrite feeds
+    non-matching rows as NULLs into each cell's aggregate; the
+    accumulator's count gate returns NULL for an empty cell exactly
+    like the decimal sum did (pinned in tests/test_fixedpoint_r13.py).
+    Bit-identical via the unchanged FILTER-clause oracle (3-SF
+    re-proof, r13)."""
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(_dsum(F.col("l_quantity")))
+        .agg(_fixed_sum_wide(F.col("l_quantity"), 0, "pivot"))
     )
 
 
@@ -584,7 +657,13 @@ def join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema chain: two explicit broadcast hints — the dims ship to
     every executor; the fact table never shuffles before the aggregate.
     Spark-native form of the reference's Configuration-shipped side data
-    (T1/O3, BookQuery.java:205,214)."""
+    (T1/O3, BookQuery.java:205,214).
+
+    r13 (guide §1.2): acctbal sum on the wide fixed-point accumulator,
+    ``signed=True`` — balances go NEGATIVE (fixture min ≈ -999.85), so
+    the sign-aware HALF_UP rounding is required for bit-equality with
+    the decimal cast (see :func:`_scaled_long`). Nation groups grow
+    with the corpus → wide form. 3-SF re-proof r13."""
     c = table(spark, sf_dir, "customer")
     n = F.broadcast(table(spark, sf_dir, "nation"))
     r = F.broadcast(table(spark, sf_dir, "region"))
@@ -594,7 +673,9 @@ def join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+            _fixed_sum_wide(
+                F.col("c_acctbal"), 2, "bchain", signed=True
+            ).alias("total_acctbal"),
         )
     )
 
@@ -1347,7 +1428,14 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: broadcast dim join + conditional revenue share."""
+    """TPC-H Q14 shape: broadcast dim join + conditional revenue share.
+
+    r13 (guide §1.2): both revenue sums on the wide fixed-point
+    accumulator (global group → corpus-growing; disc_price is the
+    property-tested exact-4dp shape, the PROMO branch is the same value
+    or an exact 0.0). The final ``100 * a / b`` double arithmetic is
+    unchanged — identical inputs give identical bits. 3-SF re-proof
+    r13."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1358,9 +1446,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            (F.lit(100.0) * _dsum(promo) / _dsum(rev)).alias(
-                "promo_revenue_pct"
-            )
+            (
+                F.lit(100.0)
+                * _fixed_sum_wide(promo, 4, "q14")
+                / _fixed_sum_wide(rev, 4, "q14")
+            ).alias("promo_revenue_pct")
         )
     )
 
@@ -1418,7 +1508,12 @@ ORDER BY revenue DESC, c.c_custkey LIMIT 20
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: selective fact filters → 4-way join (nation
-    broadcast) → agg → global top-20 (TakeOrderedAndProject)."""
+    broadcast) → agg → global top-20 (TakeOrderedAndProject).
+
+    r13 (guide §1.2): revenue on the wide fixed-point accumulator — a
+    customer's returned-item volume grows with the corpus (orders per
+    customer is not bounded by the schema), so the unbounded wide form,
+    not the per-order bounded single long. 3-SF re-proof r13."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1432,9 +1527,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            _fixed_sum_wide(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "q10"
+            ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -1490,16 +1585,20 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: aggregate-defined view joined against its own MAX
-    (uncorrelated scalar subquery over an aggregate). The decimal-exact
-    revenue sum makes the equality comparison engine-stable."""
+    (uncorrelated scalar subquery over an aggregate). The exact
+    (formerly decimal, r13: wide fixed-point — bit-identical) revenue
+    sum makes the equality comparison engine-stable; both sides of the
+    ``= max`` comparison come from the same plan, so the comparison
+    semantics are unchanged by construction. Per-supplier volume grows
+    with the corpus → wide form (guide §1.2). 3-SF re-proof r13."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
+        _fixed_sum_wide(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "q15"
+        ).alias("total_revenue")
     )
     revenue.createOrReplaceTempView("revenue_v")
     table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
@@ -1539,13 +1638,15 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").between(1, 25)
         & F.col("l_quantity").between(10, 40)
     )
+    # r13 (guide §1.2): global revenue sum on the wide fixed-point
+    # accumulator (corpus-growing group). 3-SF re-proof r13.
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond1 | cond2)
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            _fixed_sum_wide(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "q19"
+            ).alias("revenue")
         )
     )
 
@@ -1567,12 +1668,25 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar average subquery as a filter + NOT EXISTS
     anti join (customers above the positive-balance mean with no orders).
-    The mean is computed as exact-decimal sum / count so the boundary
-    comparison can't flip between engines."""
+    The mean is computed as exact sum / count so the boundary
+    comparison can't flip between engines.
+
+    r13 (guide §1.2): both acctbal sums on the wide fixed-point
+    accumulator, UNSIGNED safely — the mean sums only ``c_acctbal > 0``
+    rows, and every "rich" row satisfies ``c_acctbal > mean > 0``, so
+    no negative value ever reaches either accumulator (unlike
+    :func:`join_broadcast_chain`, which needs ``signed=True``).
+    Identical sum bits → identical double mean → identical filter
+    boundary. 3-SF re-proof r13."""
     c = table(spark, sf_dir, "customer")
     mean_bal = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg((_dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("m"))
+        .agg(
+            (
+                _fixed_sum_wide(F.col("c_acctbal"), 2, "q22")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
         .collect()[0]["m"]
     )
     o = table(spark, sf_dir, "orders")
@@ -1581,7 +1695,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+            _fixed_sum_wide(F.col("c_acctbal"), 2, "q22").alias("totacctbal"),
         )
     )
 
@@ -1698,10 +1812,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, c.c_nationkey == F.col("n2_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        # r13 (guide §1.2): wide fixed-point revenue (nation-pair/year
+        # groups grow with the corpus). 3-SF re-proof r13.
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            _fixed_sum_wide(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4, "q7"
+            ).alias("revenue")
         )
     )
 
@@ -1764,7 +1880,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, F.col("n1_reg") == r.r_regionkey)
         .join(n2, s.s_nationkey == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg((_dsum(nat) / _dsum(rev)).alias("mkt_share"))
+        # r13 (guide §1.2): both sums wide fixed-point (per-year groups
+        # grow with the corpus; nat is rev-or-exact-0.0, non-negative).
+        # The final double divide is unchanged. 3-SF re-proof r13.
+        .agg(
+            (
+                _fixed_sum_wide(nat, 4, "q8") / _fixed_sum_wide(rev, 4, "q8")
+            ).alias("mkt_share")
+        )
     )
 
 
@@ -1789,19 +1912,29 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     below 20% of the part's mean) expressed as a self-aggregate join —
     lineitem is scanned twice but the per-part agg side collapses to one
     row per key before the join. The mean is exact-decimal sum / count so
-    the strict-inequality boundary can't flip between engines."""
+    the strict-inequality boundary can't flip between engines.
+
+    r13 (guide §1.2): both sums wide fixed-point — per-part quantity
+    (scale 0) and the global extendedprice (scale 2); identical sum
+    bits keep the 0.2×mean boundary identical. Per-part lineitem volume
+    grows with the corpus → wide form. 3-SF re-proof r13."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.lit(0.2) * (_dsum(F.col("l_quantity")) / F.count(F.lit(1)))).alias(
-            "qty_threshold"
-        )
+        (
+            F.lit(0.2)
+            * (_fixed_sum_wide(F.col("l_quantity"), 0, "q17") / F.count(F.lit(1)))
+        ).alias("qty_threshold")
     )
     return (
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .join(part_avg, F.col("pk") == li.l_partkey)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg((_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+        .agg(
+            (
+                _fixed_sum_wide(F.col("l_extendedprice"), 2, "q17") / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
     )
 
 

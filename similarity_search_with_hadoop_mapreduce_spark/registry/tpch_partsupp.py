@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from similarity_search_with_hadoop_mapreduce_spark.registry.base import register, table
 from similarity_search_with_hadoop_mapreduce_spark.registry.relational import (
-    _dsum,
+    _fixed_sum_wide,
     _osum,
 )
 
@@ -160,8 +160,15 @@ GROUP BY 1, 2
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit per nation per year through the
     (part, supplier) bridge — the classic 6-way join with a two-column
-    equi key into partsupp; amount sums use the exact decimal
-    accumulator."""
+    equi key into partsupp.
+
+    r13 (guide §1.2): profit sum on the wide fixed-point accumulator
+    with ``signed=True`` — profit = revenue(exact 4dp) − cost×qty
+    (exact 2dp) GOES NEGATIVE (171/2389 joined rows at sf0.01), so the
+    sign-aware HALF_UP rounding is required for bit-equality with the
+    decimal(25,6) cast (see ``relational._scaled_long``). Per
+    (nation, year) groups grow with the corpus → wide form. 3-SF
+    re-proof r13."""
     ps = partsupp(spark, sf_dir)
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -184,7 +191,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(_dsum(amount).alias("sum_profit"))
+        .agg(_fixed_sum_wide(amount, 4, "q9", signed=True).alias("sum_profit"))
     )
 
 
@@ -210,7 +217,13 @@ HAVING {_osum('ps.ps_supplycost * ps.ps_availqty')} > (
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part stock value within one nation, kept only
     above a fraction of the nation's total — a group filter against a
-    global scalar aggregate (computed once, broadcast into the HAVING)."""
+    global scalar aggregate (computed once, broadcast into the HAVING).
+
+    r13 (guide §1.2): both stock-value sums wide fixed-point at scale 2
+    (supplycost is an exact 2-dp non-negative double by construction,
+    availqty a positive int) — identical sum bits keep the ``> total ×
+    0.001`` boundary identical. Global + per-part groups grow with the
+    corpus → wide form. 3-SF re-proof r13."""
     ps = partsupp(spark, sf_dir)
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -218,8 +231,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), s.s_nationkey == n.n_nationkey
     )
     val = F.col("ps_supplycost") * F.col("ps_availqty")
-    per_part = joined.groupBy("ps_partkey").agg(_dsum(val).alias("value"))
-    total = joined.agg((_dsum(val) * F.lit(0.001)).alias("threshold"))
+    per_part = joined.groupBy("ps_partkey").agg(
+        _fixed_sum_wide(val, 2, "q11").alias("value")
+    )
+    total = joined.agg(
+        (_fixed_sum_wide(val, 2, "q11") * F.lit(0.001)).alias("threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("value") > F.col("threshold"))

@@ -676,3 +676,67 @@ def test_bare_scan_whitelists_wall_preserving_ntz_cast(spark):
     other = tev.select(F.col("event_id").cast("timestamp").alias("ts"),
                        "event_type", "value")
     assert not _is_bare_scan(other, "ts")
+
+
+def test_gapfill_bounds_literals_in_dst_session_timezone(spark):
+    """ADVICE r12: the footer-bounds literal path must equal the
+    aggregate-bounds path in a NON-UTC, DST-observing session timezone,
+    with fixture wall times spanning (and landing inside) the
+    spring-forward gap. Two things make this hold and both are pinned
+    here: footer statistics are wall values that load_table's NTZ cast
+    maps with the session-zone rules, and (r13) gapfill_locf injects
+    the bound literals as string->timestamp casts so they go through
+    the SAME session-zone mapping — a naive-datetime F.lit() would be
+    converted with the driver OS zone instead and shift the grid
+    whenever OS zone != session zone."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from similarity_search_with_hadoop_mapreduce_spark.operators.temporal import (
+        _is_bare_scan,
+        gapfill_locf,
+        gapfill_locf_auto,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # wall times around 2024-03-10 02:00 America/New_York (the
+        # spring-forward gap: 02:00-03:00 does not exist); 02:15 and
+        # 02:45 are nonexistent local times the cast must remap, and
+        # one of them is the MIN that becomes the injected grid bound
+        rows = [
+            ("a", datetime.datetime(2024, 3, 10, 2, 15, 30), 1.0),
+            ("a", datetime.datetime(2024, 3, 10, 2, 45, 0), 2.0),
+            ("a", datetime.datetime(2024, 3, 10, 3, 30, 0), 3.0),
+            ("b", datetime.datetime(2024, 3, 10, 1, 30, 0), 4.0),
+            ("b", datetime.datetime(2024, 3, 10, 4, 10, 0), 5.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp_ntz, value double"
+        )
+        with tempfile.TemporaryDirectory(prefix="gapfill-dst-") as d:
+            df.coalesce(1).write.parquet(d + "/ev")
+            raw = spark.read.parquet(d + "/ev")
+            assert dict(raw.dtypes)["ts"] == "timestamp_ntz"
+            # the exact load_table normalization shape
+            ev = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+            assert _is_bare_scan(ev, "ts")
+            stats = {}
+            out_lit = gapfill_locf_auto(ev, stats=stats)
+            assert stats["gapfill_plan"] == "global_bounds"
+            key = lambda r: (r.event_type, r.bucket_start)  # noqa: E731
+            got = {
+                key(r): (r.n_events, r.total_value, r.locf_value)
+                for r in out_lit.collect()
+            }
+            want = {
+                key(r): (r.n_events, r.total_value, r.locf_value)
+                for r in gapfill_locf(ev).collect()  # aggregate bounds
+            }
+            assert got == want
+            assert len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
