@@ -341,6 +341,12 @@ def main() -> None:
     from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
 
     t_bench_start = time.monotonic()
+    # r13 (r12 verdict #6): record the ambient load with the window so a
+    # reader can judge its quietness directly — the committed detail is
+    # the FIRST end-of-round window, not a best-of-N by quietness proxy;
+    # interpretation of noisy windows is the round diff's ambient
+    # classifier's job, not window selection's.
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     # DuckDB co-run, suite 1 of 2 (r10 verdict #1): the 2x gate is a
     # RATIO, and its two sides historically came from different windows
     # (committed 1.26x vs a judge re-run 1.62x at the same HEAD — ambient
@@ -492,6 +498,8 @@ def main() -> None:
         "queries_solo": solo["queries_solo"],
         "production_queries_solo": solo["production_queries_solo"],
         "sf": float(sf),
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     # Same-window DuckDB denominator + the gate ratio under BOTH timing
     # definitions, so each round's BENCH_r{N}.json is self-contained

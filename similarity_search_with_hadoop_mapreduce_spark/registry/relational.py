@@ -1781,8 +1781,28 @@ GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: two roles of the same dim table (nation joined once
     through supplier, once through customer) with a symmetric disjunctive
-    pair filter, grouped by ship year. Both nation sides broadcast."""
-    s = table(spark, sf_dir, "supplier")
+    pair filter, grouped by ship year.
+
+    r13 (r12 verdict #8; guide §3.2 pre-filter the big side, §2.3
+    shuffle fewer bytes): q5's dim-composite spine transfers. The old
+    order joined the FULL supplier table onto lineitem first and only
+    dropped non-{NATION_1,NATION_2} rows five joins later at the nation
+    broadcasts (Catalyst pushes the disjunction's nation-name IN-filter
+    to both nation scans, but never re-orders the pair filter below the
+    orders/customer joins) — 100% of the date-filtered lineitem flowed
+    through the orderkey and custkey joins. Now each nation role is
+    pre-joined into its dim composite (supplier⋈nation→{suppkey,
+    supp_nation}, customer⋈nation→{custkey, cust_nation}, both filtered
+    to the two pair nations, which the pair disjunction implies), so
+    the suppkey join drops ~23/25 of lineitem BEFORE the orderkey join
+    at any scale, and the custkey join streams a customer composite
+    already cut to 2 nations. Two broadcast builds instead of four; at
+    real scale the composites exit the broadcast regime (same
+    footer-count gate as q5) and the SMJ shuffles carry 2/25 of
+    supplier/customer and ~8% of lineitem instead of all of it. The
+    symmetric pair filter (which also excludes N1–N1/N2–N2) runs where
+    it always did, after both roles are attached. Same rows, same
+    oracle — 3-SF value-hash re-proof r13."""
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between(
             F.lit("1996-01-01").cast("timestamp"),
@@ -1790,26 +1810,45 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    n1 = F.broadcast(
-        table(spark, sf_dir, "nation").select(
-            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
-        )
+    pair_nations = ["NATION_1", "NATION_2"]
+    n1 = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(pair_nations)
     )
-    n2 = F.broadcast(
-        table(spark, sf_dir, "nation").select(
-            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
-        )
+    n2 = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(pair_nations)
     )
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .join(n1, F.col("s_nationkey") == n1.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        table(spark, sf_dir, "customer")
+        .join(n2, F.col("c_nationkey") == n2.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    # Stat-less size estimates for a composite of joined dims multiply
+    # and come out LARGER than the fact table, flipping the build side
+    # onto lineitem (the q5 lesson, OPTIMIZATION_r12.md). Hint the
+    # composite broadcasts only while the base dims are PROVABLY small
+    # (parquet-footer row count, driver-side, no job); at real scale no
+    # hint is emitted and the planner's SMJ/SHJ choice stands on the
+    # pre-filtered composites.
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        table_rows,
+    )
+
+    if table_rows(sf_dir, "supplier") <= 2_000_000:
+        sn = F.broadcast(sn)
+    if table_rows(sf_dir, "customer") <= 2_000_000:
+        cn = F.broadcast(cn)
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        s.join(li, s.s_suppkey == li.l_suppkey)
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
-        .join(c, c.c_custkey == o.o_custkey)
-        .join(n1, s.s_nationkey == F.col("n1_key"))
-        .join(n2, c.c_nationkey == F.col("n2_key"))
+        .join(cn, cn.c_custkey == o.o_custkey)
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         # r13 (guide §1.2): wide fixed-point revenue (nation-pair/year
@@ -1848,37 +1887,56 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     float op and is bit-identical across engines."""
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = table(spark, sf_dir, "lineitem")
-    s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").between(
             F.lit("1996-01-01").cast("timestamp"),
             F.lit("1997-12-31").cast("timestamp"),
         )
     )
-    c = table(spark, sf_dir, "customer")
-    n1 = F.broadcast(
-        table(spark, sf_dir, "nation").select(
-            F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+    # r13 (r12 verdict #8; guide §3.2/§2.3): both dim roles pre-joined
+    # into composites, as in q5/q7. supplier⋈nation → {suppkey,
+    # supp_nation} (one build instead of two); customer⋈nation⋈region
+    # (ASIA) → {custkey} — the region cut now lands AT the custkey join
+    # instead of two joins later, so at real scale the custkey
+    # join/exchange carries ~1/5 of customers and drops non-ASIA rows
+    # before they exist in the stream. Broadcast hints footer-gated
+    # like q5 (stat-less composite estimates flip the build side onto
+    # the fact table otherwise); at real scale no hint is emitted.
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
         )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    r = F.broadcast(
-        table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    )
-    n2 = F.broadcast(
-        table(spark, sf_dir, "nation").select(
-            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    crn = (
+        table(spark, sf_dir, "customer")
+        .join(
+            table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
         )
+        .join(
+            table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
     )
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        table_rows,
+    )
+
+    if table_rows(sf_dir, "supplier") <= 2_000_000:
+        sn = F.broadcast(sn)
+    if table_rows(sf_dir, "customer") <= 2_000_000:
+        crn = F.broadcast(crn)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nat = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
     return (
         p.join(li, p.p_partkey == li.l_partkey)
-        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(sn, sn.s_suppkey == li.l_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
-        .join(c, c.c_custkey == o.o_custkey)
-        .join(n1, c.c_nationkey == F.col("n1_key"))
-        .join(r, F.col("n1_reg") == r.r_regionkey)
-        .join(n2, s.s_nationkey == F.col("n2_key"))
+        .join(crn, crn.c_custkey == o.o_custkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         # r13 (guide §1.2): both sums wide fixed-point (per-year groups
         # grow with the corpus; nat is rev-or-exact-0.0, non-negative).

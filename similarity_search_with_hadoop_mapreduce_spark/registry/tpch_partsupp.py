@@ -172,9 +172,27 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = partsupp(spark, sf_dir)
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
-    n = table(spark, sf_dir, "nation")
+    # r13 (r12 verdict #8; guide §3.2): supplier⋈nation pre-joined into
+    # one {suppkey, n_name} composite — one broadcast build instead of
+    # two, and the suppkey join attaches the grouping nation directly.
+    # Footer-gated hint like q5/q7/q8; at real scale the planner's
+    # SMJ/SHJ stands on the 2-column composite (narrower shuffle than
+    # supplier + a second nation join).
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    from similarity_search_with_hadoop_mapreduce_spark.sources.tables import (
+        table_rows,
+    )
+
+    if table_rows(sf_dir, "supplier") <= 2_000_000:
+        sn = F.broadcast(sn)
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "ps_supplycost"
     ) * F.col("l_quantity")
@@ -184,9 +202,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ps,
             (l.l_suppkey == ps.ps_suppkey) & (l.l_partkey == ps.ps_partkey),
         )
-        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(sn, l.l_suppkey == sn.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
