@@ -80,6 +80,17 @@ CURATED_SKIP_AT_10X = {
     "dedup_embedding_suite": "folds the exact all-pairs cosine baseline",
     "ann_ivf_suite": "folds the exact knn-graph member as recall truth",
     "multimodal_frame_sample": "folds the uncapped pair-dedup members",
+    # r13 (measured): the entry pins the UNCAPPED simhash pair set
+    # (max_bucket=None) and its oracle is a DuckDB recursive CTE over
+    # that edge set — ~2.8M edges at the 10x dir (vs ~45k at sf0.1),
+    # where the CTE's transitive-closure frontier blows past 30 GB and
+    # ran >60 min without completing. The pair GENERATORS it folds
+    # (minhash/simhash suites) certify at 10x above in seconds, and the
+    # Spark side's star-contraction scales by design (log-diameter
+    # rounds); it is the quadratic oracle, not the engine, that cannot
+    # run at 10x.
+    "dedup_clusters": "recursive-CTE closure oracle over the uncapped "
+    "~2.8M-edge 10x pair set (quadratic frontier; >60 min, >30 GB)",
 }
 
 

@@ -159,6 +159,28 @@ def test_q7_two_nation_roles_all_broadcast(spark):
     assert shuffle_exchange_count(df) == 1
 
 
+def test_q7_spine_streams_lineitem_and_prefilters_composites(spark):
+    """r13 spine (r12 verdict #8): lineitem must be the STREAMED side —
+    never hash-built — and the pair disjunction's nation IN-filter must
+    reach the nation scans feeding both dim composites, so the suppkey
+    join drops non-pair-nation lineitem rows before the orderkey join."""
+    from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
+
+    df = QUERIES["q7_volume_shipping"](spark, SF)
+    plan = explain_string(df)
+    # the fact scan is not under any BroadcastExchange: every broadcast
+    # build in the formatted detail lists only dim columns
+    import re
+
+    for m in re.finditer(r"\(\d+\) BroadcastExchange\n(?:.*\n){1,4}", plan):
+        assert "l_orderkey" not in m.group(0)
+    # nation scans carry the pushed IN-filter (both roles)
+    assert plan.count("In(n_name, [NATION_1,NATION_2])") >= 1
+    # lineitem's first join probes the supplier composite: the composite
+    # columns (s_suppkey, supp_nation) appear in a broadcast build
+    assert "supp_nation" in plan and "cust_nation" in plan
+
+
 def test_q8_market_share_single_exchange(spark):
     from similarity_search_with_hadoop_mapreduce_spark.registry import QUERIES
 
